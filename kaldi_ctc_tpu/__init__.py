@@ -1,0 +1,21 @@
+"""kaldi_ctc_tpu — a TPU-native CTC ASR framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+kaldi-ctc reference stack (Kaldi + warp-ctc + cuDNN RNN CTC training and
+WFST decoding), built TPU-first:
+
+- ``features``: Kaldi-compatible fbank/MFCC/CMVN front end (XLA rFFT).
+- ``ops``: CTC alpha-beta loss (pure-JAX scan + Pallas kernel) and
+  multi-layer (B)LSTM/GRU/ReLU/Tanh recurrent stacks on ``lax.scan``
+  with fused Pallas cells.
+- ``models``: the acoustic-model pytree (recurrent stack + projections +
+  priors + transition-model-lite), replacing nnet2's Component/AmNnet.
+- ``training``: jit-compiled train step (fwd + CTC + bwd + clip + SGD),
+  data-parallel over a ``jax.sharding.Mesh``, lr schedules, diagnostics.
+- ``data``: egs pipeline — Kaldi ark/scp readers, length bucketing,
+  frame subsampling/shift augmentation, host prefetch.
+- ``decoding``: greedy best-path and batched CTC prefix beam search.
+- ``parallel``: mesh/device management and sharding rules.
+"""
+
+__version__ = "0.1.0"

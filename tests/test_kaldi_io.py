@@ -1,0 +1,124 @@
+"""Round-trip and format tests for the Kaldi table I/O layer."""
+
+import io
+
+import numpy as np
+import pytest
+
+from kaldi_ctc_tpu.utils import kaldi_io as kio
+
+
+def test_matrix_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    mats = {f"utt{i}": rng.standard_normal((rng.integers(1, 50), 40)).astype(np.float32)
+            for i in range(5)}
+    ark = tmp_path / "m.ark"
+    scp = tmp_path / "m.scp"
+    with kio.MatrixWriter(f"ark,scp:{ark},{scp}") as w:
+        for k, v in mats.items():
+            w[k] = v
+    got = dict(kio.SequentialMatrixReader(f"ark:{ark}"))
+    assert set(got) == set(mats)
+    for k in mats:
+        np.testing.assert_array_equal(got[k], mats[k])
+    # random access through scp offsets
+    ra = kio.RandomAccessMatrixReader(f"scp:{scp}")
+    np.testing.assert_array_equal(ra["utt3"], mats["utt3"])
+    assert "nope" not in ra
+
+
+def test_double_matrix_roundtrip(tmp_path):
+    m = np.random.default_rng(1).standard_normal((7, 3)).astype(np.float64)
+    p = tmp_path / "d.mat"
+    kio.write_matrix(str(p), m)
+    got = kio.read_matrix(str(p))
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, m)
+
+
+def test_vector_roundtrip(tmp_path):
+    v = np.random.default_rng(2).standard_normal(17).astype(np.float32)
+    p = tmp_path / "v.vec"
+    kio.write_vector(str(p), v)
+    np.testing.assert_array_equal(kio.read_vector(str(p)), v)
+
+
+def test_int_vector_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    alis = {f"utt{i}": rng.integers(0, 100, size=rng.integers(1, 30)).astype(np.int32)
+            for i in range(4)}
+    ark = tmp_path / "ali.ark"
+    with kio.IntVectorWriter(f"ark:{ark}") as w:
+        for k, v in alis.items():
+            w[k] = v
+    got = dict(kio.SequentialIntVectorReader(f"ark:{ark}"))
+    for k in alis:
+        np.testing.assert_array_equal(got[k], alis[k])
+
+
+def test_compressed_matrix_roundtrip():
+    rng = np.random.default_rng(4)
+    for rows in (1, 3, 8, 200):  # <8 rows hits format 2, >=8 format 1
+        m = (rng.standard_normal((rows, 13)) * 5).astype(np.float32)
+        blob = kio.compress_matrix(m)
+        f = io.BytesIO(blob)
+        tok = kio._read_token(f)
+        assert tok in ("CM", "CM2")
+        got = kio._read_compressed_body(f, fmt=1 if tok == "CM" else 2)
+        # compression is lossy; error bounded by quantization step
+        err = np.abs(got - m).max()
+        rng_width = m.max() - m.min()
+        assert err < rng_width / 50.0, (rows, err)
+
+
+def test_compressed_matrix_in_ark(tmp_path):
+    m = np.random.default_rng(5).standard_normal((30, 40)).astype(np.float32)
+    ark = tmp_path / "c.ark"
+    with kio.MatrixWriter(f"ark:{ark}", compress=True) as w:
+        w["u1"] = m
+    (k, got), = list(kio.SequentialMatrixReader(f"ark:{ark}"))
+    assert k == "u1"
+    assert np.abs(got - m).max() < (m.max() - m.min()) / 50.0
+
+
+def test_pipe_rspecifier(tmp_path):
+    import gzip
+    m = np.random.default_rng(6).standard_normal((4, 4)).astype(np.float32)
+    buf = io.BytesIO()
+    buf.write(b"uttX \x00B")
+    kio._write_binary_matrix(buf, m)
+    gz = tmp_path / "m.ark.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(buf.getvalue())
+    got = dict(kio.SequentialMatrixReader(f"ark:gunzip -c {gz}|"))
+    np.testing.assert_array_equal(got["uttX"], m)
+
+
+def test_text_table(tmp_path):
+    p = tmp_path / "text"
+    p.write_text("utt1 HELLO WORLD\nutt2 FOO\n")
+    got = dict(kio.SequentialTextReader(str(p)))
+    assert got == {"utt1": "HELLO WORLD", "utt2": "FOO"}
+
+
+def test_bad_specifier():
+    with pytest.raises(ValueError):
+        kio.SequentialMatrixReader("nocolon")
+    with pytest.raises(ValueError):
+        kio.SequentialMatrixReader("foo:bar")
+
+
+def test_edit_distance():
+    from kaldi_ctc_tpu.utils import edit_distance as ed
+    assert ed.edit_distance([1, 2, 3], [1, 2, 3]) == 0
+    assert ed.edit_distance([1, 2, 3], [1, 3]) == 1
+    assert ed.edit_distance([], [1, 2]) == 2
+    assert ed.edit_distance("kitten", "sitting") == 3
+    stats = ed.edit_distance_stats(list("kitten"), list("sitting"))
+    assert stats["distance"] == 3
+    assert stats["ins"] + stats["del"] + stats["sub"] == 3
+    d, L = ed.batch_edit_distance(
+        np.array([[1, 2, 3, 0], [4, 5, 0, 0]]), np.array([3, 2]),
+        np.array([[1, 3, 0], [4, 5, 6]]), np.array([2, 3]))
+    assert list(d) == [1, 1]
+    assert list(L) == [3, 2]
