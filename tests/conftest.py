@@ -1,16 +1,17 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh.
 
-Multi-chip sharding is validated without TPU hardware by forcing the host
-platform to expose 8 devices (the analogue of the reference's "run.pl runs
-cluster jobs as local background processes", utils/run.pl:7-29).
+Multi-chip sharding is validated without TPU hardware by exposing 8 CPU
+devices (the analogue of the reference's "run.pl runs cluster jobs as local
+background processes", utils/run.pl:7-29).  jax.config is used rather than
+env vars because pytest plugins may import jax before this file runs.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+# belt and braces for subprocesses spawned from tests
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
