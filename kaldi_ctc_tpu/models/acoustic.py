@@ -1,0 +1,95 @@
+"""The CTC acoustic model: recurrent stack + output projection + priors.
+
+Replaces the reference's nnet2 model layer for the 'google' CTC config
+(``make_configs.py:237-365``: stacked CuDNNRecurrentComponents → affine to
+num_targets → softmax appended at prior-adjustment time) and the AmNnet
+prior carrier (``nnet2/am-nnet.h:38-67``).  Output index 0 is the blank
+(CtcTransitionModel's +1 shift, ``ctc/ctc-transition-model.h:56-62``);
+priors default to ones with prior[blank]=9
+(``ctcbin/nnet2-ctc-init-model.cc:64-67``).
+
+Parameters are a plain pytree so sharding rules (parallel/mesh.py) can
+annotate the gate/hidden axes for tensor parallelism.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_ctc_tpu.ops.rnn import RnnConfig, RnnMode, init_rnn_params, rnn_forward
+
+__all__ = ["AmConfig", "init_am_params", "am_forward", "default_priors"]
+
+
+@dataclasses.dataclass(frozen=True)
+class AmConfig:
+    """Model config (the dataclass replacement for make_configs.py output)."""
+
+    input_dim: int
+    num_targets: int  # pdfs + 1 blank; blank = index 0
+    hidden_dim: int = 320
+    num_layers: int = 5
+    mode: RnnMode = RnnMode.LSTM
+    bidirectional: bool = True
+    param_stddev: float = 0.02
+    bias_stddev: float = 0.2
+    dropout: float = 0.0
+
+    @property
+    def rnn(self) -> RnnConfig:
+        return RnnConfig(
+            input_dim=self.input_dim,
+            hidden_dim=self.hidden_dim,
+            num_layers=self.num_layers,
+            mode=self.mode,
+            bidirectional=self.bidirectional,
+            param_stddev=self.param_stddev,
+            bias_stddev=self.bias_stddev,
+        )
+
+
+def default_priors(num_targets: int, blank_prior: float = 9.0) -> np.ndarray:
+    """Prior vector: ones with a large blank prior (nnet2-ctc-init-model.cc:64-67)."""
+    p = np.ones(num_targets, dtype=np.float32)
+    p[0] = blank_prior
+    return p
+
+
+def init_am_params(key: jax.Array, cfg: AmConfig) -> Dict[str, Any]:
+    k_rnn, k_w = jax.random.split(key)
+    out_in = cfg.rnn.output_dim
+    return {
+        "rnn": init_rnn_params(k_rnn, cfg.rnn),
+        "out_w": cfg.param_stddev * jax.random.normal(
+            k_w, (out_in, cfg.num_targets), dtype=jnp.float32),
+        "out_b": jnp.zeros((cfg.num_targets,), dtype=jnp.float32),
+    }
+
+
+def am_forward(
+    params: Dict[str, Any],
+    feats: jnp.ndarray,            # [B, T, D] batch-major
+    cfg: AmConfig,
+    input_lens: Optional[jnp.ndarray] = None,
+    dropout_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Forward pass → logits [B, T, num_targets].
+
+    Internally time-major for the scan; the final projection is one large
+    [T*B, H] @ [H, A] matmul.
+    """
+    x = jnp.swapaxes(feats, 0, 1)  # [T, B, D]
+    y = rnn_forward(params["rnn"], x, cfg.rnn, input_lens)
+    if cfg.dropout > 0.0 and dropout_key is not None:
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(dropout_key, keep, y.shape)
+        y = jnp.where(mask, y / keep, 0.0)
+    t, b, h = y.shape
+    logits = (y.reshape(t * b, h) @ params["out_w"] + params["out_b"]).reshape(
+        t, b, -1)
+    return jnp.swapaxes(logits, 0, 1)  # [B, T, A]

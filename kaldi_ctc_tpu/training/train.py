@@ -1,0 +1,179 @@
+"""Training: jit-compiled CTC train step + the outer loop pieces.
+
+Replaces the reference's NnetCtcUpdater/TrainNnetSimple
+(``ctc/ctc-nnet-update.cc:76-348``, ``ctc/ctc-nnet-train.cc:181-284``) and
+the train.sh outer-loop semantics (``steps/ctc/train.sh:327-456``):
+
+- one fused XLA step: forward (B)LSTM stack → CTC alpha-beta loss+grad →
+  backprop → elementwise grad clip (cuDNN component clip ±5,
+  ``nnet-cudnn-component.cc:602-603``) → SGD(+momentum) update;
+- SGD uses gradient *sums* over the minibatch like the reference
+  (``nnet-cudnn-component.cc:612-614`` — ``params += lr*grad`` with no 1/B),
+  with an ``objective_scale`` knob (set to 1/num_data_shards for parity with
+  the reference's N-GPU parameter averaging);
+- exponential lr decay ``lr(x) = lr_i * exp(x*log(lr_f/lr_i)/num_steps)``
+  (``steps/ctc/train.sh:352``);
+- greedy-collapse label accuracy computed per minibatch
+  (``ctc/ctc-nnet-update.cc:261-317``) — argmax+collapse on device,
+  Levenshtein on host;
+- data parallelism: batch arrays sharded over the mesh 'data' axis, params
+  replicated; XLA inserts the ICI gradient allreduce (vs the reference's
+  once-per-iteration ``nnet-am-average``, ``steps/ctc/train.sh:431-435``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_ctc_tpu.models.acoustic import AmConfig, am_forward
+from kaldi_ctc_tpu.ops.ctc import ctc_loss, greedy_collapse
+from kaldi_ctc_tpu.utils.edit_distance import batch_edit_distance
+
+__all__ = ["TrainOptions", "exponential_lr", "make_train_step",
+           "make_eval_step", "accuracy_from_outputs", "TrainState",
+           "init_train_state"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainOptions:
+    """Mirror of the reference's trainer knobs (ctc/ctc-nnet-train.h:33-66,
+    steps/ctc/train.sh:7-116)."""
+
+    initial_learning_rate: float = 5e-4
+    final_learning_rate: float = 1e-5
+    num_steps: int = 10000          # decay horizon (num_iters analogue)
+    momentum: float = 0.0
+    clip_elementwise: float = 5.0   # cudnn component clip ±5
+    clip_norm: float = 0.0          # optional global-norm clip (0 = off)
+    objective_scale: float = 1.0    # 1/num_data_shards for reference parity
+
+
+class TrainState(NamedTuple):
+    params: Any
+    velocity: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params: Any) -> TrainState:
+    velocity = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return TrainState(params=params, velocity=velocity,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def exponential_lr(opts: TrainOptions, step) -> jnp.ndarray:
+    """lr(x) = lr_i * exp(x * log(lr_f/lr_i) / num_steps) (train.sh:352)."""
+    ratio = math.log(opts.final_learning_rate / opts.initial_learning_rate)
+    return opts.initial_learning_rate * jnp.exp(
+        step.astype(jnp.float32) * (ratio / max(opts.num_steps, 1)))
+
+
+def _clip_tree(grads: Any, opts: TrainOptions) -> Any:
+    if opts.clip_elementwise > 0:
+        c = opts.clip_elementwise
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.clip(g, -c, c), grads)
+    if opts.clip_norm > 0:
+        leaves = jax.tree_util.tree_leaves(grads)
+        norm = jnp.sqrt(sum(jnp.sum(g * g) for g in leaves))
+        scale = jnp.minimum(1.0, opts.clip_norm / jnp.maximum(norm, 1e-20))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    return grads
+
+
+def make_train_step(cfg: AmConfig, opts: TrainOptions):
+    """Build the jitted train step.
+
+    The returned function signature:
+      state, metrics = step(state, batch)
+    batch: dict with feats [B,T,D] f32, labels [B,L] i32,
+           input_lens [B] i32, label_lens [B] i32.
+    metrics: dict of scalars + hyp ids/lens for host-side accuracy.
+    """
+
+    def loss_fn(params, batch):
+        logits = am_forward(params, batch["feats"], cfg,
+                            input_lens=batch["input_lens"])
+        losses = ctc_loss(logits, batch["labels"], batch["input_lens"],
+                          batch["label_lens"])
+        total = jnp.sum(losses) * opts.objective_scale
+        return total, (losses, logits)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (total, (losses, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        grads = _clip_tree(grads, opts)
+        lr = exponential_lr(opts, state.step)
+        if opts.momentum > 0:
+            velocity = jax.tree_util.tree_map(
+                lambda v, g: opts.momentum * v + g, state.velocity, grads)
+        else:
+            velocity = grads
+        params = jax.tree_util.tree_map(
+            lambda p, v: p - lr * v, state.params, velocity)
+        new_state = TrainState(params=params,
+                               velocity=(velocity if opts.momentum > 0
+                                         else state.velocity),
+                               step=state.step + 1)
+        hyp_ids, hyp_lens = greedy_collapse(
+            jnp.argmax(logits, axis=-1), batch["input_lens"])
+        num_frames = jnp.sum(batch["input_lens"])
+        metrics = {
+            "loss_total": jnp.sum(losses),
+            "loss_per_frame": jnp.sum(losses) / num_frames.astype(jnp.float32),
+            "num_frames": num_frames,
+            "lr": lr,
+            "grad_norm": jnp.sqrt(sum(
+                jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))),
+            "hyp_ids": hyp_ids,
+            "hyp_lens": hyp_lens,
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: AmConfig):
+    """Diagnostic objf/accuracy pass (nnet2-ctc-compute-prob analogue)."""
+
+    def eval_step(params, batch):
+        logits = am_forward(params, batch["feats"], cfg,
+                            input_lens=batch["input_lens"])
+        losses = ctc_loss(logits, batch["labels"], batch["input_lens"],
+                          batch["label_lens"])
+        hyp_ids, hyp_lens = greedy_collapse(
+            jnp.argmax(logits, axis=-1), batch["input_lens"])
+        return {
+            "loss_total": jnp.sum(losses),
+            "num_frames": jnp.sum(batch["input_lens"]),
+            "hyp_ids": hyp_ids,
+            "hyp_lens": hyp_lens,
+        }
+
+    return jax.jit(eval_step)
+
+
+def accuracy_from_outputs(
+    metrics: Dict[str, Any],
+    labels: np.ndarray,
+    label_lens: np.ndarray,
+) -> Tuple[float, int, int]:
+    """Greedy-collapse label accuracy = 1 - edit_distance/ref_len.
+
+    Host-side Levenshtein over the device-computed collapsed hypotheses
+    (ComputeTotAccuracy, ctc-nnet-update.cc:261-317).
+    Returns (accuracy, total_errors, total_ref_len).
+    """
+    hyp_ids = np.asarray(metrics["hyp_ids"])
+    hyp_lens = np.asarray(metrics["hyp_lens"])
+    dists, ref_lens = batch_edit_distance(
+        np.asarray(labels), np.asarray(label_lens), hyp_ids, hyp_lens)
+    total_err = int(dists.sum())
+    total_ref = int(ref_lens.sum())
+    acc = 1.0 - total_err / max(total_ref, 1)
+    return acc, total_err, total_ref
