@@ -4,6 +4,7 @@ from kaldi_ctc_tpu.training.train import (  # noqa: F401
     TrainOptions,
     TrainState,
     accuracy_from_outputs,
+    build_train_step,
     exponential_lr,
     init_train_state,
     make_eval_step,

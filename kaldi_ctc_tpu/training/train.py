@@ -86,14 +86,16 @@ def _clip_tree(grads: Any, opts: TrainOptions) -> Any:
     return grads
 
 
-def make_train_step(cfg: AmConfig, opts: TrainOptions):
-    """Build the jitted train step.
+def build_train_step(cfg: AmConfig, opts: TrainOptions):
+    """Build the raw (unjitted) train step function.
 
-    The returned function signature:
-      state, metrics = step(state, batch)
+    Signature: state, metrics = step(state, batch)
     batch: dict with feats [B,T,D] f32, labels [B,L] i32,
            input_lens [B] i32, label_lens [B] i32.
     metrics: dict of scalars + hyp ids/lens for host-side accuracy.
+    Use make_train_step for the jitted version; the raw body is exposed so
+    callers can fuse multiple steps under one jit (lax.scan) — important on
+    backends with high per-dispatch overhead.
     """
 
     def loss_fn(params, batch):
@@ -135,7 +137,12 @@ def make_train_step(cfg: AmConfig, opts: TrainOptions):
         }
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(cfg: AmConfig, opts: TrainOptions):
+    """Jitted train step (state donated)."""
+    return jax.jit(build_train_step(cfg, opts), donate_argnums=(0,))
 
 
 def make_eval_step(cfg: AmConfig):
