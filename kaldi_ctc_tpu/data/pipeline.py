@@ -1,0 +1,144 @@
+"""Host-side egs pipeline with background prefetch.
+
+Replaces get_egs2.sh + the ctcbin egs tools + the double-buffered
+background reader (``ctc/ctc-nnet-train.cc:31-177``,
+``util/kaldi-table.h`` ``ark,bg:``): reads Kaldi-format features and
+alignments, applies CMVN, collapses alignments to CTC labels, filters,
+applies frame-subsampling/shift augmentation, buckets into padded
+minibatches, and prefetches batches on a background thread while the
+device computes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from kaldi_ctc_tpu.data.bucketing import batch_by_length
+from kaldi_ctc_tpu.data.egs import (
+    CtcExample,
+    collapse_alignment,
+    example_ok,
+    frame_subsample,
+)
+from kaldi_ctc_tpu.features.cmvn import acc_cmvn_stats, apply_cmvn
+from kaldi_ctc_tpu.utils import kaldi_io
+
+__all__ = ["load_examples", "EgsPipeline", "Prefetcher"]
+
+
+def load_examples(
+    feats_rspecifier: str,
+    ali_rspecifier: str,
+    cmvn_rspecifier: Optional[str] = None,
+    utt2spk: Optional[Dict[str, str]] = None,
+    label_shift: int = 1,
+    collapse: bool = True,
+) -> Iterator[CtcExample]:
+    """Stream (features, alignment) pairs joined by key → CtcExamples.
+
+    Alignments are pdf-id sequences; `collapse` applies the
+    `ali-to-pdf --shift=1 --unique=true` transform.  CMVN stats are looked
+    up per speaker via utt2spk (or per utterance if no map given).
+    """
+    ali = {k: v for k, v in kaldi_io.SequentialIntVectorReader(ali_rspecifier)}
+    cmvn = None
+    if cmvn_rspecifier is not None:
+        cmvn = kaldi_io.RandomAccessMatrixReader(cmvn_rspecifier)
+    for key, feats in kaldi_io.SequentialMatrixReader(feats_rspecifier):
+        if key not in ali:
+            continue
+        if cmvn is not None:
+            spk = utt2spk.get(key, key) if utt2spk else key
+            if spk in cmvn:
+                feats = np.asarray(apply_cmvn(feats, cmvn[spk]))
+        labels = ali[key]
+        if collapse:
+            labels = collapse_alignment(labels, shift=label_shift)
+        else:
+            labels = np.asarray(labels, dtype=np.int32)
+        yield CtcExample(key=key, feats=np.asarray(feats, np.float32),
+                         labels=labels)
+
+
+class EgsPipeline:
+    """In-memory epoch pipeline: filter → subsample/shift → shuffle → bucket.
+
+    Holds examples in host RAM (features for librispeech-scale data should
+    be sharded per host; each host's pipeline sees its own shard — the
+    analogue of per-job archives in steps/ctc/train.sh:408-419).
+    """
+
+    def __init__(
+        self,
+        examples: Iterable[CtcExample],
+        minibatch_size: int = 48,
+        max_allow_frames: int = 2000,
+        frame_subsampling_factor: int = 1,
+        sort_window: int = 4096,
+        seed: int = 0,
+    ):
+        self.examples: List[CtcExample] = list(examples)
+        self.minibatch_size = minibatch_size
+        self.max_allow_frames = max_allow_frames
+        self.fs_factor = frame_subsampling_factor
+        self.sort_window = sort_window
+        self.seed = seed
+        self.num_skipped = 0
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """One pass: frame-shift cycles with the epoch index
+        (steps/ctc/train.sh:412: frame_shift = iter % factor)."""
+        rng = np.random.default_rng(self.seed + epoch_idx)
+        shift = epoch_idx % self.fs_factor if self.fs_factor > 1 else 0
+        egs = []
+        self.num_skipped = 0
+        order = rng.permutation(len(self.examples))
+        for i in order:
+            e = self.examples[i]
+            feats = frame_subsample(e.feats, self.fs_factor, shift)
+            eg = CtcExample(e.key, feats, e.labels)
+            if not example_ok(eg, self.max_allow_frames):
+                self.num_skipped += 1
+                continue
+            egs.append(eg)
+        yield from batch_by_length(
+            egs, self.minibatch_size, sort_window=self.sort_window, rng=rng)
+
+
+class Prefetcher:
+    """Background-thread prefetch (double buffering), the analogue of
+    NnetCtcExampleBackgroundReader's two-semaphore handoff
+    (ctc/ctc-nnet-train.cc:31-177)."""
+
+    _DONE = object()
+
+    def __init__(self, iterator: Iterator, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            except BaseException as e:  # surface in consumer
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
