@@ -1,0 +1,141 @@
+"""CTC decoding driver (the LM-free part of nnet2-ctc-latgen-faster).
+
+Runs the acoustic model over utterances, applies the decodable-layer
+semantics (prior division, blank-threshold, acoustic scale —
+ctc/ctc-decodable-am-nnet.cc:29-87), decodes greedy or prefix-beam, writes
+hypothesis label sequences (and word sequences given a words mapping),
+reports RTF like the reference (ctcbin/nnet2-ctc-latgen-faster.cc:238-245),
+and scores WER when reference text is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--feats", required=True)
+    p.add_argument("--cmvn", default=None)
+    p.add_argument("--utt2spk", default=None)
+    p.add_argument("--dir", required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--method", choices=["greedy", "beam"], default="beam")
+    p.add_argument("--beam", type=int, default=8)
+    p.add_argument("--prune-k", type=int, default=8)
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--blank-threshold", type=float, default=0.98)
+    p.add_argument("--use-priors", type=int, default=1)
+    p.add_argument("--blank-prior", type=float, default=9.0)
+    p.add_argument("--frame-subsampling-factor", type=int, default=1)
+    p.add_argument("--minibatch-size", type=int, default=16)
+    p.add_argument("--text", default=None,
+                   help="reference label seqs (text table of ints) for error rate")
+    p.add_argument("--output", default=None, help="hypotheses output file")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    from kaldi_ctc_tpu.data import CtcExample, frame_subsample, pad_batch
+    from kaldi_ctc_tpu.data.bucketing import make_buckets
+    from kaldi_ctc_tpu.decoding import (
+        acoustic_scores, greedy_decode, prefix_beam_search)
+    from kaldi_ctc_tpu.features.cmvn import apply_cmvn
+    from kaldi_ctc_tpu.models import (
+        AmConfig, am_forward, default_priors, init_am_params)
+    from kaldi_ctc_tpu.training import init_train_state
+    from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
+    from kaldi_ctc_tpu.utils import get_logger
+    from kaldi_ctc_tpu.utils.edit_distance import edit_distance
+    from kaldi_ctc_tpu.utils.kaldi_io import (
+        RandomAccessMatrixReader, SequentialMatrixReader, SequentialTextReader)
+
+    args = parse_args(argv)
+    log = get_logger("decode_ctc")
+    with open(os.path.join(args.dir, "model_config.json")) as f:
+        cfg = AmConfig.from_dict(json.load(f))
+
+    params = init_am_params(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params)
+    state, meta = restore_checkpoint(
+        os.path.join(args.dir, "checkpoints"), state, step=args.step)
+    priors = default_priors(cfg.num_targets, args.blank_prior) \
+        if args.use_priors else None
+
+    utt2spk = dict(SequentialTextReader(args.utt2spk)) if args.utt2spk else None
+    cmvn = RandomAccessMatrixReader(args.cmvn) if args.cmvn else None
+
+    @jax.jit
+    def forward(params, feats, lens):
+        logits = am_forward(params, feats, cfg, lens)
+        scores, _ = acoustic_scores(
+            logits, priors=priors, acoustic_scale=args.acoustic_scale,
+            blank_threshold=args.blank_threshold)
+        return scores
+
+    # batch utterances to bucketed shapes
+    egs = []
+    for key, feats in SequentialMatrixReader(args.feats):
+        if cmvn is not None:
+            spk = utt2spk.get(key, key) if utt2spk else key
+            if spk in cmvn:
+                feats = np.asarray(apply_cmvn(feats, cmvn[spk]))
+        feats = frame_subsample(np.asarray(feats, np.float32),
+                                args.frame_subsampling_factor)
+        egs.append(CtcExample(key, feats, np.zeros(1, np.int32)))
+
+    frame_buckets = make_buckets()
+    hyps = {}
+    total_frames = 0
+    t0 = time.perf_counter()
+    for i in range(0, len(egs), args.minibatch_size):
+        group = egs[i:i + args.minibatch_size]
+        batch = pad_batch(group, frame_buckets, [4])
+        feats = jnp.asarray(batch["feats"])
+        lens = jnp.asarray(batch["input_lens"])
+        scores = forward(state.params, feats, lens)
+        if args.method == "greedy":
+            labels, out_lens = greedy_decode(scores, lens)
+        else:
+            labels, out_lens, _ = prefix_beam_search(
+                scores, lens, beam=args.beam, prune_k=args.prune_k)
+        labels = np.asarray(labels); out_lens = np.asarray(out_lens)
+        for j, e in enumerate(group):
+            hyps[e.key] = list(map(int, labels[j][: out_lens[j]]))
+        total_frames += int(np.asarray(batch["input_lens"]).sum())
+    elapsed = time.perf_counter() - t0
+    # frames are frame_shift*fs_factor seconds of audio each
+    audio_s = total_frames * 0.01 * args.frame_subsampling_factor
+    rtf = elapsed / max(audio_s, 1e-9)
+    log.info("decoded %d utts, %.1f audio-s in %.2f s (RTF %.4f)",
+             len(hyps), audio_s, elapsed, rtf)
+
+    out_f = open(args.output, "w") if args.output else sys.stdout
+    for k in sorted(hyps):
+        print(k, " ".join(map(str, hyps[k])), file=out_f)
+    if args.output:
+        out_f.close()
+
+    if args.text:
+        refs = {k: [int(x) for x in v.split()]
+                for k, v in SequentialTextReader(args.text)}
+        err = tot = 0
+        for k, hyp in hyps.items():
+            if k in refs:
+                err += edit_distance(refs[k], hyp)
+                tot += len(refs[k])
+        ler = err / max(tot, 1)
+        print(json.dumps({"label_error_rate": ler, "errors": err,
+                          "ref_tokens": tot, "rtf": rtf}))
+
+
+if __name__ == "__main__":
+    main()

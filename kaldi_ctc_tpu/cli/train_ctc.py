@@ -1,0 +1,203 @@
+"""CTC training driver — the whole of steps/ctc/train.sh +
+nnet2-ctc-train-simple as one SPMD program.
+
+Reads Kaldi-format features + pdf-id alignments (fixtures from a Kaldi
+data prep), builds the egs pipeline, trains the BLSTM-CTC model
+data-parallel over all devices, writes checkpoints with retention, logs
+the reference's parseable accuracy line, and runs held-out diagnostics
+every cv_period steps (train.sh:330-349).
+
+Example (tiny sanity run):
+  python -m kaldi_ctc_tpu.cli.train_ctc \
+      --feats scp:data/train/feats.scp --ali ark:exp/ali.ark \
+      --num-targets 72 --dir exp/ctc --epochs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # data
+    p.add_argument("--feats", required=True, help="feats rspecifier (ark:/scp:)")
+    p.add_argument("--ali", required=True, help="pdf-id alignment rspecifier")
+    p.add_argument("--cmvn", default=None, help="cmvn stats rspecifier")
+    p.add_argument("--utt2spk", default=None, help="utt2spk file for cmvn")
+    p.add_argument("--valid-feats", default=None)
+    p.add_argument("--valid-ali", default=None)
+    # model (the make_configs.py surface)
+    p.add_argument("--num-targets", type=int, required=True,
+                   help="pdfs + 1 blank")
+    p.add_argument("--hidden-dim", type=int, default=320)
+    p.add_argument("--num-layers", type=int, default=5)
+    p.add_argument("--rnn-mode", type=int, default=2,
+                   help="0=relu 1=tanh 2=lstm 3=gru")
+    p.add_argument("--bidirectional", type=int, default=1)
+    # training (train.sh defaults)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--minibatch-size", type=int, default=48)
+    p.add_argument("--max-allow-frames", type=int, default=2000)
+    p.add_argument("--frame-subsampling-factor", type=int, default=1)
+    p.add_argument("--initial-learning-rate", type=float, default=5e-4)
+    p.add_argument("--final-learning-rate", type=float, default=1e-5)
+    p.add_argument("--momentum", type=float, default=0.0)
+    p.add_argument("--clip-gradient", type=float, default=5.0)
+    p.add_argument("--cv-period", type=int, default=10,
+                   help="diagnostic eval every N steps x 10")
+    p.add_argument("--checkpoint-period", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dir", required=True, help="experiment directory")
+    p.add_argument("--resume", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from kaldi_ctc_tpu.data import EgsPipeline, Prefetcher, load_examples
+    from kaldi_ctc_tpu.models import AmConfig, init_am_params
+    from kaldi_ctc_tpu.ops.rnn import RnnMode
+    from kaldi_ctc_tpu.parallel import make_mesh, shard_batch
+    from kaldi_ctc_tpu.training import (
+        TrainOptions, accuracy_from_outputs, init_train_state,
+        make_eval_step, make_train_step)
+    from kaldi_ctc_tpu.training.checkpoint import (
+        apply_retention, latest_step, restore_checkpoint, save_checkpoint)
+    from kaldi_ctc_tpu.utils import MetricsLogger, Timer, get_logger
+    from kaldi_ctc_tpu.utils.kaldi_io import SequentialTextReader
+
+    args = parse_args(argv)
+    os.makedirs(args.dir, exist_ok=True)
+    log = get_logger("train_ctc")
+    metrics_log = MetricsLogger(os.path.join(args.dir, "metrics.jsonl"))
+
+    utt2spk = None
+    if args.utt2spk:
+        utt2spk = dict(SequentialTextReader(args.utt2spk))
+
+    log.info("loading examples...")
+    examples = list(load_examples(args.feats, args.ali,
+                                  cmvn_rspecifier=args.cmvn,
+                                  utt2spk=utt2spk))
+    if not examples:
+        log.error("no examples loaded"); sys.exit(1)
+    input_dim = examples[0].feats.shape[1]
+    log.info("loaded %d utterances, input dim %d", len(examples), input_dim)
+
+    pipe = EgsPipeline(
+        examples, minibatch_size=args.minibatch_size,
+        max_allow_frames=args.max_allow_frames,
+        frame_subsampling_factor=args.frame_subsampling_factor,
+        seed=args.seed)
+
+    valid_pipe = None
+    if args.valid_feats and args.valid_ali:
+        valid_examples = list(load_examples(args.valid_feats, args.valid_ali,
+                                            cmvn_rspecifier=args.cmvn,
+                                            utt2spk=utt2spk))
+        valid_pipe = EgsPipeline(
+            valid_examples, minibatch_size=args.minibatch_size,
+            max_allow_frames=args.max_allow_frames,
+            frame_subsampling_factor=args.frame_subsampling_factor,
+            seed=args.seed + 1000)
+
+    cfg = AmConfig(input_dim=input_dim, num_targets=args.num_targets,
+                   hidden_dim=args.hidden_dim, num_layers=args.num_layers,
+                   mode=RnnMode(args.rnn_mode),
+                   bidirectional=bool(args.bidirectional))
+    with open(os.path.join(args.dir, "model_config.json"), "w") as f:
+        json.dump(cfg.to_dict(), f)
+
+    # rough decay horizon: one batch ≈ minibatch utterances
+    steps_per_epoch = max(len(examples) // args.minibatch_size, 1)
+    num_steps = steps_per_epoch * args.epochs
+    # objective_scale stays 1.0: the loss is summed over the GLOBAL batch
+    # (args.minibatch_size utterances), so semantics match the reference's
+    # single-GPU lr*sum update regardless of how many devices shard it.
+    opts = TrainOptions(
+        initial_learning_rate=args.initial_learning_rate,
+        final_learning_rate=args.final_learning_rate,
+        num_steps=num_steps,
+        momentum=args.momentum,
+        clip_elementwise=args.clip_gradient,
+    )
+
+    mesh = make_mesh()
+    params = init_am_params(jax.random.PRNGKey(args.seed), cfg)
+    state = init_train_state(params)
+    ckpt_dir = os.path.join(args.dir, "checkpoints")
+    start_epoch = 0
+    if args.resume and latest_step(ckpt_dir) is not None:
+        state, meta = restore_checkpoint(ckpt_dir, state)
+        start_epoch = meta["extra"].get("epoch", 0)
+        log.info("resumed from step %d (epoch %d)", meta["step"], start_epoch)
+
+    train_step = make_train_step(cfg, opts)
+    eval_step = make_eval_step(cfg)
+    timer = Timer()
+    tot_err = tot_ref = 0
+    global_step = int(state.step)
+
+    for epoch in range(start_epoch, args.epochs):
+        log.info("epoch %d", epoch)
+        for batch_np in Prefetcher(pipe.epoch(epoch)):
+            keys = batch_np.pop("keys")
+            batch = shard_batch(batch_np, mesh)
+            state, m = train_step(state, batch)
+            global_step += 1
+            acc, err, ref = accuracy_from_outputs(
+                m, batch_np["labels"], batch_np["label_lens"])
+            tot_err += err; tot_ref += ref
+            metrics_log.log(
+                "train_step", step=global_step,
+                loss_per_frame=float(m["loss_per_frame"]),
+                lr=float(m["lr"]), accuracy=acc,
+                grad_norm=float(m["grad_norm"]),
+                num_frames=int(m["num_frames"]))
+            if global_step % 10 == 0:
+                log.info(
+                    "step %d loss/frame %.4f acc %.4f lr %.3g (%.1fs)",
+                    global_step, float(m["loss_per_frame"]), acc,
+                    float(m["lr"]), timer.elapsed())
+                timer.reset()
+            if valid_pipe is not None and global_step % (args.cv_period * 10) == 0:
+                v_err = v_ref = 0; v_loss = 0.0; v_frames = 0
+                for vb in valid_pipe.epoch(0):
+                    vb.pop("keys")
+                    out = eval_step(state.params, shard_batch(vb, mesh))
+                    _, e, r = accuracy_from_outputs(
+                        out, vb["labels"], vb["label_lens"])
+                    v_err += e; v_ref += r
+                    v_loss += float(out["loss_total"])
+                    v_frames += int(out["num_frames"])
+                v_acc = 1.0 - v_err / max(v_ref, 1)
+                metrics_log.log("valid", step=global_step, accuracy=v_acc,
+                                loss_per_frame=v_loss / max(v_frames, 1))
+                log.info("valid @%d: acc %.4f", global_step, v_acc)
+            if global_step % args.checkpoint_period == 0:
+                save_checkpoint(ckpt_dir, global_step, state,
+                                extra={"epoch": epoch})
+                apply_retention(ckpt_dir)
+        # per-epoch accuracy line (parseable contract)
+        epoch_acc = 1.0 - tot_err / max(tot_ref, 1)
+        metrics_log.log_accuracy(epoch_acc, epoch=epoch, step=global_step)
+        tot_err = tot_ref = 0
+        save_checkpoint(ckpt_dir, global_step, state, extra={"epoch": epoch + 1})
+        apply_retention(ckpt_dir)
+
+    save_checkpoint(ckpt_dir, global_step, state,
+                    extra={"epoch": args.epochs, "final": True})
+    log.info("done: %d steps", global_step)
+
+
+if __name__ == "__main__":
+    main()

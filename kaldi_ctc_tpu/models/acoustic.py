@@ -52,6 +52,17 @@ class AmConfig:
             bias_stddev=self.bias_stddev,
         )
 
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["mode"] = int(self.mode)
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "AmConfig":
+        d = dict(d)
+        d["mode"] = RnnMode(d["mode"])
+        return AmConfig(**d)
+
 
 def default_priors(num_targets: int, blank_prior: float = 9.0) -> np.ndarray:
     """Prior vector: ones with a large blank prior (nnet2-ctc-init-model.cc:64-67)."""

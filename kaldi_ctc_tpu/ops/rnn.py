@@ -63,6 +63,9 @@ class RnnConfig:
     bidirectional: bool = True  # reference default (nnet-cudnn-component.cc:488)
     param_stddev: float = 0.02
     bias_stddev: float = 0.2
+    # recurrent kernel implementation: "xla" (lax.scan), "pallas" (fused
+    # VMEM-resident cell, LSTM only), or "auto" (pallas on TPU for LSTM)
+    implementation: str = "auto"
 
     @property
     def num_directions(self) -> int:
@@ -150,6 +153,15 @@ def _run_direction(
     w_h = p["w_h"]
     if lens is None:
         lens = jnp.full((b,), t_max, dtype=jnp.int32)
+
+    impl = cfg.implementation
+    if impl == "auto":
+        impl = ("pallas" if (mode == RnnMode.LSTM
+                             and jax.default_backend() == "tpu") else "xla")
+    if impl == "pallas" and mode == RnnMode.LSTM:
+        from kaldi_ctc_tpu.ops.rnn_pallas import lstm_sequence
+        return lstm_sequence(x_proj, w_h, lens, reverse)
+
     valid = (jnp.arange(t_max)[:, None] < lens[None, :])[..., None]  # [T,B,1]
 
     if mode == RnnMode.LSTM:

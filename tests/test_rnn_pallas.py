@@ -1,0 +1,115 @@
+"""Pallas fused LSTM kernel vs the lax.scan reference implementation.
+
+The analogue of the reference's GPU-vs-CPU parity tests
+(cudamatrix/cu-matrix-test.cc): same math, two implementations.  Runs in
+Pallas interpreter mode on the CPU test mesh; the compiled path is
+exercised on real TPU by bench.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kaldi_ctc_tpu.ops.rnn import (
+    RnnConfig,
+    RnnMode,
+    init_rnn_params,
+    rnn_forward,
+)
+from kaldi_ctc_tpu.ops.rnn_pallas import lstm_seq_fwd, lstm_sequence
+
+B, T, H, D = 8, 12, 16, 10
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    x_proj = jnp.asarray(rng.standard_normal((T, B, 4 * H)).astype(np.float32))
+    w_h = jnp.asarray(
+        (rng.standard_normal((H, 4 * H)) * 0.3).astype(np.float32))
+    lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
+    return x_proj, w_h, lens
+
+
+def _scan_lstm(x_proj, w_h, lens, reverse):
+    """The ops.rnn scan path, directly on a precomputed projection."""
+    t_max, b, g4 = x_proj.shape
+    h_dim = g4 // 4
+    valid = (jnp.arange(t_max)[:, None] < lens[None, :])[..., None]
+
+    def step(carry, inp):
+        h, c = carry
+        xp, v = inp
+        gates = xp + h @ w_h
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_new = jnp.where(v, h_new, h)
+        c_new = jnp.where(v, c_new, c)
+        return (h_new, c_new), jnp.where(v, h_new, 0.0)
+
+    init = (jnp.zeros((b, h_dim)), jnp.zeros((b, h_dim)))
+    _, ys = jax.lax.scan(step, init, (x_proj, valid), reverse=reverse)
+    return ys
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_forward_parity(reverse):
+    x_proj, w_h, lens = _setup(0)
+    y_pallas, c_seq, gates = lstm_seq_fwd(x_proj, w_h, lens, reverse,
+                                          interpret=True)
+    y_scan = _scan_lstm(x_proj, w_h, lens, reverse)
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_scan),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gradient_parity(reverse):
+    x_proj, w_h, lens = _setup(1)
+    dy_seed = jnp.asarray(
+        np.random.default_rng(2).standard_normal((T, B, H)).astype(np.float32))
+
+    def loss_pallas(xp, wh):
+        y = lstm_sequence(xp, wh, lens, reverse, True)
+        return jnp.sum(y * dy_seed)
+
+    def loss_scan(xp, wh):
+        return jnp.sum(_scan_lstm(xp, wh, lens, reverse) * dy_seed)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(x_proj, w_h)
+    gs = jax.grad(loss_scan, argnums=(0, 1))(x_proj, w_h)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rnn_forward_pallas_impl_matches_xla():
+    cfg_x = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
+                      mode=RnnMode.LSTM, bidirectional=True,
+                      implementation="xla")
+    params = init_rnn_params(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((T, 4, D)).astype(np.float32))
+    lens = jnp.asarray([12, 9, 5, 12], dtype=jnp.int32)
+    y_xla = rnn_forward(params, x, cfg_x, lens)
+
+    import kaldi_ctc_tpu.ops.rnn_pallas as rp
+    orig = rp.lstm_sequence
+
+    # route the pallas path through interpret mode for CPU testing
+    def interp(x_proj, w_h, l, reverse=False, interpret=False):
+        return orig(x_proj, w_h, l, reverse, True)
+
+    cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
+                      mode=RnnMode.LSTM, bidirectional=True,
+                      implementation="pallas")
+    rp_backup = rp.lstm_sequence
+    rp.lstm_sequence = interp
+    try:
+        y_pal = rnn_forward(params, x, cfg_p, lens)
+    finally:
+        rp.lstm_sequence = rp_backup
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                               rtol=1e-5, atol=1e-6)
