@@ -1,0 +1,173 @@
+"""Python interface to the native WFST decoder (ctypes).
+
+Wraps native/{fst,decoder,api}.cc: OpenFst-compatible graph loading, the
+CTC graph transform (ShiftTransitionIdAndAddBlanks), and token-passing
+best-path beam decoding over TPU-computed acoustic scores.  The shared
+library is built on demand with the repo's native/Makefile.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["NativeFst", "decode_best_path", "ensure_built"]
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libctc_native.so")
+_NATIVE_DIR = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+_lib = None
+
+
+def ensure_built() -> str:
+    """Build the shared library if missing/stale; return its path."""
+    srcs = [os.path.join(_NATIVE_DIR, n)
+            for n in ("fst.cc", "decoder.cc", "api.cc", "fst.h", "decoder.h")]
+    if (not os.path.exists(_LIB_PATH)
+            or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+                   for s in srcs if os.path.exists(s))):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(ensure_built())
+    lib.ctcn_fst_load.restype = ctypes.c_void_p
+    lib.ctcn_fst_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_int]
+    lib.ctcn_fst_from_arrays.restype = ctypes.c_void_p
+    lib.ctcn_fst_from_arrays.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.ctcn_fst_free.argtypes = [ctypes.c_void_p]
+    for name in ("ctcn_fst_num_states", "ctcn_fst_num_arcs",
+                 "ctcn_fst_start"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.ctcn_fst_write.restype = ctypes.c_int
+    lib.ctcn_fst_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ctcn_make_ctc_graph.restype = ctypes.c_void_p
+    lib.ctcn_make_ctc_graph.argtypes = [ctypes.c_void_p]
+    lib.ctcn_decode_best_path.restype = ctypes.c_int
+    lib.ctcn_decode_best_path.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return lib
+
+
+class NativeFst:
+    """Owns a native Fst handle."""
+
+    def __init__(self, handle: int):
+        self._lib = _load()
+        self._h = handle
+        if not self._h:
+            raise ValueError("null FST handle")
+
+    @staticmethod
+    def load(path: str) -> "NativeFst":
+        lib = _load()
+        err = ctypes.create_string_buffer(512)
+        h = lib.ctcn_fst_load(path.encode(), err, len(err))
+        if not h:
+            raise IOError(err.value.decode() or f"failed to load {path}")
+        return NativeFst(h)
+
+    @staticmethod
+    def from_arrays(start: int, num_states: int, arcs: np.ndarray,
+                    weights: np.ndarray, finals: np.ndarray) -> "NativeFst":
+        """arcs [N,4] int32 (state, ilabel, olabel, nextstate)."""
+        lib = _load()
+        arcs = np.ascontiguousarray(arcs, np.int32)
+        weights = np.ascontiguousarray(weights, np.float32)
+        finals = np.ascontiguousarray(finals, np.float32)
+        h = lib.ctcn_fst_from_arrays(
+            start, num_states, arcs.shape[0],
+            arcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            finals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return NativeFst(h)
+
+    @property
+    def num_states(self) -> int:
+        return self._lib.ctcn_fst_num_states(self._h)
+
+    @property
+    def num_arcs(self) -> int:
+        return self._lib.ctcn_fst_num_arcs(self._h)
+
+    @property
+    def start(self) -> int:
+        return self._lib.ctcn_fst_start(self._h)
+
+    def write(self, path: str) -> None:
+        if self._lib.ctcn_fst_write(self._h, path.encode()) != 0:
+            raise IOError(f"failed to write {path}")
+
+    def make_ctc_graph(self) -> "NativeFst":
+        """ShiftTransitionIdAndAddBlanks (ctc-graph.cc:30-76)."""
+        return NativeFst(self._lib.ctcn_make_ctc_graph(self._h))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.ctcn_fst_free(self._h)
+            self._h = None
+
+
+def decode_best_path(
+    fst: NativeFst,
+    scores: np.ndarray,                 # [T, A] higher-better log scores
+    ilabel_map: Optional[np.ndarray] = None,  # ilabel -> column
+    beam: float = 16.0,
+    max_active: int = 7000,
+    acoustic_scale: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray, float, bool]:
+    """→ (words, alignment_ilabels, total_cost, reached_final).
+
+    Default ilabel_map is the CTC-graph convention: ilabel i → score
+    column i-1 (graph labels are shifted +1; blank ilabel 1 → column 0).
+    """
+    lib = _load()
+    scores = np.ascontiguousarray(scores, np.float32)
+    t, a = scores.shape
+    if ilabel_map is None:
+        ilabel_map = np.concatenate(
+            [[-1], np.arange(a, dtype=np.int32)]).astype(np.int32)
+    ilabel_map = np.ascontiguousarray(ilabel_map, np.int32)
+    max_out = t + 8
+    words = np.zeros(max_out, np.int32)
+    align = np.zeros(max_out, np.int32)
+    n_words = ctypes.c_int64()
+    n_align = ctypes.c_int64()
+    cost = ctypes.c_float()
+    final = ctypes.c_int32()
+    rc = lib.ctcn_decode_best_path(
+        fst._h, scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t, a, ilabel_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ilabel_map.shape[0], beam, max_active, acoustic_scale,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_out,
+        ctypes.byref(n_words),
+        align.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_out,
+        ctypes.byref(n_align), ctypes.byref(cost), ctypes.byref(final))
+    if rc != 0:
+        raise RuntimeError("decode failed (all tokens pruned?)")
+    return (words[: n_words.value].copy(), align[: n_align.value].copy(),
+            float(cost.value), bool(final.value))

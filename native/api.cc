@@ -1,0 +1,104 @@
+// C API for the native FST + decoder (consumed from Python via ctypes).
+
+#include <cstring>
+#include <string>
+
+#include "decoder.h"
+#include "fst.h"
+
+using namespace ctc_native;
+
+extern "C" {
+
+// ---- FST handling ----
+
+void* ctcn_fst_load(const char* path, char* err_buf, int err_len) {
+  auto* fst = new Fst();
+  std::string err;
+  if (!ReadVectorFst(path, fst, &err)) {
+    if (err_buf && err_len > 0) {
+      std::strncpy(err_buf, err.c_str(), err_len - 1);
+      err_buf[err_len - 1] = '\0';
+    }
+    delete fst;
+    return nullptr;
+  }
+  return fst;
+}
+
+// Build from flat arrays (testing / Python-constructed graphs).
+// arcs_flat: [num_arcs, 4] int32 rows (state, ilabel, olabel, nextstate),
+// weights: [num_arcs] float, finals: [num_states] float (inf = non-final).
+void* ctcn_fst_from_arrays(int64_t start, int64_t num_states,
+                           int64_t num_arcs, const int32_t* arcs_flat,
+                           const float* weights, const float* finals) {
+  MutableFst m;
+  m.start = start;
+  for (int64_t s = 0; s < num_states; ++s) {
+    m.AddState();
+    m.final_weight[s] = finals[s];
+  }
+  for (int64_t i = 0; i < num_arcs; ++i) {
+    const int32_t* r = arcs_flat + i * 4;
+    m.AddArc(r[0], Arc{r[1], r[2], weights[i], r[3]});
+  }
+  auto* fst = new Fst(m.ToCsr());
+  return fst;
+}
+
+void ctcn_fst_free(void* fst) { delete static_cast<Fst*>(fst); }
+
+int64_t ctcn_fst_num_states(void* fst) {
+  return static_cast<Fst*>(fst)->NumStates();
+}
+int64_t ctcn_fst_num_arcs(void* fst) {
+  return static_cast<Fst*>(fst)->NumArcs();
+}
+int64_t ctcn_fst_start(void* fst) { return static_cast<Fst*>(fst)->start; }
+
+int ctcn_fst_write(void* fst, const char* path) {
+  std::string err;
+  return WriteVectorFst(path, *static_cast<Fst*>(fst), &err) ? 0 : -1;
+}
+
+// CTC graph transform (ShiftTransitionIdAndAddBlanks).
+void* ctcn_make_ctc_graph(void* fst) {
+  MutableFst m = MutableFst::FromCsr(*static_cast<Fst*>(fst));
+  ShiftLabelsAndAddBlanks(&m);
+  return new Fst(m.ToCsr());
+}
+
+// ---- Decoding ----
+
+// Returns 0 on success. Outputs are truncated to their max lengths;
+// *num_words/*num_align report the untruncated sizes.
+int ctcn_decode_best_path(void* fst_ptr, const float* scores,
+                          int64_t num_frames, int64_t num_cols,
+                          const int32_t* ilabel_map, int64_t map_size,
+                          float beam, int32_t max_active,
+                          float acoustic_scale,
+                          int32_t* words_out, int64_t max_words,
+                          int64_t* num_words, int32_t* align_out,
+                          int64_t max_align, int64_t* num_align,
+                          float* total_cost, int32_t* reached_final) {
+  const Fst& fst = *static_cast<Fst*>(fst_ptr);
+  DecodeOptions opts;
+  opts.beam = beam;
+  opts.max_active = max_active;
+  opts.acoustic_scale = acoustic_scale;
+  DecodeResult res;
+  if (!DecodeBestPath(fst, scores, num_frames, num_cols, ilabel_map,
+                      map_size, opts, &res))
+    return -1;
+  *num_words = (int64_t)res.words.size();
+  *num_align = (int64_t)res.alignment.size();
+  for (int64_t i = 0; i < std::min<int64_t>(*num_words, max_words); ++i)
+    words_out[i] = res.words[i];
+  for (int64_t i = 0; i < std::min<int64_t>(*num_align, max_align); ++i)
+    align_out[i] = res.alignment[i];
+  *total_cost = res.total_cost;
+  *reached_final = res.reached_final ? 1 : 0;
+  return 0;
+}
+
+}  // extern "C"

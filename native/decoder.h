@@ -1,0 +1,44 @@
+// Token-passing WFST beam decoder.
+//
+// Native replacement for the reference's LatticeFasterDecoder usage in
+// CTC decoding (decoder/lattice-faster-decoder.h:40-96,129,342-346 via
+// ctc/ctc-decoder-wrappers.cc:27-126): per frame ProcessEmitting over the
+// CTC graph with acoustic costs pulled from a precomputed score matrix
+// (the TPU forward pass already ran — the lazy DecodableInterface
+// collapses to an array lookup), then epsilon-closure ProcessNonemitting,
+// with beam + max-active histogram pruning.  Backpointers give the best
+// path (words + per-frame ilabel alignment).
+
+#pragma once
+
+#include <cstdint>
+#include <vector>
+
+#include "fst.h"
+
+namespace ctc_native {
+
+struct DecodeOptions {
+  float beam = 16.0f;
+  int32_t max_active = 7000;
+  int32_t min_active = 200;
+  float acoustic_scale = 1.0f;   // applied to -scores
+};
+
+struct DecodeResult {
+  bool reached_final = false;
+  float total_cost = 0.0f;
+  std::vector<int32_t> words;      // olabels on the best path
+  std::vector<int32_t> alignment;  // ilabel per frame (graph labels)
+};
+
+// scores: [num_frames, num_cols] row-major log-likelihood-style scores
+// (higher better).  ilabel_map: ilabel -> column (size max_ilabel+1);
+// entries < 0 mean "no score" (arc treated as non-emitting is NOT allowed;
+// ilabel 0 is epsilon and never looked up).
+bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
+                    int64_t num_cols, const int32_t* ilabel_map,
+                    int64_t map_size, const DecodeOptions& opts,
+                    DecodeResult* result);
+
+}  // namespace ctc_native

@@ -1,0 +1,71 @@
+// In-memory WFST (tropical semiring) + OpenFst VectorFst<StdArc> binary I/O.
+//
+// Native-runtime piece of the TPU framework: the replacement for the
+// OpenFst surface the reference decoder consumes (src/fstext/, the graphs
+// produced by utils/mkgraph.sh).  Only the on-disk format is shared with
+// OpenFst so Kaldi-built TLG/CTC graphs load directly; the in-memory
+// representation is a flat CSR layout tuned for the token-passing decoder
+// (sequential arc scans, no pointer chasing).
+
+#pragma once
+
+#include <cstdint>
+#include <limits>
+#include <string>
+#include <vector>
+
+namespace ctc_native {
+
+struct Arc {
+  int32_t ilabel;
+  int32_t olabel;
+  float weight;      // tropical: cost, lower is better
+  int32_t nextstate;
+};
+
+struct Fst {
+  int64_t start = -1;
+  std::vector<float> final_weight;     // +inf = not final
+  std::vector<int64_t> arc_offset;     // CSR: state s arcs in
+                                       // [arc_offset[s], arc_offset[s+1])
+  std::vector<Arc> arcs;
+
+  int64_t NumStates() const { return (int64_t)final_weight.size(); }
+  int64_t NumArcs() const { return (int64_t)arcs.size(); }
+  static constexpr float kInfinity = std::numeric_limits<float>::infinity();
+
+  // Mutable builder-style helpers (used by the CTC graph transform).
+  // These operate on an adjacency-list copy; call Rebuild to get CSR back.
+};
+
+// Adjacency-list FST for construction/mutation.
+struct MutableFst {
+  int64_t start = -1;
+  std::vector<float> final_weight;
+  std::vector<std::vector<Arc>> state_arcs;
+
+  int64_t AddState() {
+    final_weight.push_back(Fst::kInfinity);
+    state_arcs.emplace_back();
+    return (int64_t)final_weight.size() - 1;
+  }
+  void AddArc(int64_t s, const Arc& a) { state_arcs[s].push_back(a); }
+  int64_t NumStates() const { return (int64_t)final_weight.size(); }
+
+  Fst ToCsr() const;
+  static MutableFst FromCsr(const Fst& f);
+};
+
+// OpenFst-compatible binary I/O (VectorFst<StdArc>, header version 2).
+bool ReadVectorFst(const std::string& path, Fst* out, std::string* err);
+bool WriteVectorFst(const std::string& path, const Fst& fst,
+                    std::string* err);
+
+// The CTC graph transform (reference: ctc/ctc-graph.cc:30-76
+// ShiftTransitionIdAndAddBlanks): shift non-eps ilabels +1, then for each
+// original state s: move non-self-loop arcs to a new state ns, connect
+// s --eps--> ns, add blank (ilabel 1) self-loop on ns, keep original
+// (shifted) self-loops on s.
+void ShiftLabelsAndAddBlanks(MutableFst* fst);
+
+}  // namespace ctc_native
