@@ -26,7 +26,15 @@ def parse_args(argv=None):
     p.add_argument("--utt2spk", default=None)
     p.add_argument("--dir", required=True)
     p.add_argument("--step", type=int, default=None)
-    p.add_argument("--method", choices=["greedy", "beam"], default="beam")
+    p.add_argument("--method", choices=["greedy", "beam", "wfst"],
+                   default="beam")
+    p.add_argument("--graph", default=None,
+                   help="CTC decoding graph (VectorFst) for --method wfst")
+    p.add_argument("--words", default=None,
+                   help="words.txt symbol table (id word) for wfst output")
+    p.add_argument("--wfst-beam", type=float, default=16.0,
+                   help="decoding beam (run_ctc_phone.sh uses 20)")
+    p.add_argument("--max-active", type=int, default=7000)
     p.add_argument("--beam", type=int, default=8)
     p.add_argument("--prune-k", type=int, default=8)
     p.add_argument("--acoustic-scale", type=float, default=1.0)
@@ -76,10 +84,25 @@ def main(argv=None):
     @jax.jit
     def forward(params, feats, lens):
         logits = am_forward(params, feats, cfg, lens)
-        scores, _ = acoustic_scores(
+        scores, skip = acoustic_scores(
             logits, priors=priors, acoustic_scale=args.acoustic_scale,
             blank_threshold=args.blank_threshold)
-        return scores
+        return scores, skip
+
+    graph = None
+    word_syms = None
+    if args.method == "wfst":
+        from kaldi_ctc_tpu.decoding.wfst import NativeFst, decode_best_path
+        if not args.graph:
+            log.error("--method wfst requires --graph"); sys.exit(1)
+        graph = NativeFst.load(args.graph)
+        if args.words:
+            word_syms = {}
+            with open(args.words) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        word_syms[int(parts[1])] = parts[0]
 
     # batch utterances to bucketed shapes
     egs = []
@@ -101,15 +124,35 @@ def main(argv=None):
         batch = pad_batch(group, frame_buckets, [4])
         feats = jnp.asarray(batch["feats"])
         lens = jnp.asarray(batch["input_lens"])
-        scores = forward(state.params, feats, lens)
-        if args.method == "greedy":
-            labels, out_lens = greedy_decode(scores, lens)
+        scores, skip = forward(state.params, feats, lens)
+        if args.method == "wfst":
+            from kaldi_ctc_tpu.decoding.wfst import decode_best_path
+            scores_np = np.asarray(scores)
+            skip_np = np.asarray(skip)
+            for j, e in enumerate(group):
+                t = int(batch["input_lens"][j])
+                # drop blank-threshold frames exactly like the reference
+                # (ctc-decodable-am-nnet.cc:54-69)
+                rows = scores_np[j, :t][~skip_np[j, :t]]
+                if rows.shape[0] == 0:
+                    hyps[e.key] = []
+                    continue
+                words, _, _, _ = decode_best_path(
+                    graph, rows, beam=args.wfst_beam,
+                    max_active=args.max_active)
+                if word_syms is not None:
+                    hyps[e.key] = [word_syms.get(w, str(w)) for w in words]
+                else:
+                    hyps[e.key] = list(map(int, words))
         else:
-            labels, out_lens, _ = prefix_beam_search(
-                scores, lens, beam=args.beam, prune_k=args.prune_k)
-        labels = np.asarray(labels); out_lens = np.asarray(out_lens)
-        for j, e in enumerate(group):
-            hyps[e.key] = list(map(int, labels[j][: out_lens[j]]))
+            if args.method == "greedy":
+                labels, out_lens = greedy_decode(scores, lens)
+            else:
+                labels, out_lens, _ = prefix_beam_search(
+                    scores, lens, beam=args.beam, prune_k=args.prune_k)
+            labels = np.asarray(labels); out_lens = np.asarray(out_lens)
+            for j, e in enumerate(group):
+                hyps[e.key] = list(map(int, labels[j][: out_lens[j]]))
         total_frames += int(np.asarray(batch["input_lens"]).sum())
     elapsed = time.perf_counter() - t0
     # frames are frame_shift*fs_factor seconds of audio each
@@ -125,12 +168,11 @@ def main(argv=None):
         out_f.close()
 
     if args.text:
-        refs = {k: [int(x) for x in v.split()]
-                for k, v in SequentialTextReader(args.text)}
+        refs = {k: v.split() for k, v in SequentialTextReader(args.text)}
         err = tot = 0
         for k, hyp in hyps.items():
             if k in refs:
-                err += edit_distance(refs[k], hyp)
+                err += edit_distance(refs[k], [str(x) for x in hyp])
                 tot += len(refs[k])
         ler = err / max(tot, 1)
         print(json.dumps({"label_error_rate": ler, "errors": err,

@@ -94,3 +94,35 @@ def test_cli_train_eval_decode(tmp_path):
     result = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert result["label_error_rate"] < 0.05, result
     assert os.path.exists(hyp_path)
+
+    # WFST decode through a word-loop CTC graph: words ≡ labels 1..5
+    import numpy as np
+    from kaldi_ctc_tpu.decoding.wfst import NativeFst
+    # HCLG-like: entering label l emits word l and lands on a state with a
+    # label-l self-loop (sustained frames loop, like add-self-loops output)
+    arcs, weights = [], []
+    for lab in range(1, NUM_TARGETS):
+        s = lab  # state id for this label
+        arcs.append([0, lab, lab, s]); weights.append(1.0)  # word arc: LM cost
+        arcs.append([s, lab, 0, s]); weights.append(0.0)    # self-loop
+        arcs.append([s, 0, 0, 0]); weights.append(0.0)      # eps back
+    n_states = NUM_TARGETS
+    finals = np.full(n_states, np.inf, np.float32)
+    finals[0] = 0.0
+    base = NativeFst.from_arrays(0, n_states, np.asarray(arcs, np.int32),
+                                 np.asarray(weights, np.float32), finals)
+    ctc_graph = base.make_ctc_graph()
+    graph_path = str(tmp_path / "ctc.fst")
+    ctc_graph.write(graph_path)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decode_ctc.main([
+            "--feats", f"ark:{fark}", "--dir", exp,
+            "--method", "wfst", "--graph", graph_path,
+            "--use-priors", "0", "--blank-threshold", "0.98",
+            "--text", text, "--minibatch-size", "8",
+        ])
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # blank-threshold frame dropping is slightly lossy (reference behavior)
+    assert result["label_error_rate"] < 0.1, result
