@@ -1,0 +1,68 @@
+"""Training report from metrics.jsonl (generate_plots.py equivalent).
+
+Parses the JSONL metrics stream written by train_ctc (instead of scraping
+C++ logs like steps/ctc/report/nnet2_log_parse_lib.py:17-67) and emits the
+accuracy.log-style table plus optional matplotlib plots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dir", required=True, help="experiment dir")
+    p.add_argument("--plot", action="store_true",
+                   help="write accuracy.png/loss.png (needs matplotlib)")
+    args = p.parse_args(argv)
+
+    path = os.path.join(args.dir, "metrics.jsonl")
+    steps, losses, accs, lrs = [], [], [], []
+    valid_steps, valid_accs = [], []
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("event") == "train_step":
+                steps.append(rec["step"])
+                losses.append(rec["loss_per_frame"])
+                accs.append(rec["accuracy"])
+                lrs.append(rec["lr"])
+            elif rec.get("event") == "valid":
+                valid_steps.append(rec["step"])
+                valid_accs.append(rec["accuracy"])
+
+    # accuracy.log-style table (reports/ctc-google/accuracy.log format)
+    out = os.path.join(args.dir, "accuracy.log")
+    with open(out, "w") as f:
+        print(f"{'step':>8} {'loss/frame':>12} {'train_acc':>10} "
+              f"{'lr':>10}", file=f)
+        for i in range(0, len(steps), max(len(steps) // 100, 1)):
+            print(f"{steps[i]:>8} {losses[i]:>12.4f} {accs[i]:>10.4f} "
+                  f"{lrs[i]:>10.3g}", file=f)
+    print(f"wrote {out} ({len(steps)} steps"
+          f", {len(valid_steps)} valid points)")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+        axes[0].plot(steps, accs, label="train")
+        if valid_steps:
+            axes[0].plot(valid_steps, valid_accs, label="valid")
+        axes[0].set_xlabel("step"); axes[0].set_ylabel("label accuracy")
+        axes[0].legend(); axes[0].grid(True)
+        axes[1].plot(steps, losses)
+        axes[1].set_xlabel("step"); axes[1].set_ylabel("CTC loss / frame")
+        axes[1].set_yscale("log"); axes[1].grid(True)
+        fig.tight_layout()
+        png = os.path.join(args.dir, "training.png")
+        fig.savefig(png, dpi=120)
+        print(f"wrote {png}")
+
+
+if __name__ == "__main__":
+    main()

@@ -211,12 +211,16 @@ ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
 
 def ctc_loss_and_grad(
     logits, labels, input_lens, label_lens, blank: int = 0,
+    implementation: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Loss [B] and d(loss)/d(logits) [B, T, A] via the alpha-beta sweep.
 
     The gradient is the classic warp-ctc formula:
       d(-log Z)/d(logit[t,a]) = softmax(logit)[t,a]
           - (1/Z) * sum_{s: ext[s]=a} exp(alpha[t,s] + beta[t,s] - lp[t,a])
+
+    implementation: "xla" (lax.scan recursions), "pallas" (fused VMEM
+    kernels for the recursions), or "auto" (pallas on TPU).
     """
     b, t_max, a_dim = logits.shape
     log_probs = jax.nn.log_softmax(logits, axis=-1)
@@ -231,9 +235,23 @@ def ctc_loss_and_grad(
         log_probs, ext[:, None, :].astype(jnp.int32), axis=2)
     lp_ext_t = jnp.moveaxis(lp_ext, 1, 0)  # [T, B, S]
 
-    alphas, final = _forward_alphas(log_probs, ext, skip_ok, input_lens)
-    log_z = _log_z(final, label_lens)
-    betas = _backward_betas(lp_ext_t, ext, skip_down, input_lens, label_lens)
+    if implementation == "auto":
+        implementation = ("pallas" if jax.default_backend() == "tpu"
+                          else "xla")
+    if implementation in ("pallas", "pallas_interpret"):
+        from kaldi_ctc_tpu.ops.ctc_pallas import (
+            backward_betas_pallas, forward_alphas_pallas)
+        interp = implementation == "pallas_interpret"
+        alphas = forward_alphas_pallas(lp_ext_t, skip_ok, input_lens,
+                                       interpret=interp)
+        betas = backward_betas_pallas(lp_ext_t, skip_down, input_lens,
+                                      label_lens, interpret=interp)
+        log_z = _log_z(alphas[-1], label_lens)
+    else:
+        alphas, final = _forward_alphas(log_probs, ext, skip_ok, input_lens)
+        log_z = _log_z(final, label_lens)
+        betas = _backward_betas(lp_ext_t, ext, skip_down, input_lens,
+                                label_lens)
 
     # state posteriors: gamma = alpha + beta - lp (lp counted twice)
     gamma = alphas + betas - lp_ext_t  # [T, B, S]
