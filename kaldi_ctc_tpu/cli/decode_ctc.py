@@ -30,6 +30,10 @@ def parse_args(argv=None):
                    default="beam")
     p.add_argument("--graph", default=None,
                    help="CTC decoding graph (VectorFst) for --method wfst")
+    p.add_argument("--trans-model", default=None,
+                   help="Kaldi TransitionModel (.mdl) — maps the graph's "
+                        "tid+1 labels to score columns; default assumes "
+                        "graph ilabels are already pdf+1")
     p.add_argument("--words", default=None,
                    help="words.txt symbol table (id word) for wfst output")
     p.add_argument("--wfst-beam", type=float, default=16.0,
@@ -91,11 +95,16 @@ def main(argv=None):
 
     graph = None
     word_syms = None
+    ilabel_map = None
     if args.method == "wfst":
         from kaldi_ctc_tpu.decoding.wfst import NativeFst, decode_best_path
         if not args.graph:
             log.error("--method wfst requires --graph"); sys.exit(1)
         graph = NativeFst.load(args.graph)
+        if args.trans_model:
+            from kaldi_ctc_tpu.utils.transition_model import (
+                ctc_ilabel_map, read_transition_model)
+            ilabel_map = ctc_ilabel_map(read_transition_model(args.trans_model))
         if args.words:
             word_syms = {}
             with open(args.words) as f:
@@ -138,8 +147,8 @@ def main(argv=None):
                     hyps[e.key] = []
                     continue
                 words, _, _, _ = decode_best_path(
-                    graph, rows, beam=args.wfst_beam,
-                    max_active=args.max_active)
+                    graph, rows, ilabel_map=ilabel_map,
+                    beam=args.wfst_beam, max_active=args.max_active)
                 if word_syms is not None:
                     hyps[e.key] = [word_syms.get(w, str(w)) for w in words]
                 else:

@@ -70,6 +70,38 @@ def frame_subsample(feats: np.ndarray, factor: int, shift: int = 0) -> np.ndarra
     return np.ascontiguousarray(feats[idx])
 
 
+def perturb_examples(
+    examples,
+    noise_scale: float = 0.1,
+    seed: int = 0,
+):
+    """Add covariance-shaped Gaussian noise to features.
+
+    The nnet-ctc-perturb-egs equivalent (ctcbin/nnet-ctc-perturb-egs.cc:
+    30-45): estimate the feature covariance over the dataset, take its
+    Cholesky factor, and add ``noise_scale * L @ N(0, I)`` to every frame,
+    so the perturbation follows the data's own correlation structure.
+    """
+    examples = list(examples)
+    if not examples:
+        return []
+    frames = np.concatenate([e.feats for e in examples], axis=0)
+    mean = frames.mean(axis=0)
+    centered = frames - mean
+    cov = (centered.T @ centered) / max(frames.shape[0] - 1, 1)
+    d = cov.shape[0]
+    chol = np.linalg.cholesky(cov + 1e-5 * np.eye(d))
+    rng = np.random.default_rng(seed)
+    out = []
+    for e in examples:
+        noise = rng.standard_normal(e.feats.shape).astype(np.float32)
+        out.append(CtcExample(
+            e.key,
+            e.feats + noise_scale * (noise @ chol.T.astype(np.float32)),
+            e.labels))
+    return out
+
+
 def example_ok(
     eg: CtcExample,
     max_allow_frames: int = 2000,

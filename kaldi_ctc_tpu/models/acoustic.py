@@ -39,6 +39,8 @@ class AmConfig:
     param_stddev: float = 0.02
     bias_stddev: float = 0.2
     dropout: float = 0.0
+    # matmul compute dtype: "float32" or "bfloat16" (mixed precision)
+    compute_dtype: str = "float32"
 
     @property
     def rnn(self) -> RnnConfig:
@@ -50,6 +52,7 @@ class AmConfig:
             bidirectional=self.bidirectional,
             param_stddev=self.param_stddev,
             bias_stddev=self.bias_stddev,
+            compute_dtype=self.compute_dtype,
         )
 
     def to_dict(self) -> dict:
@@ -82,6 +85,34 @@ def init_am_params(key: jax.Array, cfg: AmConfig) -> Dict[str, Any]:
     }
 
 
+def grow_rnn_layer(params: Dict[str, Any], cfg: AmConfig,
+                   key: jax.Array) -> tuple:
+    """Append a freshly initialized recurrent layer (layer-wise growth,
+    the nnet-insert step of steps/ctc/train.sh:357-384).
+
+    Returns (new_params, new_cfg). The caller must rebuild jitted steps
+    and optimizer state (the pytree structure changed).
+    """
+    new_cfg = dataclasses.replace(cfg, num_layers=cfg.num_layers + 1)
+    in_dim = cfg.rnn.output_dim
+    g = {RnnMode.RELU: 1, RnnMode.TANH: 1, RnnMode.LSTM: 4, RnnMode.GRU: 3}[
+        cfg.mode]
+    dirs = []
+    for _ in range(cfg.rnn.num_directions):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        dirs.append({
+            "w_x": cfg.param_stddev * jax.random.normal(
+                k1, (in_dim, g * cfg.hidden_dim), dtype=jnp.float32),
+            "w_h": cfg.param_stddev * jax.random.normal(
+                k2, (cfg.hidden_dim, g * cfg.hidden_dim), dtype=jnp.float32),
+            "b": cfg.bias_stddev * jax.random.normal(
+                k3, (g * cfg.hidden_dim,), dtype=jnp.float32),
+        })
+    new_params = dict(params)
+    new_params["rnn"] = list(params["rnn"]) + [{"dirs": dirs}]
+    return new_params, new_cfg
+
+
 def am_forward(
     params: Dict[str, Any],
     feats: jnp.ndarray,            # [B, T, D] batch-major
@@ -101,6 +132,9 @@ def am_forward(
         mask = jax.random.bernoulli(dropout_key, keep, y.shape)
         y = jnp.where(mask, y / keep, 0.0)
     t, b, h = y.shape
-    logits = (y.reshape(t * b, h) @ params["out_w"] + params["out_b"]).reshape(
-        t, b, -1)
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    logits = (jnp.dot(y.reshape(t * b, h).astype(cd),
+                      params["out_w"].astype(cd),
+                      preferred_element_type=jnp.float32)
+              + params["out_b"]).reshape(t, b, -1)
     return jnp.swapaxes(logits, 0, 1)  # [B, T, A]

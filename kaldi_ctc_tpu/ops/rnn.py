@@ -66,6 +66,9 @@ class RnnConfig:
     # recurrent kernel implementation: "xla" (lax.scan), "pallas" (fused
     # VMEM-resident cell, LSTM only), or "auto" (pallas on TPU for LSTM)
     implementation: str = "auto"
+    # matmul compute dtype: "float32" or "bfloat16" (mixed precision —
+    # params/state stay f32, MXU operands cast, f32 accumulation)
+    compute_dtype: str = "float32"
 
     @property
     def num_directions(self) -> int:
@@ -146,9 +149,15 @@ def _run_direction(
     h_dim = cfg.hidden_dim
     mode = cfg.mode
 
+    bf16 = cfg.compute_dtype == "bfloat16"
+    cd = jnp.bfloat16 if bf16 else jnp.float32
+
     # hoisted input projection: one big MXU matmul over all frames
-    x_proj = (x.reshape(t_max * b, -1) @ p["w_x"] + p["b"]).reshape(
-        t_max, b, -1)
+    # (bf16 operands, f32 accumulation in mixed-precision mode)
+    x_proj = (jnp.dot(x.reshape(t_max * b, -1).astype(cd),
+                      p["w_x"].astype(cd),
+                      preferred_element_type=jnp.float32)
+              + p["b"]).reshape(t_max, b, -1)
 
     w_h = p["w_h"]
     if lens is None:
@@ -160,7 +169,7 @@ def _run_direction(
                              and jax.default_backend() == "tpu") else "xla")
     if impl == "pallas" and mode == RnnMode.LSTM:
         from kaldi_ctc_tpu.ops.rnn_pallas import lstm_sequence
-        return lstm_sequence(x_proj, w_h, lens, reverse)
+        return lstm_sequence(x_proj, w_h.astype(cd), lens, reverse)
 
     valid = (jnp.arange(t_max)[:, None] < lens[None, :])[..., None]  # [T,B,1]
 

@@ -46,7 +46,7 @@ def _fwd_kernel(lens_ref, xp_ref, wh_ref, y_ref, c_ref, gates_ref,
 
     h = h_scr[:]
     c = c_scr[:]
-    gates = xp_ref[0] + jnp.dot(h, wh_ref[:],
+    gates = xp_ref[0] + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
                                 preferred_element_type=jnp.float32)
     hdim = h.shape[-1]
     i = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
@@ -97,7 +97,8 @@ def _bwd_kernel(lens_ref, dy_ref, gates_ref, c_ref, cprev_ref, wh_t_ref,
 
     valid = lens_ref[:] > t
     dgates = jnp.where(valid, dgates, 0.0)
-    dh_new = jnp.dot(dgates, wh_t_ref[:], preferred_element_type=jnp.float32)
+    dh_new = jnp.dot(dgates.astype(wh_t_ref.dtype), wh_t_ref[:],
+                     preferred_element_type=jnp.float32)
     # carry: valid step consumes dh/dc; invalid passes them through
     dh_scr[:] = jnp.where(valid, dh_new, dh_scr[:])
     dc_scr[:] = jnp.where(valid, dc_total * f, dc_scr[:])
@@ -218,7 +219,12 @@ def _lstm_sequence_bwd(reverse, interpret, res, dy):
     h_prev = _shift_prev(y, reverse)
     t_max, b, h = y.shape
     # weight gradient: one large MXU matmul over all timesteps
-    dw_h = h_prev.reshape(t_max * b, h).T @ dgates.reshape(t_max * b, 4 * h)
+    # (operands in the forward compute dtype, f32 accumulation, cotangent
+    # cast back to w_h's dtype for the custom_vjp contract)
+    dw_h = jnp.dot(
+        h_prev.reshape(t_max * b, h).astype(w_h.dtype).T,
+        dgates.reshape(t_max * b, 4 * h).astype(w_h.dtype),
+        preferred_element_type=jnp.float32).astype(w_h.dtype)
     return dgates, dw_h, None
 
 

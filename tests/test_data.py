@@ -167,3 +167,21 @@ def test_prefetcher():
     assert next(p) == 1
     with pytest.raises(ValueError):
         list(p)
+
+
+def test_perturb_examples():
+    from kaldi_ctc_tpu.data.egs import perturb_examples
+    rng = np.random.default_rng(7)
+    # correlated features: dim1 = dim0 + small noise
+    base = rng.standard_normal((200, 1)).astype(np.float32)
+    feats = np.concatenate([base, base + 0.01 * rng.standard_normal(
+        (200, 1)).astype(np.float32)], axis=1)
+    egs = [CtcExample("u", feats, np.asarray([1], np.int32))]
+    out = perturb_examples(egs, noise_scale=0.5, seed=0)
+    delta = out[0].feats - feats
+    assert np.abs(delta).max() > 0
+    # noise follows the data covariance: the two dims stay correlated
+    corr = np.corrcoef(delta[:, 0], delta[:, 1])[0, 1]
+    assert corr > 0.9, corr
+    # labels unchanged
+    np.testing.assert_array_equal(out[0].labels, egs[0].labels)

@@ -1,0 +1,49 @@
+"""Resampler tests: tone preservation, length, speed perturbation."""
+
+import numpy as np
+import pytest
+
+from kaldi_ctc_tpu.features.resample import resample, speed_perturb
+
+
+def _tone(freq, rate, seconds=0.5):
+    t = np.arange(int(rate * seconds)) / rate
+    return np.sin(2 * np.pi * freq * t).astype(np.float32)
+
+
+def _dominant_freq(x, rate):
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    return np.argmax(spec) * rate / len(x)
+
+
+@pytest.mark.parametrize("src,dst", [(16000, 8000), (8000, 16000),
+                                     (16000, 14400)])
+def test_tone_preserved(src, dst):
+    x = _tone(440.0, src)
+    y = resample(x, src, dst)
+    assert abs(len(y) - len(x) * dst / src) <= 2
+    f = _dominant_freq(y, dst)
+    assert abs(f - 440.0) < 5.0, f
+
+
+def test_identity():
+    x = _tone(100.0, 16000)
+    np.testing.assert_array_equal(resample(x, 16000, 16000), x)
+
+
+def test_amplitude_preserved():
+    x = _tone(440.0, 16000)
+    y = resample(x, 16000, 8000)
+    # RMS of interior should match closely
+    assert abs(np.std(y[100:-100]) - np.std(x[100:-100])) < 0.02
+
+
+@pytest.mark.parametrize("factor", [0.9, 1.1])
+def test_speed_perturb_changes_length_and_pitch(factor):
+    rate = 16000
+    x = _tone(440.0, rate)
+    y = speed_perturb(x, rate, factor)
+    assert abs(len(y) - len(x) / factor) <= 3
+    # playing faster raises pitch by the same factor
+    f = _dominant_freq(y, rate)
+    assert abs(f - 440.0 * factor) < 8.0, f

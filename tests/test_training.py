@@ -132,3 +132,18 @@ def test_momentum_changes_trajectory():
     a = jax.tree_util.tree_leaves(s_plain.params)[0]
     b = jax.tree_util.tree_leaves(s_mom.params)[0]
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-7
+
+
+def test_grow_rnn_layer():
+    from kaldi_ctc_tpu.models.acoustic import grow_rnn_layer
+    params = init_am_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(9)
+    batch_np = _synthetic_batch(rng, b=2, t=16, d=8, num_targets=6, lmax=3)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    p2, cfg2 = grow_rnn_layer(params, CFG, jax.random.PRNGKey(1))
+    assert cfg2.num_layers == CFG.num_layers + 1
+    assert len(p2["rnn"]) == len(params["rnn"]) + 1
+    # the grown model trains
+    step = make_train_step(cfg2, TrainOptions())
+    state, m = step(init_train_state(p2), batch)
+    assert np.isfinite(float(m["loss_total"]))
