@@ -44,6 +44,20 @@ def parse_args(argv=None):
     p.add_argument("--rnn-mode", type=int, default=2,
                    help="0=relu 1=tanh 2=lstm 3=gru")
     p.add_argument("--bidirectional", type=int, default=1)
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="dropout after the RNN stack (removed at decode, "
+                        "like nnet-am-copy --remove-dropout)")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="matmul operand dtype (bfloat16 = MXU mixed "
+                        "precision, f32 accumulation)")
+    p.add_argument("--add-layers-period", type=int, default=0,
+                   help="if >0, start from --start-layers RNN layers and "
+                        "insert a fresh layer every N steps until "
+                        "--num-layers (layer-wise growth, the nnet-insert "
+                        "schedule of steps/ctc/train.sh:357-384; period is "
+                        "in steps here, outer iterations there)")
+    p.add_argument("--start-layers", type=int, default=1)
     # training (train.sh defaults)
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--minibatch-size", type=int, default=48)
@@ -65,13 +79,15 @@ def parse_args(argv=None):
 def main(argv=None):
     from kaldi_ctc_tpu.data import EgsPipeline, Prefetcher, load_examples
     from kaldi_ctc_tpu.models import AmConfig, init_am_params
+    from kaldi_ctc_tpu.models.acoustic import grow_rnn_layer
     from kaldi_ctc_tpu.ops.rnn import RnnMode
     from kaldi_ctc_tpu.parallel import make_mesh, shard_batch
     from kaldi_ctc_tpu.training import (
         TrainOptions, accuracy_from_outputs, init_train_state,
         make_eval_step, make_train_step)
     from kaldi_ctc_tpu.training.checkpoint import (
-        apply_retention, latest_step, restore_checkpoint, save_checkpoint)
+        apply_retention, latest_step, read_meta, restore_checkpoint,
+        save_checkpoint)
     from kaldi_ctc_tpu.utils import MetricsLogger, Timer, get_logger
     from kaldi_ctc_tpu.utils.kaldi_io import SequentialTextReader
 
@@ -110,12 +126,28 @@ def main(argv=None):
             frame_subsampling_factor=args.frame_subsampling_factor,
             seed=args.seed + 1000)
 
-    cfg = AmConfig(input_dim=input_dim, num_targets=args.num_targets,
-                   hidden_dim=args.hidden_dim, num_layers=args.num_layers,
-                   mode=RnnMode(args.rnn_mode),
-                   bidirectional=bool(args.bidirectional))
-    with open(os.path.join(args.dir, "model_config.json"), "w") as f:
-        json.dump(cfg.to_dict(), f)
+    grow = args.add_layers_period > 0 and args.start_layers < args.num_layers
+    start_layers = args.start_layers if grow else args.num_layers
+    ckpt_dir = os.path.join(args.dir, "checkpoints")
+    if args.resume and latest_step(ckpt_dir) is not None:
+        # rebuild the template at the layer count the checkpoint was saved at
+        start_layers = read_meta(ckpt_dir)["extra"].get(
+            "num_layers", start_layers)
+
+    def build_cfg(num_layers):
+        return AmConfig(input_dim=input_dim, num_targets=args.num_targets,
+                        hidden_dim=args.hidden_dim, num_layers=num_layers,
+                        mode=RnnMode(args.rnn_mode),
+                        bidirectional=bool(args.bidirectional),
+                        dropout=args.dropout,
+                        compute_dtype=args.compute_dtype)
+
+    def write_cfg(cfg):
+        with open(os.path.join(args.dir, "model_config.json"), "w") as f:
+            json.dump(cfg.to_dict(), f)
+
+    cfg = build_cfg(start_layers)
+    write_cfg(cfg)
 
     # rough decay horizon: one batch ≈ minibatch utterances
     steps_per_epoch = max(len(examples) // args.minibatch_size, 1)
@@ -134,7 +166,6 @@ def main(argv=None):
     mesh = make_mesh()
     params = init_am_params(jax.random.PRNGKey(args.seed), cfg)
     state = init_train_state(params)
-    ckpt_dir = os.path.join(args.dir, "checkpoints")
     start_epoch = 0
     if args.resume and latest_step(ckpt_dir) is not None:
         state, meta = restore_checkpoint(ckpt_dir, state)
@@ -154,6 +185,19 @@ def main(argv=None):
             batch = shard_batch(batch_np, mesh)
             state, m = train_step(state, batch)
             global_step += 1
+            if (grow and cfg.num_layers < args.num_layers
+                    and global_step % args.add_layers_period == 0):
+                new_params, cfg = grow_rnn_layer(
+                    jax.device_get(state.params), cfg,
+                    jax.random.PRNGKey(args.seed + 100 + cfg.num_layers))
+                # pytree structure changed: fresh velocity, rebuilt steps
+                step_count = state.step
+                state = init_train_state(new_params)._replace(step=step_count)
+                train_step = make_train_step(cfg, opts)
+                eval_step = make_eval_step(cfg)
+                write_cfg(cfg)
+                log.info("grew RNN stack to %d layers at step %d",
+                         cfg.num_layers, global_step)
             acc, err, ref = accuracy_from_outputs(
                 m, batch_np["labels"], batch_np["label_lens"])
             tot_err += err; tot_ref += ref
@@ -185,17 +229,18 @@ def main(argv=None):
                 log.info("valid @%d: acc %.4f", global_step, v_acc)
             if global_step % args.checkpoint_period == 0:
                 save_checkpoint(ckpt_dir, global_step, state,
-                                extra={"epoch": epoch})
+                                extra={"epoch": epoch, "num_layers": cfg.num_layers})
                 apply_retention(ckpt_dir)
         # per-epoch accuracy line (parseable contract)
         epoch_acc = 1.0 - tot_err / max(tot_ref, 1)
         metrics_log.log_accuracy(epoch_acc, epoch=epoch, step=global_step)
         tot_err = tot_ref = 0
-        save_checkpoint(ckpt_dir, global_step, state, extra={"epoch": epoch + 1})
+        save_checkpoint(ckpt_dir, global_step, state, extra={"epoch": epoch + 1, "num_layers": cfg.num_layers})
         apply_retention(ckpt_dir)
 
     save_checkpoint(ckpt_dir, global_step, state,
-                    extra={"epoch": args.epochs, "final": True})
+                    extra={"epoch": args.epochs, "num_layers": cfg.num_layers,
+                           "final": True})
     log.info("done: %d steps", global_step)
 
 

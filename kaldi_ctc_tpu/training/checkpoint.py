@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
-           "apply_retention"]
+           "apply_retention", "read_meta"]
 
 _STEP_RE = re.compile(r"^step_(\d+)$")
 
@@ -67,6 +67,17 @@ def restore_checkpoint(ckpt_dir: str, like: Any,
     state = jax.tree_util.tree_unflatten(
         treedef, [jax.numpy.asarray(l) for l in leaves])
     return state, meta
+
+
+def read_meta(ckpt_dir: str, step: Optional[int] = None) -> Dict:
+    """Read a checkpoint's meta.json without loading arrays (lets a resume
+    rebuild the right model template, e.g. after layer-wise growth)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    with open(os.path.join(ckpt_dir, f"step_{step}", "meta.json")) as f:
+        return json.load(f)
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

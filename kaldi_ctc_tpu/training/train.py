@@ -98,17 +98,22 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
     backends with high per-dispatch overhead.
     """
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, dropout_key):
         logits = am_forward(params, batch["feats"], cfg,
-                            input_lens=batch["input_lens"])
+                            input_lens=batch["input_lens"],
+                            dropout_key=dropout_key)
         losses = ctc_loss(logits, batch["labels"], batch["input_lens"],
                           batch["label_lens"])
         total = jnp.sum(losses) * opts.objective_scale
         return total, (losses, logits)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        # per-step dropout key derived from the step counter (deterministic,
+        # resume-stable); unused when cfg.dropout == 0
+        dkey = (jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+                if cfg.dropout > 0.0 else None)
         (total, (losses, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+            loss_fn, has_aux=True)(state.params, batch, dkey)
         grads = _clip_tree(grads, opts)
         lr = exponential_lr(opts, state.step)
         if opts.momentum > 0:

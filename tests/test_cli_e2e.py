@@ -126,3 +126,36 @@ def test_cli_train_eval_decode(tmp_path):
     result = json.loads(buf.getvalue().strip().splitlines()[-1])
     # blank-threshold frame dropping is slightly lossy (reference behavior)
     assert result["label_error_rate"] < 0.1, result
+
+
+def test_cli_layer_growth_bf16(tmp_path):
+    """Growth schedule + dropout + bf16 compute through the CLI surface."""
+    from kaldi_ctc_tpu.cli import train_ctc
+
+    fark, aark, text = _make_dataset(tmp_path, n_utts=8, seed=3)
+    exp = str(tmp_path / "exp_grow")
+    train_ctc.main([
+        "--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+        "--num-targets", str(NUM_TARGETS),
+        "--hidden-dim", "16", "--num-layers", "3",
+        "--start-layers", "1", "--add-layers-period", "4",
+        "--dropout", "0.1", "--compute-dtype", "bfloat16",
+        "--epochs", "12", "--minibatch-size", "8",
+        "--initial-learning-rate", "1e-2", "--final-learning-rate", "1e-2",
+        "--dir", exp, "--checkpoint-period", "6",
+    ])
+    cfg = json.loads(
+        open(os.path.join(exp, "model_config.json")).read())
+    assert cfg["num_layers"] == 3, cfg
+    assert cfg["compute_dtype"] == "bfloat16"
+    # resume restores the grown (3-layer) tree without error
+    train_ctc.main([
+        "--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+        "--num-targets", str(NUM_TARGETS),
+        "--hidden-dim", "16", "--num-layers", "3",
+        "--start-layers", "1", "--add-layers-period", "4",
+        "--dropout", "0.1", "--compute-dtype", "bfloat16",
+        "--epochs", "12", "--minibatch-size", "8",
+        "--initial-learning-rate", "1e-2", "--final-learning-rate", "1e-2",
+        "--dir", exp, "--checkpoint-period", "6", "--resume",
+    ])
