@@ -1,0 +1,149 @@
+"""Set the model's class priors — the nnet-adjust-priors analogue.
+
+Two modes, mirroring ``nnet2bin/nnet-adjust-priors.cc:93-137`` as used by
+``steps/ctc/train.sh:469-510``:
+
+- ``--google-prior-const C`` (the CTC recipe default, C=9): priors = ones
+  with prior[blank] = C (``nnet-adjust-priors.cc:128-132``).
+- posterior mode (no const): run the net forward over typical data and use
+  the average pdf posterior, renormalized and floored at ``--prior-floor``
+  (``nnet-adjust-priors.cc:92,133-137``); prints the reference's
+  diagnostics (largest absolute difference, K-L divergence from old to
+  new, ``nnet-adjust-priors.cc:49-66``).
+
+The prior vector is written to ``<dir>/priors.npy``; decode_ctc and
+compute_prob pick it up automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
+    """One-sided KL(p||q) over normalized copies (nnet-adjust-priors.cc:31-47)."""
+    p = p / p.sum()
+    q = q / q.sum()
+    return float(np.sum(p * np.log(p / q)))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dir", required=True, help="experiment directory")
+    p.add_argument("--google-prior-const", type=float, default=0.0,
+                   help="if nonzero: priors = ones, prior[blank] = const")
+    p.add_argument("--feats", default=None,
+                   help="feats rspecifier for posterior mode")
+    p.add_argument("--cmvn", default=None)
+    p.add_argument("--utt2spk", default=None)
+    p.add_argument("--prior-floor", type=float, default=1.0e-15)
+    p.add_argument("--minibatch-size", type=int, default=16)
+    p.add_argument("--max-allow-frames", type=int, default=2000)
+    p.add_argument("--frame-subsampling-factor", type=int, default=1)
+    p.add_argument("--max-utts", type=int, default=0,
+                   help="cap utterances used for posterior estimation (0=all)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from kaldi_ctc_tpu.models import AmConfig, init_am_params
+    from kaldi_ctc_tpu.models.acoustic import am_forward
+    from kaldi_ctc_tpu.training import init_train_state
+    from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
+    from kaldi_ctc_tpu.utils import get_logger
+
+    args = parse_args(argv)
+    log = get_logger("adjust_priors")
+
+    import json
+    with open(os.path.join(args.dir, "model_config.json")) as f:
+        cfg = AmConfig.from_dict(json.load(f))
+
+    priors_path = os.path.join(args.dir, "priors.npy")
+    old = np.load(priors_path) if os.path.exists(priors_path) else None
+
+    if args.google_prior_const:
+        priors = np.ones(cfg.num_targets, np.float32)
+        priors[0] = args.google_prior_const
+    else:
+        if not args.feats:
+            log.error("posterior mode requires --feats"); sys.exit(1)
+        from kaldi_ctc_tpu.data.bucketing import make_buckets, pad_batch
+        from kaldi_ctc_tpu.data.egs import CtcExample, frame_subsample
+        from kaldi_ctc_tpu.features.cmvn import apply_cmvn
+        from kaldi_ctc_tpu.utils import kaldi_io
+        from kaldi_ctc_tpu.utils.kaldi_io import SequentialTextReader
+
+        utt2spk = None
+        if args.utt2spk:
+            utt2spk = dict(SequentialTextReader(args.utt2spk))
+        cmvn = (kaldi_io.RandomAccessMatrixReader(args.cmvn)
+                if args.cmvn else None)
+        examples = []
+        for key, feats in kaldi_io.SequentialMatrixReader(args.feats):
+            if cmvn is not None:
+                spk = utt2spk.get(key, key) if utt2spk else key
+                if spk in cmvn:
+                    feats = np.asarray(apply_cmvn(feats, cmvn[spk]))
+            feats = frame_subsample(np.asarray(feats, np.float32),
+                                    args.frame_subsampling_factor)
+            if feats.shape[0] > args.max_allow_frames:
+                continue
+            examples.append(CtcExample(key, feats, np.ones(1, np.int32)))
+            if args.max_utts and len(examples) >= args.max_utts:
+                break
+        if not examples:
+            log.error("no utterances loaded"); sys.exit(1)
+
+        params = init_train_state(
+            init_am_params(jax.random.PRNGKey(0), cfg))
+        params, _ = restore_checkpoint(
+            os.path.join(args.dir, "checkpoints"), params)
+        params = params.params
+
+        @jax.jit
+        def post_sum(feats, lens):
+            logits = am_forward(params, feats, cfg, input_lens=lens)
+            post = jax.nn.softmax(logits, axis=-1)
+            valid = (jnp.arange(logits.shape[1])[None, :]
+                     < lens[:, None])[..., None]
+            return jnp.sum(jnp.where(valid, post, 0.0), axis=(0, 1))
+
+        # decode-style batching: length-sorted groups, short tail kept
+        examples.sort(key=lambda e: e.num_frames)
+        frame_buckets = make_buckets()
+        acc = np.zeros(cfg.num_targets, np.float64)
+        n_frames = 0
+        for i in range(0, len(examples), args.minibatch_size):
+            batch = pad_batch(examples[i:i + args.minibatch_size],
+                              frame_buckets, [4])
+            acc += np.asarray(post_sum(jnp.asarray(batch["feats"]),
+                                       jnp.asarray(batch["input_lens"])),
+                              np.float64)
+            n_frames += int(batch["input_lens"].sum())
+        if n_frames == 0:
+            log.error("no frames accumulated"); sys.exit(1)
+        log.info("averaged posteriors over %d frames", n_frames)
+        priors = (acc / acc.sum()).astype(np.float32)
+        priors = np.maximum(priors, args.prior_floor)
+        if old is not None and old.shape == priors.shape:
+            d = np.abs(priors - old / old.sum())
+            i = int(d.argmax())
+            log.info("largest absolute difference: pdf %d, %.6f -> %.6f",
+                     i, old[i] / old.sum(), priors[i])
+            log.info("K-L divergence from old to new: %.6f",
+                     kl_divergence(old, priors))
+
+    np.save(priors_path, priors)
+    log.info("wrote %s", priors_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,8 +79,14 @@ def main(argv=None):
     state = init_train_state(params)
     state, meta = restore_checkpoint(
         os.path.join(args.dir, "checkpoints"), state, step=args.step)
-    priors = default_priors(cfg.num_targets, args.blank_prior) \
-        if args.use_priors else None
+    priors = None
+    if args.use_priors:
+        priors_path = os.path.join(args.dir, "priors.npy")
+        if os.path.exists(priors_path):
+            priors = np.load(priors_path)
+            log.info("loaded priors from %s", priors_path)
+        else:
+            priors = default_priors(cfg.num_targets, args.blank_prior)
 
     utt2spk = dict(SequentialTextReader(args.utt2spk)) if args.utt2spk else None
     cmvn = RandomAccessMatrixReader(args.cmvn) if args.cmvn else None

@@ -159,3 +159,41 @@ def test_cli_layer_growth_bf16(tmp_path):
         "--initial-learning-rate", "1e-2", "--final-learning-rate", "1e-2",
         "--dir", exp, "--checkpoint-period", "6", "--resume",
     ])
+
+
+def test_cli_adjust_priors(tmp_path):
+    import numpy as np
+    from kaldi_ctc_tpu.cli import adjust_priors, train_ctc
+
+    fark, aark, text = _make_dataset(tmp_path, n_utts=8, seed=5)
+    exp = str(tmp_path / "exp_pri")
+    train_ctc.main([
+        "--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+        "--num-targets", str(NUM_TARGETS),
+        "--hidden-dim", "16", "--num-layers", "1",
+        "--epochs", "20", "--minibatch-size", "8",
+        "--initial-learning-rate", "1e-2", "--final-learning-rate", "1e-2",
+        "--dir", exp, "--checkpoint-period", "10",
+    ])
+    # google-const mode
+    adjust_priors.main(["--dir", exp, "--google-prior-const", "9"])
+    pri = np.load(os.path.join(exp, "priors.npy"))
+    assert pri.shape == (NUM_TARGETS,)
+    assert pri[0] == 9.0 and np.all(pri[1:] == 1.0)
+    # posterior mode: normalized, positive, blank-dominated (early training)
+    adjust_priors.main(["--dir", exp, "--feats", f"ark:{fark}"])
+    pri = np.load(os.path.join(exp, "priors.npy"))
+    assert pri.shape == (NUM_TARGETS,)
+    assert abs(pri.sum() - 1.0) < 1e-3
+    assert np.all(pri > 0)
+    # decode picks the priors file up without error
+    from kaldi_ctc_tpu.cli import decode_ctc
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decode_ctc.main([
+            "--feats", f"ark:{fark}", "--dir", exp,
+            "--method", "greedy", "--use-priors", "1",
+            "--text", text, "--minibatch-size", "8",
+        ])
+    json.loads(buf.getvalue().strip().splitlines()[-1])
