@@ -1,0 +1,233 @@
+"""Egs archive toolbox — get/copy/sort/shuffle/subset/perturb/relabel/info.
+
+One CLI covering the ctcbin egs tool family
+(``ctcbin/Makefile:10-14``):
+
+  get      feats+ali → egs archives, with the length filters of
+           nnet-ctc-get-egs (2L+1 <= T, L <= 639;
+           ``ctcbin/nnet-ctc-get-egs.cc:31-82,150-166``), split across
+           --num-archives outputs (nnet-ctc-copy-egs)
+  copy     re-split existing archives across N outputs
+  sort     sort by NumFrames, optionally windowed (nnet-ctc-sort-egs)
+  shuffle  buffered shuffle + frame subsample/shift (nnet-ctc-shuffle-egs)
+  subset   take N examples (nnet-ctc-subset-egs; diagnostics subsets)
+  perturb  covariance-shaped Gaussian noise (nnet-ctc-perturb-egs.cc:30-45)
+  relabel  swap labels from new alignments (nnet-ctc-relabel-egs)
+  info     count/length stats of an archive
+
+Archive outputs take a template containing ``JOB`` when splitting, e.g.
+``--output "ark,scp:egs.JOB.ark,egs.JOB.scp" --num-archives 8``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _expand(template: str, idx: int) -> str:
+    return template.replace("JOB", str(idx + 1))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("get", help="feats+ali -> egs archives")
+    g.add_argument("--feats", required=True)
+    g.add_argument("--ali", required=True)
+    g.add_argument("--cmvn", default=None)
+    g.add_argument("--utt2spk", default=None)
+    g.add_argument("--output", required=True,
+                   help="wspecifier template (JOB expands when splitting)")
+    g.add_argument("--num-archives", type=int, default=1)
+    g.add_argument("--random", type=int, default=0,
+                   help="1: random archive assignment instead of round-robin")
+    g.add_argument("--max-allow-frames", type=int, default=2000)
+    g.add_argument("--max-label-length", type=int, default=639)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--compress", type=int, default=1)
+
+    c = sub.add_parser("copy", help="re-split archives")
+    c.add_argument("--egs", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--num-archives", type=int, default=1)
+    c.add_argument("--random", type=int, default=0)
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--compress", type=int, default=1)
+
+    s = sub.add_parser("sort", help="sort by length")
+    s.add_argument("--egs", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--window", type=int, default=0,
+                   help="0 = global sort; N = sort within windows of N")
+    s.add_argument("--compress", type=int, default=1)
+
+    sh = sub.add_parser("shuffle", help="buffered shuffle + subsample/shift")
+    sh.add_argument("--egs", required=True)
+    sh.add_argument("--output", required=True)
+    sh.add_argument("--buffer-size", type=int, default=5000)
+    sh.add_argument("--frame-subsampling-factor", type=int, default=1)
+    sh.add_argument("--frame-shift", type=int, default=0)
+    sh.add_argument("--seed", type=int, default=0)
+    sh.add_argument("--compress", type=int, default=1)
+
+    su = sub.add_parser("subset", help="take first N examples")
+    su.add_argument("--egs", required=True)
+    su.add_argument("--output", required=True)
+    su.add_argument("--n", type=int, required=True)
+    su.add_argument("--compress", type=int, default=1)
+
+    pe = sub.add_parser("perturb", help="covariance-shaped noise")
+    pe.add_argument("--egs", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--noise-scale", type=float, default=0.1)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--compress", type=int, default=1)
+
+    re_ = sub.add_parser("relabel", help="swap labels from new alignments")
+    re_.add_argument("--egs", required=True)
+    re_.add_argument("--ali", required=True)
+    re_.add_argument("--output", required=True)
+    re_.add_argument("--compress", type=int, default=1)
+
+    inf = sub.add_parser("info", help="archive stats")
+    inf.add_argument("--egs", required=True)
+
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from kaldi_ctc_tpu.data.egs import example_ok, perturb_examples
+    from kaldi_ctc_tpu.data.egs_io import (
+        EgsWriter, SequentialEgsReader, copy_egs, relabel_egs, shuffle_egs,
+        sort_egs, subset_egs)
+    from kaldi_ctc_tpu.data.pipeline import load_examples
+    from kaldi_ctc_tpu.utils import get_logger
+    from kaldi_ctc_tpu.utils.kaldi_io import (
+        SequentialIntVectorReader, SequentialTextReader)
+
+    args = parse_args(argv)
+    log = get_logger("prepare_egs")
+
+    def _split_write(egs_iter, template, num, random, seed, compress):
+        writers = [EgsWriter(_expand(template, i) if num > 1 else template,
+                             compress=bool(compress))
+                   for i in range(num)]
+        counts = [0] * num
+        try:
+            for idx, eg in copy_egs(egs_iter, num, random=bool(random),
+                                    seed=seed):
+                writers[idx][eg.key] = eg
+                counts[idx] += 1
+        finally:
+            for w in writers:
+                w.close()
+        return counts
+
+    if args.cmd == "get":
+        utt2spk = (dict(SequentialTextReader(args.utt2spk))
+                   if args.utt2spk else None)
+        n_skip = 0
+
+        def gen():
+            nonlocal n_skip
+            for eg in load_examples(args.feats, args.ali,
+                                    cmvn_rspecifier=args.cmvn,
+                                    utt2spk=utt2spk):
+                if not example_ok(eg, args.max_allow_frames,
+                                  max_label_length=args.max_label_length):
+                    n_skip += 1
+                    continue
+                yield eg
+
+        counts = _split_write(gen(), args.output, args.num_archives,
+                              args.random, args.seed, args.compress)
+        log.info("wrote %s examples (%d skipped by filters)",
+                 "+".join(map(str, counts)), n_skip)
+
+    elif args.cmd == "copy":
+        counts = _split_write(SequentialEgsReader(args.egs), args.output,
+                              args.num_archives, args.random, args.seed,
+                              args.compress)
+        log.info("wrote %s examples", "+".join(map(str, counts)))
+
+    elif args.cmd == "sort":
+        n = 0
+        with EgsWriter(args.output, compress=bool(args.compress)) as w:
+            for eg in sort_egs(SequentialEgsReader(args.egs),
+                               window=args.window):
+                w[eg.key] = eg; n += 1
+        log.info("wrote %d examples (sorted by length)", n)
+
+    elif args.cmd == "shuffle":
+        n = 0
+        with EgsWriter(args.output, compress=bool(args.compress)) as w:
+            for eg in shuffle_egs(
+                    SequentialEgsReader(args.egs),
+                    buffer_size=args.buffer_size, seed=args.seed,
+                    frame_subsampling_factor=args.frame_subsampling_factor,
+                    frame_shift=args.frame_shift):
+                w[eg.key] = eg; n += 1
+        log.info("wrote %d examples (shuffled)", n)
+
+    elif args.cmd == "subset":
+        n = 0
+        with EgsWriter(args.output, compress=bool(args.compress)) as w:
+            for eg in subset_egs(SequentialEgsReader(args.egs), args.n):
+                w[eg.key] = eg; n += 1
+        log.info("wrote %d examples", n)
+
+    elif args.cmd == "perturb":
+        egs = perturb_examples(SequentialEgsReader(args.egs),
+                               noise_scale=args.noise_scale, seed=args.seed)
+        with EgsWriter(args.output, compress=bool(args.compress)) as w:
+            for eg in egs:
+                w[eg.key] = eg
+        log.info("wrote %d examples (perturbed)", len(egs))
+
+    elif args.cmd == "relabel":
+        ali = {k: v for k, v in SequentialIntVectorReader(args.ali)}
+        n_in = n_out = 0
+
+        def counted():
+            nonlocal n_in
+            for eg in SequentialEgsReader(args.egs):
+                n_in += 1
+                yield eg
+
+        with EgsWriter(args.output, compress=bool(args.compress)) as w:
+            for eg in relabel_egs(counted(), ali):
+                w[eg.key] = eg; n_out += 1
+        log.info("relabeled %d examples (%d dropped: no alignment)",
+                 n_out, n_in - n_out)
+
+    elif args.cmd == "info":
+        n = 0
+        frames = []
+        labels = []
+        dim = None
+        for eg in SequentialEgsReader(args.egs):
+            n += 1
+            frames.append(eg.num_frames)
+            labels.append(eg.num_labels)
+            dim = eg.feats.shape[1]
+        if n == 0:
+            print('{"num_examples": 0}')
+            return
+        import json
+        print(json.dumps({
+            "num_examples": n,
+            "total_frames": int(np.sum(frames)),
+            "frames_min": int(np.min(frames)),
+            "frames_max": int(np.max(frames)),
+            "frames_mean": float(np.mean(frames)),
+            "labels_mean": float(np.mean(labels)),
+            "dim": dim,
+        }))
+
+
+if __name__ == "__main__":
+    main()

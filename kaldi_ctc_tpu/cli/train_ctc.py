@@ -30,8 +30,11 @@ import jax.numpy as jnp
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     # data
-    p.add_argument("--feats", required=True, help="feats rspecifier (ark:/scp:)")
-    p.add_argument("--ali", required=True, help="pdf-id alignment rspecifier")
+    p.add_argument("--feats", default=None, help="feats rspecifier (ark:/scp:)")
+    p.add_argument("--ali", default=None, help="pdf-id alignment rspecifier")
+    p.add_argument("--egs", default=None,
+                   help="prepared egs archive rspecifier (prepare_egs "
+                        "output); replaces --feats/--ali")
     p.add_argument("--cmvn", default=None, help="cmvn stats rspecifier")
     p.add_argument("--utt2spk", default=None, help="utt2spk file for cmvn")
     p.add_argument("--valid-feats", default=None)
@@ -101,9 +104,15 @@ def main(argv=None):
         utt2spk = dict(SequentialTextReader(args.utt2spk))
 
     log.info("loading examples...")
-    examples = list(load_examples(args.feats, args.ali,
-                                  cmvn_rspecifier=args.cmvn,
-                                  utt2spk=utt2spk))
+    if args.egs:
+        from kaldi_ctc_tpu.data.egs_io import SequentialEgsReader
+        examples = list(SequentialEgsReader(args.egs))
+    elif args.feats and args.ali:
+        examples = list(load_examples(args.feats, args.ali,
+                                      cmvn_rspecifier=args.cmvn,
+                                      utt2spk=utt2spk))
+    else:
+        log.error("need --egs or both --feats and --ali"); sys.exit(1)
     if not examples:
         log.error("no examples loaded"); sys.exit(1)
     input_dim = examples[0].feats.shape[1]

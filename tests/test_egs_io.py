@@ -1,0 +1,135 @@
+"""Egs archive round-trip + stream tool semantics + prepare_egs CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from kaldi_ctc_tpu.data.egs import CtcExample
+from kaldi_ctc_tpu.data.egs_io import (
+    EgsWriter,
+    SequentialEgsReader,
+    copy_egs,
+    relabel_egs,
+    shuffle_egs,
+    sort_egs,
+    subset_egs,
+)
+
+
+def _egs(n=10, seed=0, tmin=8, tmax=40):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        t = int(rng.integers(tmin, tmax))
+        out.append(CtcExample(
+            f"utt{i}",
+            rng.standard_normal((t, 4)).astype(np.float32),
+            rng.integers(1, 6, size=rng.integers(1, 4)).astype(np.int32)))
+    return out
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip(tmp_path, compress):
+    egs = _egs()
+    path = tmp_path / "egs.ark"
+    with EgsWriter(f"ark:{path}", compress=compress) as w:
+        for e in egs:
+            w[e.key] = e
+    back = list(SequentialEgsReader(f"ark:{path}"))
+    assert [e.key for e in back] == [e.key for e in egs]
+    for a, b in zip(egs, back):
+        np.testing.assert_array_equal(a.labels, b.labels)
+        tol = 0.05 if compress else 0.0   # CompressedMatrix quantization
+        assert np.abs(a.feats - b.feats).max() <= tol
+
+
+def test_roundtrip_scp(tmp_path):
+    egs = _egs(4)
+    ark, scp = tmp_path / "e.ark", tmp_path / "e.scp"
+    with EgsWriter(f"ark,scp:{ark},{scp}") as w:
+        for e in egs:
+            w[e.key] = e
+    back = list(SequentialEgsReader(f"scp:{scp}"))
+    assert [e.key for e in back] == [e.key for e in egs]
+
+
+def test_copy_round_robin():
+    egs = _egs(7)
+    split = list(copy_egs(egs, 3))
+    assert [i for i, _ in split] == [0, 1, 2, 0, 1, 2, 0]
+
+
+def test_sort_windowed():
+    egs = _egs(20, seed=1)
+    full = list(sort_egs(egs))
+    assert [e.num_frames for e in full] == sorted(e.num_frames for e in egs)
+    win = list(sort_egs(egs, window=5))
+    assert len(win) == 20
+    for k in range(0, 20, 5):
+        chunk = [e.num_frames for e in win[k:k + 5]]
+        assert chunk == sorted(chunk)
+
+
+def test_shuffle_preserves_multiset_and_subsamples():
+    egs = _egs(30, seed=2)
+    out = list(shuffle_egs(egs, buffer_size=8, seed=3))
+    assert sorted(e.key for e in out) == sorted(e.key for e in egs)
+    assert [e.key for e in out] != [e.key for e in egs]
+    sub = list(shuffle_egs(egs, buffer_size=8, seed=3,
+                           frame_subsampling_factor=3, frame_shift=1))
+    by_key = {e.key: e for e in egs}
+    for e in sub:
+        t = by_key[e.key].num_frames
+        assert e.num_frames == len(range(1, t, 3)) or e.num_frames >= 1
+
+
+def test_subset_and_relabel():
+    egs = _egs(10)
+    assert len(list(subset_egs(egs, 4))) == 4
+    ali = {"utt0": np.asarray([2, 2, 3], np.int32)}
+    out = list(relabel_egs(egs, ali))
+    assert len(out) == 1
+    np.testing.assert_array_equal(out[0].labels, [3, 4])  # collapsed, +1
+
+
+def test_prepare_egs_cli(tmp_path):
+    from kaldi_ctc_tpu.cli import prepare_egs
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    fark, aark = tmp_path / "feats.ark", tmp_path / "ali.ark"
+    rng = np.random.default_rng(0)
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as fw, \
+         kaldi_io.IntVectorWriter(f"ark:{aark}") as aw:
+        for i in range(9):
+            n_labs = 2 + i % 3
+            t = n_labs * 8
+            fw[f"u{i}"] = rng.standard_normal((t, 5)).astype(np.float32)
+            aw[f"u{i}"] = np.repeat(
+                rng.integers(0, 4, size=n_labs), 8).astype(np.int32)
+
+    out = tmp_path / "egs.JOB.ark"
+    prepare_egs.main([
+        "get", "--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+        "--output", f"ark:{out}", "--num-archives", "3"])
+    counts = [len(list(SequentialEgsReader(f"ark:{tmp_path}/egs.{j}.ark")))
+              for j in (1, 2, 3)]
+    assert sum(counts) == 9 and counts == [3, 3, 3]
+
+    # sort -> shuffle -> subset -> info chain
+    prepare_egs.main(["sort", "--egs", f"ark:{tmp_path}/egs.1.ark",
+                      "--output", f"ark:{tmp_path}/sorted.ark"])
+    lens = [e.num_frames
+            for e in SequentialEgsReader(f"ark:{tmp_path}/sorted.ark")]
+    assert lens == sorted(lens)
+    prepare_egs.main(["subset", "--egs", f"ark:{tmp_path}/sorted.ark",
+                      "--output", f"ark:{tmp_path}/sub.ark", "--n", "2"])
+    assert len(list(SequentialEgsReader(f"ark:{tmp_path}/sub.ark"))) == 2
+
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prepare_egs.main(["info", "--egs", f"ark:{tmp_path}/sorted.ark"])
+    info = json.loads(buf.getvalue())
+    assert info["num_examples"] == 3 and info["dim"] == 5
