@@ -36,6 +36,12 @@ def parse_args(argv=None):
                         "graph ilabels are already pdf+1")
     p.add_argument("--words", default=None,
                    help="words.txt symbol table (id word) for wfst output")
+    p.add_argument("--lattice", default=None,
+                   help="write lattices (text archive) to this path; "
+                        "wfst method only")
+    p.add_argument("--lattice-beam", type=float, default=10.0,
+                   help="forward-backward lattice pruning margin "
+                        "(run_ctc_phone.sh lattice_beam default 10)")
     p.add_argument("--wfst-beam", type=float, default=16.0,
                    help="decoding beam (run_ctc_phone.sh uses 20)")
     p.add_argument("--max-active", type=int, default=7000)
@@ -102,11 +108,15 @@ def main(argv=None):
     graph = None
     word_syms = None
     ilabel_map = None
+    lat_writer = None
     if args.method == "wfst":
         from kaldi_ctc_tpu.decoding.wfst import NativeFst, decode_best_path
         if not args.graph:
             log.error("--method wfst requires --graph"); sys.exit(1)
         graph = NativeFst.load(args.graph)
+        if args.lattice:
+            from kaldi_ctc_tpu.decoding.lattice import LatticeWriter
+            lat_writer = LatticeWriter(args.lattice)
         if args.trans_model:
             from kaldi_ctc_tpu.utils.transition_model import (
                 ctc_ilabel_map, read_transition_model)
@@ -152,9 +162,18 @@ def main(argv=None):
                 if rows.shape[0] == 0:
                     hyps[e.key] = []
                     continue
-                words, _, _, _ = decode_best_path(
-                    graph, rows, ilabel_map=ilabel_map,
-                    beam=args.wfst_beam, max_active=args.max_active)
+                if lat_writer is not None:
+                    from kaldi_ctc_tpu.decoding.lattice import decode_lattice
+                    lat = decode_lattice(
+                        graph, rows, ilabel_map=ilabel_map,
+                        beam=args.wfst_beam, max_active=args.max_active,
+                        lattice_beam=args.lattice_beam)
+                    lat_writer[e.key] = lat
+                    words, _, _ = lat.best_path()
+                else:
+                    words, _, _, _ = decode_best_path(
+                        graph, rows, ilabel_map=ilabel_map,
+                        beam=args.wfst_beam, max_active=args.max_active)
                 if word_syms is not None:
                     hyps[e.key] = [word_syms.get(w, str(w)) for w in words]
                 else:
@@ -169,6 +188,8 @@ def main(argv=None):
             for j, e in enumerate(group):
                 hyps[e.key] = list(map(int, labels[j][: out_lens[j]]))
         total_frames += int(np.asarray(batch["input_lens"]).sum())
+    if lat_writer is not None:
+        lat_writer.close()
     elapsed = time.perf_counter() - t0
     # frames are frame_shift*fs_factor seconds of audio each
     audio_s = total_frames * 0.01 * args.frame_subsampling_factor

@@ -26,7 +26,8 @@ _lib = None
 def ensure_built() -> str:
     """Build the shared library if missing/stale; return its path."""
     srcs = [os.path.join(_NATIVE_DIR, n)
-            for n in ("fst.cc", "decoder.cc", "api.cc", "fst.h", "decoder.h")]
+            for n in ("fst.cc", "decoder.cc", "lattice.cc", "api.cc",
+                      "fst.h", "decoder.h", "lattice.h")]
     if (not os.path.exists(_LIB_PATH)
             or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
                    for s in srcs if os.path.exists(s))):
@@ -69,6 +70,31 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+    lib.ctcn_decode_lattice.restype = ctypes.c_void_p
+    lib.ctcn_decode_lattice.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_float, ctypes.c_float]
+    lib.ctcn_lat_free.argtypes = [ctypes.c_void_p]
+    for name in ("ctcn_lat_num_states", "ctcn_lat_num_arcs",
+                 "ctcn_lat_start"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.ctcn_lat_reached_final.restype = ctypes.c_int
+    lib.ctcn_lat_reached_final.argtypes = [ctypes.c_void_p]
+    lib.ctcn_lat_best_cost.restype = ctypes.c_float
+    lib.ctcn_lat_best_cost.argtypes = [ctypes.c_void_p]
+    lib.ctcn_lat_get_arcs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.ctcn_lat_get_finals.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_float)]
+    lib.ctcn_lat_get_frames.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return lib
 

@@ -5,6 +5,7 @@
 
 #include "decoder.h"
 #include "fst.h"
+#include "lattice.h"
 
 using namespace ctc_native;
 
@@ -99,6 +100,72 @@ int ctcn_decode_best_path(void* fst_ptr, const float* scores,
   *total_cost = res.total_cost;
   *reached_final = res.reached_final ? 1 : 0;
   return 0;
+}
+
+// ---- Lattice generation ----
+
+void* ctcn_decode_lattice(void* fst_ptr, const float* scores,
+                          int64_t num_frames, int64_t num_cols,
+                          const int32_t* ilabel_map, int64_t map_size,
+                          float beam, int32_t max_active,
+                          float acoustic_scale, float lattice_beam) {
+  const Fst& fst = *static_cast<Fst*>(fst_ptr);
+  LatticeOptions opts;
+  opts.beam = beam;
+  opts.max_active = max_active;
+  opts.acoustic_scale = acoustic_scale;
+  opts.lattice_beam = lattice_beam;
+  auto* lat = new RawLattice();
+  if (!DecodeLattice(fst, scores, num_frames, num_cols, ilabel_map,
+                     map_size, opts, lat)) {
+    delete lat;
+    return nullptr;
+  }
+  return lat;
+}
+
+void ctcn_lat_free(void* lat) { delete static_cast<RawLattice*>(lat); }
+
+int64_t ctcn_lat_num_states(void* lat) {
+  return static_cast<RawLattice*>(lat)->num_states;
+}
+int64_t ctcn_lat_num_arcs(void* lat) {
+  return (int64_t)static_cast<RawLattice*>(lat)->arc_from.size();
+}
+int64_t ctcn_lat_start(void* lat) {
+  return static_cast<RawLattice*>(lat)->start;
+}
+int ctcn_lat_reached_final(void* lat) {
+  return static_cast<RawLattice*>(lat)->reached_final ? 1 : 0;
+}
+float ctcn_lat_best_cost(void* lat) {
+  return static_cast<RawLattice*>(lat)->best_cost;
+}
+
+// Copy arcs/finals/frames out; caller allocates to the sizes above.
+void ctcn_lat_get_arcs(void* lat_ptr, int32_t* from, int32_t* to,
+                       int32_t* ilabel, int32_t* olabel, float* graph_cost,
+                       float* acoustic_cost) {
+  const RawLattice& l = *static_cast<RawLattice*>(lat_ptr);
+  int64_t n = (int64_t)l.arc_from.size();
+  std::memcpy(from, l.arc_from.data(), n * sizeof(int32_t));
+  std::memcpy(to, l.arc_to.data(), n * sizeof(int32_t));
+  std::memcpy(ilabel, l.arc_ilabel.data(), n * sizeof(int32_t));
+  std::memcpy(olabel, l.arc_olabel.data(), n * sizeof(int32_t));
+  std::memcpy(graph_cost, l.arc_graph_cost.data(), n * sizeof(float));
+  std::memcpy(acoustic_cost, l.arc_acoustic_cost.data(), n * sizeof(float));
+}
+
+void ctcn_lat_get_finals(void* lat_ptr, float* out) {
+  const RawLattice& l = *static_cast<RawLattice*>(lat_ptr);
+  std::memcpy(out, l.final_cost.data(),
+              l.final_cost.size() * sizeof(float));
+}
+
+void ctcn_lat_get_frames(void* lat_ptr, int32_t* out) {
+  const RawLattice& l = *static_cast<RawLattice*>(lat_ptr);
+  std::memcpy(out, l.state_frame.data(),
+              l.state_frame.size() * sizeof(int32_t));
 }
 
 }  // extern "C"

@@ -1,0 +1,243 @@
+#include "lattice.h"
+
+#include <algorithm>
+#include <cmath>
+#include <deque>
+#include <limits>
+#include <unordered_map>
+#include <unordered_set>
+
+namespace ctc_native {
+
+namespace {
+
+constexpr float kInf = std::numeric_limits<float>::infinity();
+
+// A token = (frame, graph state) holding the Viterbi forward cost; links
+// record every in-beam arc between tokens (the reference's ForwardLink,
+// lattice-faster-decoder.h).
+struct LatLink {
+  int32_t from;      // token id
+  int32_t to;        // token id
+  int32_t ilabel;
+  int32_t olabel;
+  float graph_cost;
+  float acoustic_cost;
+};
+
+struct LatToken {
+  float alpha = kInf;   // Viterbi forward cost
+  int32_t frame = 0;
+};
+
+struct Builder {
+  std::vector<LatToken> tokens;
+  std::vector<LatLink> links;
+
+  int32_t NewToken(int32_t frame) {
+    tokens.push_back(LatToken{kInf, frame});
+    return (int32_t)tokens.size() - 1;
+  }
+};
+
+using StateMap = std::unordered_map<int32_t, int32_t>;  // graph state -> tok
+
+float LatCutoff(const StateMap& m, const Builder& b,
+                const LatticeOptions& opts, float best) {
+  float beam_cutoff = best + opts.beam;
+  if (opts.max_active <= 0 || (int64_t)m.size() <= (int64_t)opts.max_active)
+    return beam_cutoff;
+  std::vector<float> costs;
+  costs.reserve(m.size());
+  for (const auto& kv : m) costs.push_back(b.tokens[kv.second].alpha);
+  std::nth_element(costs.begin(), costs.begin() + opts.max_active - 1,
+                   costs.end());
+  return std::min(beam_cutoff, costs[opts.max_active - 1]);
+}
+
+// Epsilon closure, recording links.  Improvement-only relaxation (same
+// termination argument as the best-path decoder); every traversal within
+// the cutoff adds a link so alternative epsilon paths survive into the
+// lattice.
+void LatProcessNonemitting(const Fst& fst, float cutoff, int32_t frame,
+                           Builder* b, StateMap* m) {
+  std::deque<int32_t> queue;
+  for (const auto& kv : *m) queue.push_back(kv.first);
+  while (!queue.empty()) {
+    int32_t s = queue.front();
+    queue.pop_front();
+    int32_t tid = (*m)[s];
+    float cost = b->tokens[tid].alpha;
+    if (cost > cutoff) continue;
+    for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
+      const Arc& a = fst.arcs[i];
+      if (a.ilabel != 0) continue;
+      float nc = cost + a.weight;
+      if (nc >= cutoff) continue;
+      auto it = m->find(a.nextstate);
+      int32_t nt;
+      if (it == m->end()) {
+        nt = b->NewToken(frame);
+        (*m)[a.nextstate] = nt;
+      } else {
+        nt = it->second;
+      }
+      b->links.push_back(LatLink{tid, nt, 0, a.olabel, a.weight, 0.0f});
+      if (nc < b->tokens[nt].alpha) {
+        b->tokens[nt].alpha = nc;
+        queue.push_back(a.nextstate);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
+                   int64_t num_cols, const int32_t* ilabel_map,
+                   int64_t map_size, const LatticeOptions& opts,
+                   RawLattice* out) {
+  if (fst.start < 0) return false;
+  Builder b;
+  StateMap cur;
+  int32_t t0 = b.NewToken(0);
+  b.tokens[t0].alpha = 0.0f;
+  cur[(int32_t)fst.start] = t0;
+  LatProcessNonemitting(fst, opts.beam, 0, &b, &cur);
+
+  StateMap next;
+  for (int64_t t = 0; t < num_frames; ++t) {
+    const float* row = scores + t * num_cols;
+    float best = kInf;
+    for (const auto& kv : cur)
+      best = std::min(best, b.tokens[kv.second].alpha);
+    float cutoff = LatCutoff(cur, b, opts, best);
+
+    next.clear();
+    float next_best = kInf;
+    for (const auto& kv : cur) {
+      int32_t tid = kv.second;
+      float cost = b.tokens[tid].alpha;
+      if (cost > cutoff) continue;
+      const int32_t s = kv.first;
+      for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
+        const Arc& a = fst.arcs[i];
+        if (a.ilabel == 0) continue;
+        if (a.ilabel >= map_size) continue;
+        int32_t col = ilabel_map[a.ilabel];
+        if (col < 0 || col >= num_cols) continue;
+        float acoustic = -opts.acoustic_scale * row[col];
+        float nc = cost + a.weight + acoustic;
+        auto it = next.find(a.nextstate);
+        int32_t nt;
+        if (it == next.end()) {
+          nt = b.NewToken((int32_t)t + 1);
+          next[a.nextstate] = nt;
+        } else {
+          nt = it->second;
+        }
+        b.links.push_back(
+            LatLink{tid, nt, a.ilabel, a.olabel, a.weight, acoustic});
+        if (nc < b.tokens[nt].alpha) {
+          b.tokens[nt].alpha = nc;
+          next_best = std::min(next_best, nc);
+        }
+      }
+    }
+    if (next.empty()) return false;
+    LatProcessNonemitting(fst, next_best + opts.beam, (int32_t)t + 1, &b,
+                          &next);
+    std::swap(cur, next);
+  }
+
+  // Final costs on last-frame tokens; if no final state survived, treat
+  // every surviving token as final with zero cost (the decoder's
+  // use_final_probs=false fallback).
+  std::vector<float> final_cost(b.tokens.size(), kInf);
+  bool reached_final = false;
+  for (const auto& kv : cur) {
+    float fw = fst.final_weight[kv.first];
+    if (fw != kInf) {
+      final_cost[kv.second] = fw;
+      reached_final = true;
+    }
+  }
+  if (!reached_final)
+    for (const auto& kv : cur) final_cost[kv.second] = 0.0f;
+
+  // Exact alpha: the search kept Viterbi alpha, but link recording may
+  // include links added before their source improved.  Recompute alpha by
+  // relaxation over links (few passes: links mostly follow token order).
+  size_t n = b.tokens.size();
+  std::vector<float> alpha(n, kInf), beta(n, kInf);
+  alpha[t0] = 0.0f;
+  const int max_passes = (int)n + 2;  // bounded by longest eps chain
+  for (int pass = 0; pass < max_passes; ++pass) {
+    bool changed = false;
+    for (const auto& l : b.links) {
+      float na = alpha[l.from] + l.graph_cost + l.acoustic_cost;
+      if (na < alpha[l.to]) { alpha[l.to] = na; changed = true; }
+    }
+    if (!changed) break;
+  }
+  for (size_t i = 0; i < n; ++i)
+    if (final_cost[i] != kInf && alpha[i] != kInf)
+      beta[i] = final_cost[i];
+  for (int pass = 0; pass < max_passes; ++pass) {
+    bool changed = false;
+    for (auto it = b.links.rbegin(); it != b.links.rend(); ++it) {
+      const auto& l = *it;
+      if (beta[l.to] == kInf) continue;
+      float nb = beta[l.to] + l.graph_cost + l.acoustic_cost;
+      if (nb < beta[l.from]) { beta[l.from] = nb; changed = true; }
+    }
+    if (!changed) break;
+  }
+  float best_total = alpha[t0] + beta[t0];
+  if (!(best_total < kInf)) return false;
+
+  // Forward-backward pruning at lattice_beam (PruneForwardLinks analogue).
+  float bound = best_total + opts.lattice_beam;
+  std::vector<int32_t> remap(n, -1);
+  int32_t n_keep = 0;
+  for (size_t i = 0; i < n; ++i)
+    if (alpha[i] + beta[i] <= bound) remap[i] = n_keep++;
+
+  out->num_states = n_keep;
+  out->start = remap[t0];
+  out->arc_from.clear(); out->arc_to.clear();
+  out->arc_ilabel.clear(); out->arc_olabel.clear();
+  out->arc_graph_cost.clear(); out->arc_acoustic_cost.clear();
+  out->final_cost.assign(n_keep, kInf);
+  out->state_frame.assign(n_keep, 0);
+  for (size_t i = 0; i < n; ++i) {
+    if (remap[i] < 0) continue;
+    out->state_frame[remap[i]] = b.tokens[i].frame;
+    if (final_cost[i] != kInf) out->final_cost[remap[i]] = final_cost[i];
+  }
+  // epsilon relaxation can record the same link more than once; dedup
+  std::unordered_set<uint64_t> seen;
+  for (const auto& l : b.links) {
+    if (remap[l.from] < 0 || remap[l.to] < 0) continue;
+    if (l.ilabel == 0) {
+      uint64_t key = ((uint64_t)(uint32_t)remap[l.from] << 32) |
+                     (uint32_t)remap[l.to];
+      key = key * 1000003u + (uint32_t)l.olabel;
+      if (!seen.insert(key).second) continue;
+    }
+    float through = alpha[l.from] + l.graph_cost + l.acoustic_cost +
+                    beta[l.to];
+    if (through > bound) continue;
+    out->arc_from.push_back(remap[l.from]);
+    out->arc_to.push_back(remap[l.to]);
+    out->arc_ilabel.push_back(l.ilabel);
+    out->arc_olabel.push_back(l.olabel);
+    out->arc_graph_cost.push_back(l.graph_cost);
+    out->arc_acoustic_cost.push_back(l.acoustic_cost);
+  }
+  out->reached_final = reached_final;
+  out->best_cost = best_total;
+  return true;
+}
+
+}  // namespace ctc_native

@@ -127,6 +127,32 @@ def test_cli_train_eval_decode(tmp_path):
     # blank-threshold frame dropping is slightly lossy (reference behavior)
     assert result["label_error_rate"] < 0.1, result
 
+    # lattice decode + LM-weight WER sweep (score.sh analogue)
+    from kaldi_ctc_tpu.cli import score_lattices
+    lat_path = str(tmp_path / "lat.ark.txt")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decode_ctc.main([
+            "--feats", f"ark:{fark}", "--dir", exp,
+            "--method", "wfst", "--graph", graph_path,
+            "--use-priors", "0", "--blank-threshold", "0.98",
+            "--lattice", lat_path, "--lattice-beam", "10",
+            "--text", text, "--minibatch-size", "8",
+        ])
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result["label_error_rate"] < 0.1, result
+    assert os.path.exists(lat_path)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        score_lattices.main([
+            "--lattices", lat_path, "--text", text,
+            "--min-lmwt", "1", "--max-lmwt", "3",
+        ])
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert "best_wer" in lines[-1]
+    assert lines[-1]["best_wer"] < 0.1, lines
+
 
 def test_cli_layer_growth_bf16(tmp_path):
     """Growth schedule + dropout + bf16 compute through the CLI surface."""

@@ -1,0 +1,164 @@
+"""Lattice generation, ops, and text I/O tests.
+
+Parity invariant: the lattice best path under the search scales must
+equal the Viterbi best path from decode_best_path (the lattice's 1-best
+is the decoder's best path, DecodeUtteranceLatticeFasterCtc semantics).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from kaldi_ctc_tpu.decoding.lattice import (
+    Lattice,
+    LatticeWriter,
+    decode_lattice,
+    read_lattice_text_ark,
+    write_lattice_text,
+)
+from kaldi_ctc_tpu.decoding.wfst import NativeFst, decode_best_path
+
+INF = np.float32(np.inf)
+
+
+def _branch_fst(cost_a=1.0, cost_b=2.0):
+    """Two words from start: word 1 = labels [1,2], word 2 = labels [1,3],
+    with different graph costs so paths are distinguishable."""
+    arcs = [
+        [0, 1, 1, 1], [1, 2, 0, 2],
+        [0, 1, 2, 3], [3, 3, 0, 4],
+    ]
+    weights = np.asarray([cost_a, 0.0, cost_b, 0.0], np.float32)
+    finals = np.full(5, INF, np.float32)
+    finals[2] = finals[4] = 0.0
+    return NativeFst.from_arrays(0, 5, np.asarray(arcs, np.int32),
+                                 weights, finals)
+
+
+def _scores(frame_labels, num_cols, good=5.0, bad=-5.0):
+    s = np.full((len(frame_labels), num_cols), bad, np.float32)
+    for t, lab in enumerate(frame_labels):
+        s[t, lab] = good
+    return s
+
+
+def _idmap(n):
+    return np.asarray([-1] + list(range(1, n)), np.int32)[
+        : n].astype(np.int32)
+
+
+def test_lattice_matches_best_path():
+    fst = _branch_fst()
+    ilabel_map = np.asarray([-1, 1, 2, 3], np.int32)
+    # ambiguous second frame: cols 2 and 3 close
+    s = np.full((2, 4), -5.0, np.float32)
+    s[0, 1] = 5.0
+    s[1, 2] = 4.0
+    s[1, 3] = 3.9
+    words_bp, align_bp, cost_bp, _ = decode_best_path(
+        fst, s, ilabel_map=ilabel_map)
+    lat = decode_lattice(fst, s, ilabel_map=ilabel_map, lattice_beam=50.0)
+    words, align, cost = lat.best_path()
+    assert list(words) == list(words_bp)
+    assert list(align) == list(align_bp)
+    assert abs(cost - cost_bp) < 1e-4
+    # both word alternatives survive in the lattice
+    assert set(lat.arc_olabel.tolist()) >= {1, 2}
+
+
+def test_lattice_beam_prunes_alternative():
+    fst = _branch_fst()
+    ilabel_map = np.asarray([-1, 1, 2, 3], np.int32)
+    s = np.full((2, 4), -5.0, np.float32)
+    s[0, 1] = 5.0
+    s[1, 2] = 5.0          # path A much better
+    s[1, 3] = -5.0
+    wide = decode_lattice(fst, s, ilabel_map=ilabel_map, lattice_beam=50.0)
+    tight = decode_lattice(fst, s, ilabel_map=ilabel_map, lattice_beam=1.0)
+    assert 2 in set(wide.arc_olabel.tolist())
+    assert 2 not in set(tight.arc_olabel.tolist())
+    assert tight.num_states < wide.num_states
+
+
+def test_scale_flips_decision():
+    """Acoustic prefers word 2, graph prefers word 1; sweeping the
+    acoustic scale flips the best path (the LM-weight sweep mechanism)."""
+    fst = _branch_fst(cost_a=0.5, cost_b=3.0)   # graph prefers word 1
+    ilabel_map = np.asarray([-1, 1, 2, 3], np.int32)
+    s = np.full((2, 4), -5.0, np.float32)
+    s[0, 1] = 5.0
+    s[1, 3] = 2.0          # acoustics prefer word 2 (label 3)
+    s[1, 2] = 0.0
+    lat = decode_lattice(fst, s, ilabel_map=ilabel_map, lattice_beam=100.0,
+                         beam=100.0)
+    w_ac, _, _ = lat.best_path(acoustic_scale=1.0, lm_scale=0.01)
+    w_lm, _, _ = lat.best_path(acoustic_scale=0.01, lm_scale=1.0)
+    assert list(w_ac) == [2]
+    assert list(w_lm) == [1]
+    # scale() then best_path(1,1) == best_path(scales)
+    w_s, _, c_s = lat.scale(acoustic_scale=1.0, lm_scale=0.01).best_path()
+    assert list(w_s) == [2]
+
+
+def test_prune_method():
+    fst = _branch_fst()
+    ilabel_map = np.asarray([-1, 1, 2, 3], np.int32)
+    s = np.full((2, 4), -5.0, np.float32)
+    s[0, 1] = 5.0
+    s[1, 2] = 5.0
+    s[1, 3] = 1.0
+    lat = decode_lattice(fst, s, ilabel_map=ilabel_map, lattice_beam=50.0)
+    pruned = lat.prune(1.0)
+    assert pruned.num_states <= lat.num_states
+    w0, _, c0 = lat.best_path()
+    w1, _, c1 = pruned.best_path()
+    assert list(w0) == list(w1)
+    assert abs(c0 - c1) < 1e-4
+
+
+def test_text_roundtrip(tmp_path):
+    fst = _branch_fst()
+    ilabel_map = np.asarray([-1, 1, 2, 3], np.int32)
+    s = np.full((2, 4), -5.0, np.float32)
+    s[0, 1] = 5.0
+    s[1, 2] = 4.0
+    s[1, 3] = 3.0
+    lat = decode_lattice(fst, s, ilabel_map=ilabel_map, lattice_beam=50.0)
+    path = str(tmp_path / "lat.ark.txt")
+    with LatticeWriter(path) as w:
+        w["utt1"] = lat
+        w["utt2"] = lat
+    got = dict(read_lattice_text_ark(path))
+    assert set(got) == {"utt1", "utt2"}
+    back = got["utt1"]
+    assert back.num_arcs == lat.num_arcs
+    w0, a0, c0 = lat.best_path()
+    w1, a1, c1 = back.best_path()
+    assert list(w0) == list(w1)
+    assert list(a0) == list(a1)
+    assert abs(c0 - c1) < 1e-3
+
+
+def test_lattice_through_ctc_graph():
+    """End-to-end through make_ctc_graph: lattice 1-best == Viterbi."""
+    arcs, weights = [], []
+    num_words = 4
+    for lab in range(1, num_words + 1):
+        s = lab
+        arcs.append([0, lab, lab, s]); weights.append(1.0)
+        arcs.append([s, lab, 0, s]); weights.append(0.0)
+        arcs.append([s, 0, 0, 0]); weights.append(0.0)
+    finals = np.full(num_words + 1, INF, np.float32)
+    finals[0] = 0.0
+    base = NativeFst.from_arrays(0, num_words + 1,
+                                 np.asarray(arcs, np.int32),
+                                 np.asarray(weights, np.float32), finals)
+    g = base.make_ctc_graph()
+    rng = np.random.default_rng(0)
+    scores = rng.standard_normal((20, num_words + 1)).astype(np.float32)
+    words_bp, _, cost_bp, _ = decode_best_path(g, scores)
+    lat = decode_lattice(g, scores, lattice_beam=20.0)
+    words, _, cost = lat.best_path()
+    assert list(words) == list(words_bp)
+    assert abs(cost - cost_bp) < 1e-3
