@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--lattice", default=None,
                    help="write lattices (text archive) to this path; "
                         "wfst method only")
+    p.add_argument("--determinize", type=int, default=0,
+                   help="1: determinize lattices before writing "
+                        "(CompactLattice output, "
+                        "DeterminizeLatticePhonePrunedWrapperCtc analogue)")
     p.add_argument("--lattice-beam", type=float, default=10.0,
                    help="forward-backward lattice pruning margin "
                         "(run_ctc_phone.sh lattice_beam default 10)")
@@ -168,8 +172,18 @@ def main(argv=None):
                         graph, rows, ilabel_map=ilabel_map,
                         beam=args.wfst_beam, max_active=args.max_active,
                         lattice_beam=args.lattice_beam)
-                    lat_writer[e.key] = lat
-                    words, _, _ = lat.best_path()
+                    if args.determinize:
+                        from kaldi_ctc_tpu.decoding.det_lattice import (
+                            determinize_lattice_pruned,
+                            write_compact_lattice_text)
+                        clat = determinize_lattice_pruned(
+                            lat, det_beam=args.lattice_beam)
+                        write_compact_lattice_text(
+                            lat_writer._f, e.key, clat)
+                        words, _, _ = clat.best_path()
+                    else:
+                        lat_writer[e.key] = lat
+                        words, _, _ = lat.best_path()
                 else:
                     words, _, _, _ = decode_best_path(
                         graph, rows, ilabel_map=ilabel_map,

@@ -30,12 +30,17 @@ def parse_args(argv=None):
                    help="pre-scale on acoustic costs (recipe uses 10)")
     p.add_argument("--min-lmwt", type=int, default=1)
     p.add_argument("--max-lmwt", type=int, default=20)
+    p.add_argument("--compact", type=int, default=0,
+                   help="1: input is a CompactLattice archive "
+                        "(decode --determinize output)")
     p.add_argument("--output", default=None,
                    help="write best-LMWT hypotheses here")
     return p.parse_args(argv)
 
 
 def main(argv=None):
+    from kaldi_ctc_tpu.decoding.det_lattice import (
+        read_compact_lattice_text_ark)
     from kaldi_ctc_tpu.decoding.lattice import read_lattice_text_ark
     from kaldi_ctc_tpu.utils import get_logger
     from kaldi_ctc_tpu.utils.edit_distance import edit_distance
@@ -53,7 +58,9 @@ def main(argv=None):
                 if len(parts) >= 2:
                     word_syms[int(parts[1])] = parts[0]
 
-    lats = dict(read_lattice_text_ark(args.lattices))
+    reader = (read_compact_lattice_text_ark if args.compact
+              else read_lattice_text_ark)
+    lats = dict(reader(args.lattices))
     if not lats:
         log.error("no lattices in %s", args.lattices); sys.exit(1)
     refs = {k: v.split() for k, v in SequentialTextReader(args.text)}

@@ -223,3 +223,50 @@ def test_cli_adjust_priors(tmp_path):
             "--text", text, "--minibatch-size", "8",
         ])
     json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def test_lattice_tool_chain(tmp_path):
+    """copy/scale/prune/determinize/best-path/info over a real archive."""
+    import io, contextlib
+    import numpy as np
+    from kaldi_ctc_tpu.cli import lattice_tool
+    from kaldi_ctc_tpu.decoding.lattice import (
+        LatticeWriter, decode_lattice)
+    from kaldi_ctc_tpu.decoding.wfst import NativeFst
+
+    arcs, weights = [], []
+    for lab in range(1, 4):
+        s = lab
+        arcs.append([0, lab, lab, s]); weights.append(1.0)
+        arcs.append([s, lab, 0, s]); weights.append(0.0)
+        arcs.append([s, 0, 0, 0]); weights.append(0.0)
+    finals = np.full(4, np.inf, np.float32)
+    finals[0] = 0.0
+    g = NativeFst.from_arrays(0, 4, np.asarray(arcs, np.int32),
+                              np.asarray(weights, np.float32),
+                              finals).make_ctc_graph()
+    rng = np.random.default_rng(3)
+    raw = str(tmp_path / "raw.ark.txt")
+    with LatticeWriter(raw) as w:
+        for i in range(3):
+            scores = rng.standard_normal((10, 4)).astype(np.float32) * 2
+            w[f"u{i}"] = decode_lattice(g, scores, lattice_beam=8.0)
+
+    out = str(tmp_path / "o.ark.txt")
+    lattice_tool.main(["scale", "--lattices", raw, "--output", out,
+                       "--acoustic-scale", "0.5"])
+    lattice_tool.main(["prune", "--lattices", out, "--output", out,
+                       "--beam", "3"])
+    det = str(tmp_path / "det.ark.txt")
+    lattice_tool.main(["determinize", "--lattices", raw, "--output", det,
+                       "--det-beam", "4"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lattice_tool.main(["info", "--lattices", det, "--compact", "1"])
+    info = json.loads(buf.getvalue())
+    assert info["num_lattices"] == 3
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lattice_tool.main(["best-path", "--lattices", det, "--compact", "1"])
+    lines = buf.getvalue().strip().splitlines()
+    assert len(lines) == 3 and all(l.startswith("u") for l in lines)
