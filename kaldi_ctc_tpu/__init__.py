@@ -19,3 +19,18 @@ WFST decoding), built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# The axon TPU plugin registers itself even when JAX_PLATFORMS=cpu is set
+# in the environment (plugin discovery ignores the env var on this JAX
+# build).  Honor the conventional env var here so CLI subprocesses can be
+# forced onto CPU; jax.config.update works where the env var does not.
+import os as _os
+
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass

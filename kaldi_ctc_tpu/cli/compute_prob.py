@@ -1,7 +1,12 @@
 """Diagnostic objf/accuracy on a fixed egs set (nnet2-ctc-compute-prob).
 
-Reads a checkpoint + diagnostic data, prints loss per frame and the
+Reads a checkpoint + diagnostic data (either feats+ali or a prepared egs
+archive — the reference evaluates {train,valid}_diagnostic.egs,
+steps/ctc/train.sh:330-349), prints loss per frame and the
 greedy-collapse label accuracy with the reference's parseable line.
+Every utterance is evaluated: batches are length-sorted groups and the
+short tail batch is kept (unlike the training pipeline, which drops it
+for static shapes).
 """
 
 from __future__ import annotations
@@ -14,21 +19,28 @@ import sys
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--feats", required=True)
-    p.add_argument("--ali", required=True)
+    p.add_argument("--feats", default=None)
+    p.add_argument("--ali", default=None)
+    p.add_argument("--egs", default=None,
+                   help="prepared egs archive (alternative to --feats/--ali)")
     p.add_argument("--cmvn", default=None)
     p.add_argument("--utt2spk", default=None)
     p.add_argument("--dir", required=True, help="experiment dir with "
                    "model_config.json + checkpoints/")
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--minibatch-size", type=int, default=48)
+    p.add_argument("--max-allow-frames", type=int, default=2000)
     p.add_argument("--frame-subsampling-factor", type=int, default=1)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     import jax
-    from kaldi_ctc_tpu.data import EgsPipeline, load_examples
+    import jax.numpy as jnp
+
+    from kaldi_ctc_tpu.data import load_examples
+    from kaldi_ctc_tpu.data.bucketing import make_buckets, pad_batch
+    from kaldi_ctc_tpu.data.egs import CtcExample, example_ok, frame_subsample
     from kaldi_ctc_tpu.models import AmConfig, init_am_params
     from kaldi_ctc_tpu.training import (
         accuracy_from_outputs, init_train_state, make_eval_step)
@@ -41,23 +53,48 @@ def main(argv=None):
     with open(os.path.join(args.dir, "model_config.json")) as f:
         cfg = AmConfig.from_dict(json.load(f))
 
-    utt2spk = dict(SequentialTextReader(args.utt2spk)) if args.utt2spk else None
-    examples = list(load_examples(args.feats, args.ali,
-                                  cmvn_rspecifier=args.cmvn, utt2spk=utt2spk))
+    if args.egs:
+        from kaldi_ctc_tpu.data.egs_io import SequentialEgsReader
+        raw = list(SequentialEgsReader(args.egs))
+    elif args.feats and args.ali:
+        utt2spk = (dict(SequentialTextReader(args.utt2spk))
+                   if args.utt2spk else None)
+        raw = list(load_examples(args.feats, args.ali,
+                                 cmvn_rspecifier=args.cmvn,
+                                 utt2spk=utt2spk))
+    else:
+        log.error("need --egs or both --feats and --ali"); sys.exit(1)
+
+    examples = []
+    n_skip = 0
+    for e in raw:
+        eg = CtcExample(e.key,
+                        frame_subsample(e.feats,
+                                        args.frame_subsampling_factor),
+                        e.labels)
+        if example_ok(eg, args.max_allow_frames):
+            examples.append(eg)
+        else:
+            n_skip += 1
     if not examples:
         log.error("no examples"); sys.exit(1)
+    if n_skip:
+        log.info("skipped %d examples (length filters)", n_skip)
 
     params = init_am_params(jax.random.PRNGKey(0), cfg)
     state = init_train_state(params)
     state, meta = restore_checkpoint(
         os.path.join(args.dir, "checkpoints"), state, step=args.step)
 
-    pipe = EgsPipeline(examples, minibatch_size=args.minibatch_size,
-                       frame_subsampling_factor=args.frame_subsampling_factor)
     eval_step = make_eval_step(cfg)
+    examples.sort(key=lambda e: e.num_frames)
+    frame_buckets = make_buckets()
+    label_buckets = make_buckets(min_len=8, max_len=640, growth=1.5)
     tot_loss = 0.0
     tot_frames = tot_err = tot_ref = 0
-    for batch in pipe.epoch(0):
+    for i in range(0, len(examples), args.minibatch_size):
+        batch = pad_batch(examples[i:i + args.minibatch_size],
+                          frame_buckets, label_buckets)
         batch.pop("keys")
         out = eval_step(state.params, batch)
         _, e, r = accuracy_from_outputs(out, batch["labels"],
@@ -71,6 +108,7 @@ def main(argv=None):
         "step": meta["step"],
         "loss_per_frame": tot_loss / max(tot_frames, 1),
         "accuracy": acc,
+        "num_utts": len(examples),
         "num_frames": tot_frames,
     }))
 

@@ -60,6 +60,8 @@ def parse_args(argv=None):
     p.add_argument("--text", default=None,
                    help="reference label seqs (text table of ints) for error rate")
     p.add_argument("--output", default=None, help="hypotheses output file")
+    p.add_argument("--profile", type=int, default=0,
+                   help="1: per-section host timing summary at exit")
     return p.parse_args(argv)
 
 
@@ -82,6 +84,9 @@ def main(argv=None):
 
     args = parse_args(argv)
     log = get_logger("decode_ctc")
+    from kaldi_ctc_tpu.utils import profiling
+    if args.profile:
+        profiling.enable()
     with open(os.path.join(args.dir, "model_config.json")) as f:
         cfg = AmConfig.from_dict(json.load(f))
 
@@ -153,7 +158,8 @@ def main(argv=None):
         batch = pad_batch(group, frame_buckets, [4])
         feats = jnp.asarray(batch["feats"])
         lens = jnp.asarray(batch["input_lens"])
-        scores, skip = forward(state.params, feats, lens)
+        with profiling.profiler.track("am_forward"):
+            scores, skip = forward(state.params, feats, lens)
         if args.method == "wfst":
             from kaldi_ctc_tpu.decoding.wfst import decode_best_path
             scores_np = np.asarray(scores)

@@ -76,6 +76,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dir", required=True, help="experiment directory")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", type=int, default=0,
+                   help="1: per-section host timing summary at exit "
+                        "(AccuProfile analogue)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace here")
     return p.parse_args(argv)
 
 
@@ -96,6 +101,9 @@ def main(argv=None):
 
     args = parse_args(argv)
     os.makedirs(args.dir, exist_ok=True)
+    from kaldi_ctc_tpu.utils import profiling
+    if args.profile:
+        profiling.enable()
     log = get_logger("train_ctc")
     metrics_log = MetricsLogger(os.path.join(args.dir, "metrics.jsonl"))
 
@@ -187,12 +195,15 @@ def main(argv=None):
     tot_err = tot_ref = 0
     global_step = int(state.step)
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     for epoch in range(start_epoch, args.epochs):
         log.info("epoch %d", epoch)
         for batch_np in Prefetcher(pipe.epoch(epoch)):
             keys = batch_np.pop("keys")
             batch = shard_batch(batch_np, mesh)
-            state, m = train_step(state, batch)
+            with profiling.profiler.track("train_step"):
+                state, m = train_step(state, batch)
             global_step += 1
             if (grow and cfg.num_layers < args.num_layers
                     and global_step % args.add_layers_period == 0):
@@ -247,6 +258,8 @@ def main(argv=None):
         save_checkpoint(ckpt_dir, global_step, state, extra={"epoch": epoch + 1, "num_layers": cfg.num_layers})
         apply_retention(ckpt_dir)
 
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     save_checkpoint(ckpt_dir, global_step, state,
                     extra={"epoch": args.epochs, "num_layers": cfg.num_layers,
                            "final": True})

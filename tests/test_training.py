@@ -147,3 +147,25 @@ def test_grow_rnn_layer():
     step = make_train_step(cfg2, TrainOptions())
     state, m = step(init_train_state(p2), batch)
     assert np.isfinite(float(m["loss_total"]))
+
+
+def test_profiler():
+    from kaldi_ctc_tpu.utils import profiling
+    p = profiling.Profiler()
+    p.enabled = True
+    with p.track("a"):
+        pass
+    with p.track("a"):
+        pass
+    with p.track("b"):
+        pass
+    rep = p.report()
+    assert rep["a"]["calls"] == 2 and rep["b"]["calls"] == 1
+    p.print_profile()
+    p.reset()
+    assert p.report() == {}
+    # disabled: no accumulation
+    p.enabled = False
+    with p.track("c"):
+        pass
+    assert "c" not in p.report()
