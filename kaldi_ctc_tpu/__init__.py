@@ -27,10 +27,16 @@ __version__ = "0.1.0"
 import os as _os
 
 _plat = _os.environ.get("JAX_PLATFORMS")
-if _plat:
+if _plat and _plat != "axon":
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _plat)
+        # Respect an explicit earlier jax.config.update(): only apply the
+        # env var while the option still holds the site default
+        # ('axon,cpu' is pre-set by the axon environment, which also
+        # exports JAX_PLATFORMS=axon globally — so neither "unset" nor
+        # the raw env can be trusted unconditionally).
+        if (_jax.config.jax_platforms or "") in ("", "axon,cpu"):
+            _jax.config.update("jax_platforms", _plat)
     except Exception:
         pass
