@@ -24,7 +24,11 @@ def parse_args(argv=None):
     p.add_argument("--feats", required=True)
     p.add_argument("--cmvn", default=None)
     p.add_argument("--utt2spk", default=None)
-    p.add_argument("--dir", required=True)
+    p.add_argument("--dir", default=None,
+                   help="experiment dir (checkpoints)")
+    p.add_argument("--model", default=None,
+                   help="inference artifact (.npz from copy_model); "
+                        "replaces --dir")
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--method", choices=["greedy", "beam", "wfst"],
                    default="beam")
@@ -87,21 +91,30 @@ def main(argv=None):
     from kaldi_ctc_tpu.utils import profiling
     if args.profile:
         profiling.enable()
-    with open(os.path.join(args.dir, "model_config.json")) as f:
-        cfg = AmConfig.from_dict(json.load(f))
-
-    params = init_am_params(jax.random.PRNGKey(0), cfg)
-    state = init_train_state(params)
-    state, meta = restore_checkpoint(
-        os.path.join(args.dir, "checkpoints"), state, step=args.step)
     priors = None
-    if args.use_priors:
-        priors_path = os.path.join(args.dir, "priors.npy")
-        if os.path.exists(priors_path):
-            priors = np.load(priors_path)
-            log.info("loaded priors from %s", priors_path)
-        else:
-            priors = default_priors(cfg.num_targets, args.blank_prior)
+    if args.model:
+        from kaldi_ctc_tpu.models.artifact import load_inference_artifact
+        model_params, cfg, art_priors = load_inference_artifact(args.model)
+        if args.use_priors:
+            priors = (art_priors if art_priors is not None
+                      else default_priors(cfg.num_targets, args.blank_prior))
+    elif args.dir:
+        with open(os.path.join(args.dir, "model_config.json")) as f:
+            cfg = AmConfig.from_dict(json.load(f))
+        params = init_am_params(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(params)
+        state, meta = restore_checkpoint(
+            os.path.join(args.dir, "checkpoints"), state, step=args.step)
+        model_params = state.params
+        if args.use_priors:
+            priors_path = os.path.join(args.dir, "priors.npy")
+            if os.path.exists(priors_path):
+                priors = np.load(priors_path)
+                log.info("loaded priors from %s", priors_path)
+            else:
+                priors = default_priors(cfg.num_targets, args.blank_prior)
+    else:
+        log.error("need --dir or --model"); sys.exit(1)
 
     utt2spk = dict(SequentialTextReader(args.utt2spk)) if args.utt2spk else None
     cmvn = RandomAccessMatrixReader(args.cmvn) if args.cmvn else None
@@ -159,7 +172,7 @@ def main(argv=None):
         feats = jnp.asarray(batch["feats"])
         lens = jnp.asarray(batch["input_lens"])
         with profiling.profiler.track("am_forward"):
-            scores, skip = forward(state.params, feats, lens)
+            scores, skip = forward(model_params, feats, lens)
         if args.method == "wfst":
             from kaldi_ctc_tpu.decoding.wfst import decode_best_path
             scores_np = np.asarray(scores)

@@ -54,3 +54,27 @@ def test_retention(tmp_path):
     # multiples of 100 plus last 3
     assert set(remaining) == {0, 100, 200, 300, 260, 280}
     assert 40 in removed
+
+
+def test_inference_artifact_roundtrip(tmp_path):
+    import jax
+    import numpy as np
+    from kaldi_ctc_tpu.models import AmConfig, init_am_params
+    from kaldi_ctc_tpu.models.artifact import (
+        load_inference_artifact, save_inference_artifact)
+    from kaldi_ctc_tpu.ops.rnn import RnnMode
+
+    cfg = AmConfig(input_dim=6, num_targets=5, hidden_dim=8, num_layers=2,
+                   mode=RnnMode.LSTM, bidirectional=True)
+    params = init_am_params(jax.random.PRNGKey(1), cfg)
+    priors = np.asarray([9, 1, 1, 1, 1], np.float32)
+    path = str(tmp_path / "final.npz")
+    save_inference_artifact(path, params, cfg, priors)
+    p2, cfg2, pr2 = load_inference_artifact(path)
+    assert cfg2 == cfg
+    np.testing.assert_array_equal(pr2, priors)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(p2)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
