@@ -90,6 +90,8 @@ def main(argv=None):
     from kaldi_ctc_tpu.models.acoustic import grow_rnn_layer
     from kaldi_ctc_tpu.ops.rnn import RnnMode
     from kaldi_ctc_tpu.parallel import make_mesh, shard_batch
+    from kaldi_ctc_tpu.parallel.distributed import (
+        host_shard, init_distributed, is_primary)
     from kaldi_ctc_tpu.training import (
         TrainOptions, accuracy_from_outputs, init_train_state,
         make_eval_step, make_train_step)
@@ -100,6 +102,8 @@ def main(argv=None):
     from kaldi_ctc_tpu.utils.kaldi_io import SequentialTextReader
 
     args = parse_args(argv)
+    # multi-host SPMD bring-up (no-op single-process; the run.pl analogue)
+    init_distributed()
     os.makedirs(args.dir, exist_ok=True)
     from kaldi_ctc_tpu.utils import profiling
     if args.profile:
@@ -123,6 +127,13 @@ def main(argv=None):
         log.error("need --egs or both --feats and --ali"); sys.exit(1)
     if not examples:
         log.error("no examples loaded"); sys.exit(1)
+    import jax as _jax_mod
+    if _jax_mod.process_count() > 1:
+        # per-host data shard (the per-job egs archives of train.sh:408-419)
+        examples = host_shard(examples)
+        log.info("host %d/%d: %d utterances after sharding",
+                 _jax_mod.process_index(), _jax_mod.process_count(),
+                 len(examples))
     input_dim = examples[0].feats.shape[1]
     log.info("loaded %d utterances, input dim %d", len(examples), input_dim)
 
@@ -247,7 +258,7 @@ def main(argv=None):
                 metrics_log.log("valid", step=global_step, accuracy=v_acc,
                                 loss_per_frame=v_loss / max(v_frames, 1))
                 log.info("valid @%d: acc %.4f", global_step, v_acc)
-            if global_step % args.checkpoint_period == 0:
+            if global_step % args.checkpoint_period == 0 and is_primary():
                 save_checkpoint(ckpt_dir, global_step, state,
                                 extra={"epoch": epoch, "num_layers": cfg.num_layers})
                 apply_retention(ckpt_dir)
@@ -255,11 +266,17 @@ def main(argv=None):
         epoch_acc = 1.0 - tot_err / max(tot_ref, 1)
         metrics_log.log_accuracy(epoch_acc, epoch=epoch, step=global_step)
         tot_err = tot_ref = 0
-        save_checkpoint(ckpt_dir, global_step, state, extra={"epoch": epoch + 1, "num_layers": cfg.num_layers})
-        apply_retention(ckpt_dir)
+        if is_primary():
+            save_checkpoint(ckpt_dir, global_step, state,
+                            extra={"epoch": epoch + 1,
+                                   "num_layers": cfg.num_layers})
+            apply_retention(ckpt_dir)
 
     if args.profile_dir:
         jax.profiler.stop_trace()
+    if not is_primary():
+        log.info("done (secondary host): %d steps", global_step)
+        return
     save_checkpoint(ckpt_dir, global_step, state,
                     extra={"epoch": args.epochs, "num_layers": cfg.num_layers,
                            "final": True})

@@ -33,9 +33,12 @@ def init_distributed(
     """
     explicit = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if explicit is None and num_processes is None and \
-            "JAX_COORDINATOR_ADDRESS" not in os.environ and \
-            not os.environ.get("TPU_WORKER_HOSTNAMES"):
-        return  # single process
+            "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return  # single process (TPU_WORKER_HOSTNAMES alone is not enough:
+        # single-chip axon/dev environments export it too)
+    from jax._src import xla_bridge
+    if xla_bridge.backends_are_initialized():
+        return  # too late to initialize (interactive/test session)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -77,6 +77,14 @@ def param_sharding(mesh: Mesh, params: Any,
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place host batch arrays with the batch dim sharded over 'data'."""
+    """Place host batch arrays with the batch dim sharded over 'data'.
+
+    Single-process: a plain device_put.  Multi-host SPMD: each process
+    passes its local shard (see distributed.host_shard) and the pieces
+    are assembled into one global array across the mesh."""
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
