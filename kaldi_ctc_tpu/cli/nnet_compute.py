@@ -1,0 +1,104 @@
+"""Forward-pass dumps — the nnet2-ctc-compute analogue
+(``ctcbin/nnet2-ctc-compute.cc``): run the acoustic model over
+utterances and write per-frame outputs (raw logits, log-softmax, or
+posteriors) as a Kaldi matrix archive, for prior estimation, inspection,
+or external decoders.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--feats", required=True)
+    p.add_argument("--cmvn", default=None)
+    p.add_argument("--utt2spk", default=None)
+    p.add_argument("--dir", default=None)
+    p.add_argument("--model", default=None, help="inference artifact (.npz)")
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--output", required=True,
+                   help="wspecifier for outputs (ark: / ark,scp:)")
+    p.add_argument("--what", choices=["logits", "log-post", "post"],
+                   default="log-post")
+    p.add_argument("--frame-subsampling-factor", type=int, default=1)
+    p.add_argument("--minibatch-size", type=int, default=16)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from kaldi_ctc_tpu.data import CtcExample, frame_subsample, pad_batch
+    from kaldi_ctc_tpu.data.bucketing import make_buckets
+    from kaldi_ctc_tpu.features.cmvn import apply_cmvn
+    from kaldi_ctc_tpu.models import AmConfig, am_forward, init_am_params
+    from kaldi_ctc_tpu.utils import get_logger, kaldi_io
+    from kaldi_ctc_tpu.utils.kaldi_io import (
+        RandomAccessMatrixReader, SequentialMatrixReader, SequentialTextReader)
+
+    args = parse_args(argv)
+    log = get_logger("nnet_compute")
+
+    if args.model:
+        from kaldi_ctc_tpu.models.artifact import load_inference_artifact
+        params, cfg, _ = load_inference_artifact(args.model)
+    elif args.dir:
+        from kaldi_ctc_tpu.training import init_train_state
+        from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
+        with open(os.path.join(args.dir, "model_config.json")) as f:
+            cfg = AmConfig.from_dict(json.load(f))
+        state = init_train_state(
+            init_am_params(jax.random.PRNGKey(0), cfg))
+        state, _ = restore_checkpoint(
+            os.path.join(args.dir, "checkpoints"), state, step=args.step)
+        params = state.params
+    else:
+        log.error("need --dir or --model"); sys.exit(1)
+
+    utt2spk = (dict(SequentialTextReader(args.utt2spk))
+               if args.utt2spk else None)
+    cmvn = RandomAccessMatrixReader(args.cmvn) if args.cmvn else None
+
+    @jax.jit
+    def forward(feats, lens):
+        logits = am_forward(params, feats, cfg, input_lens=lens)
+        if args.what == "logits":
+            return logits
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.exp(logp) if args.what == "post" else logp
+
+    egs = []
+    for key, feats in SequentialMatrixReader(args.feats):
+        if cmvn is not None:
+            spk = utt2spk.get(key, key) if utt2spk else key
+            if spk in cmvn:
+                feats = np.asarray(apply_cmvn(feats, cmvn[spk]))
+        feats = frame_subsample(np.asarray(feats, np.float32),
+                                args.frame_subsampling_factor)
+        egs.append(CtcExample(key, feats, np.zeros(1, np.int32)))
+
+    frame_buckets = make_buckets()
+    n = 0
+    with kaldi_io.MatrixWriter(args.output) as w:
+        for i in range(0, len(egs), args.minibatch_size):
+            group = egs[i:i + args.minibatch_size]
+            batch = pad_batch(group, frame_buckets, [4])
+            out = np.asarray(forward(jnp.asarray(batch["feats"]),
+                                     jnp.asarray(batch["input_lens"])))
+            for j, e in enumerate(group):
+                t = int(batch["input_lens"][j])
+                w[e.key] = out[j, :t]
+                n += 1
+    log.info("wrote %s for %d utterances", args.what, n)
+
+
+if __name__ == "__main__":
+    main()

@@ -270,3 +270,58 @@ def test_lattice_tool_chain(tmp_path):
         lattice_tool.main(["best-path", "--lattices", det, "--compact", "1"])
     lines = buf.getvalue().strip().splitlines()
     assert len(lines) == 3 and all(l.startswith("u") for l in lines)
+
+
+def test_init_model_graph_tool_nnet_compute(tmp_path):
+    """init_model -> train --resume -> nnet_compute -> graph_tool chain."""
+    import io, contextlib
+    import numpy as np
+    from kaldi_ctc_tpu.cli import (
+        graph_tool, init_model, nnet_compute, train_ctc)
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    fark, aark, text = _make_dataset(tmp_path, n_utts=8, seed=11)
+    exp = str(tmp_path / "exp_init")
+    init_model.main([
+        "--dir", exp, "--input-dim", str(D),
+        "--num-targets", str(NUM_TARGETS),
+        "--hidden-dim", "16", "--num-layers", "1",
+    ])
+    assert os.path.exists(os.path.join(exp, "checkpoints", "step_0"))
+    pri = np.load(os.path.join(exp, "priors.npy"))
+    assert pri[0] == 9.0
+    # train picks up the initialized model
+    train_ctc.main([
+        "--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+        "--num-targets", str(NUM_TARGETS),
+        "--hidden-dim", "16", "--num-layers", "1",
+        "--epochs", "5", "--minibatch-size", "8",
+        "--dir", exp, "--checkpoint-period", "5", "--resume",
+    ])
+    # forward dump
+    out = str(tmp_path / "post.ark")
+    nnet_compute.main([
+        "--feats", f"ark:{fark}", "--dir", exp,
+        "--output", f"ark:{out}", "--what", "post",
+    ])
+    dumped = dict(kaldi_io.SequentialMatrixReader(f"ark:{out}"))
+    assert len(dumped) == 8
+    first = next(iter(dumped.values()))
+    assert first.shape[1] == NUM_TARGETS
+    np.testing.assert_allclose(first.sum(axis=1), 1.0, atol=1e-4)
+
+    # graph_tool: build a CTC graph from a base FST and inspect it
+    from kaldi_ctc_tpu.decoding.wfst import NativeFst
+    arcs = [[0, 1, 1, 0]]
+    finals = np.asarray([0.0], np.float32)
+    base = NativeFst.from_arrays(0, 1, np.asarray(arcs, np.int32),
+                                 np.zeros(1, np.float32), finals)
+    gp = str(tmp_path / "g.fst")
+    base.write(gp)
+    cp = str(tmp_path / "ctc.fst")
+    graph_tool.main(["make-ctc", "--graph", gp, "--output", cp])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        graph_tool.main(["info", "--graph", cp])
+    info = json.loads(buf.getvalue())
+    assert info["num_states"] > 1
