@@ -165,11 +165,14 @@ def _run_direction(
 
     impl = cfg.implementation
     if impl == "auto":
-        impl = ("pallas" if (mode == RnnMode.LSTM
+        impl = ("pallas" if (mode in (RnnMode.LSTM, RnnMode.GRU)
                              and jax.default_backend() == "tpu") else "xla")
     if impl == "pallas" and mode == RnnMode.LSTM:
         from kaldi_ctc_tpu.ops.rnn_pallas import lstm_sequence
         return lstm_sequence(x_proj, w_h.astype(cd), lens, reverse)
+    if impl == "pallas" and mode == RnnMode.GRU:
+        from kaldi_ctc_tpu.ops.gru_pallas import gru_sequence
+        return gru_sequence(x_proj, w_h.astype(cd), lens, reverse)
 
     valid = (jnp.arange(t_max)[:, None] < lens[None, :])[..., None]  # [T,B,1]
 

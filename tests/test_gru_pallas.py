@@ -1,0 +1,95 @@
+"""Pallas fused GRU kernel vs the lax.scan reference implementation.
+
+Same parity strategy as test_rnn_pallas.py (the GPU-vs-CPU test analogue),
+in interpreter mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kaldi_ctc_tpu.ops.gru_pallas import gru_seq_fwd, gru_sequence
+
+B, T, H = 8, 12, 16
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    x_proj = jnp.asarray(rng.standard_normal((T, B, 3 * H)).astype(np.float32))
+    w_h = jnp.asarray(
+        (rng.standard_normal((H, 3 * H)) * 0.3).astype(np.float32))
+    lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
+    return x_proj, w_h, lens
+
+
+def _scan_gru(x_proj, w_h, lens, reverse):
+    """The ops.rnn linear-before-reset scan path on a precomputed proj."""
+    t_max, b, g3 = x_proj.shape
+    h_dim = g3 // 3
+    valid = (jnp.arange(t_max)[:, None] < lens[None, :])[..., None]
+
+    def step(h, inp):
+        xp, v = inp
+        h_proj = h @ w_h
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_new = jnp.where(v, h_new, h)
+        return h_new, jnp.where(v, h_new, 0.0)
+
+    init = jnp.zeros((b, h_dim))
+    _, ys = jax.lax.scan(step, init, (x_proj, valid), reverse=reverse)
+    return ys
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_forward_parity(reverse):
+    x_proj, w_h, lens = _setup(0)
+    y_pallas, _, _ = gru_seq_fwd(x_proj, w_h, lens, reverse, interpret=True)
+    y_scan = _scan_gru(x_proj, w_h, lens, reverse)
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_scan),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gradient_parity(reverse):
+    x_proj, w_h, lens = _setup(1)
+    rng = np.random.default_rng(2)
+    dy_seed = jnp.asarray(rng.standard_normal((T, B, H)).astype(np.float32))
+
+    def loss_pallas(xp, wh):
+        y = gru_sequence(xp, wh, lens, reverse, True)
+        return jnp.sum(y * dy_seed)
+
+    def loss_scan(xp, wh):
+        y = _scan_gru(xp, wh, lens, reverse)
+        return jnp.sum(y * dy_seed)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(x_proj, w_h)
+    gs = jax.grad(loss_scan, argnums=(0, 1))(x_proj, w_h)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_finite_difference_weight_grad():
+    x_proj, w_h, lens = _setup(3)
+
+    def loss(wh):
+        return jnp.sum(gru_sequence(x_proj, wh, lens, False, True) ** 2)
+
+    g = np.asarray(jax.grad(loss)(w_h))
+    rng = np.random.default_rng(4)
+    for _ in range(4):
+        i, j = rng.integers(H), rng.integers(3 * H)
+        eps = 1e-2
+        wp = w_h.at[i, j].add(eps)
+        wm = w_h.at[i, j].add(-eps)
+        fd = (float(loss(wp)) - float(loss(wm))) / (2 * eps)
+        assert abs(fd - g[i, j]) < 5e-2 * max(abs(fd), 1.0), (fd, g[i, j])
