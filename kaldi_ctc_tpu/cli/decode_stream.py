@@ -1,0 +1,135 @@
+"""Simulated online decoding — chunked streaming recognition.
+
+Feeds each utterance to the StreamingRecognizer in fixed-size chunks
+(as a live audio front end would), reports per-chunk latency and RTF,
+and verifies/scores against reference text.  Results are identical to
+offline greedy decoding for unidirectional models (state carry is
+exact).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--feats", required=True)
+    p.add_argument("--cmvn", default=None)
+    p.add_argument("--utt2spk", default=None)
+    p.add_argument("--dir", default=None)
+    p.add_argument("--model", default=None)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--chunk-frames", type=int, default=50,
+                   help="frames per chunk (50 = 0.5 s at 10 ms)")
+    p.add_argument("--use-priors", type=int, default=0)
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--frame-subsampling-factor", type=int, default=1)
+    p.add_argument("--text", default=None)
+    p.add_argument("--output", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+
+    from kaldi_ctc_tpu.data.egs import frame_subsample
+    from kaldi_ctc_tpu.decoding.streaming import StreamingRecognizer
+    from kaldi_ctc_tpu.features.cmvn import apply_cmvn
+    from kaldi_ctc_tpu.models import AmConfig, init_am_params
+    from kaldi_ctc_tpu.utils import get_logger
+    from kaldi_ctc_tpu.utils.edit_distance import edit_distance
+    from kaldi_ctc_tpu.utils.kaldi_io import (
+        RandomAccessMatrixReader, SequentialMatrixReader, SequentialTextReader)
+
+    args = parse_args(argv)
+    log = get_logger("decode_stream")
+
+    priors = None
+    if args.model:
+        from kaldi_ctc_tpu.models.artifact import load_inference_artifact
+        params, cfg, art_priors = load_inference_artifact(args.model)
+        if args.use_priors:
+            priors = art_priors
+    elif args.dir:
+        from kaldi_ctc_tpu.training import init_train_state
+        from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
+        with open(os.path.join(args.dir, "model_config.json")) as f:
+            cfg = AmConfig.from_dict(json.load(f))
+        state = init_train_state(
+            init_am_params(jax.random.PRNGKey(0), cfg))
+        state, _ = restore_checkpoint(
+            os.path.join(args.dir, "checkpoints"), state, step=args.step)
+        params = state.params
+        if args.use_priors:
+            pp = os.path.join(args.dir, "priors.npy")
+            priors = np.load(pp) if os.path.exists(pp) else None
+    else:
+        log.error("need --dir or --model"); sys.exit(1)
+
+    utt2spk = (dict(SequentialTextReader(args.utt2spk))
+               if args.utt2spk else None)
+    cmvn = RandomAccessMatrixReader(args.cmvn) if args.cmvn else None
+
+    rec = StreamingRecognizer(params, cfg, priors=priors,
+                              acoustic_scale=args.acoustic_scale)
+
+    hyps = {}
+    chunk_times = []
+    total_frames = 0
+    for key, feats in SequentialMatrixReader(args.feats):
+        if cmvn is not None:
+            spk = utt2spk.get(key, key) if utt2spk else key
+            if spk in cmvn:
+                feats = np.asarray(apply_cmvn(feats, cmvn[spk]))
+        feats = frame_subsample(np.asarray(feats, np.float32),
+                                args.frame_subsampling_factor)
+        rec.reset()
+        t = feats.shape[0]
+        # full-size chunks compile once; the (smaller) tail chunk costs at
+        # most one extra compile per distinct tail size.  Zero-padding the
+        # tail instead would pollute the carried state and emit spurious
+        # labels, so real frames only.
+        emitted: list = []
+        for lo in range(0, t, args.chunk_frames):
+            t0 = time.perf_counter()
+            emitted += rec.process(feats[lo:lo + args.chunk_frames])
+            chunk_times.append(time.perf_counter() - t0)
+        hyps[key] = emitted
+        total_frames += t
+
+    audio_s = total_frames * 0.01 * args.frame_subsampling_factor
+    # skip the first (compile) chunk for latency stats
+    lat = chunk_times[1:] if len(chunk_times) > 1 else chunk_times
+    rtf = sum(chunk_times) / max(audio_s, 1e-9)
+    log.info("streamed %d utts, %.1f audio-s; median chunk latency %.1f ms",
+             len(hyps), audio_s, 1e3 * float(np.median(lat)))
+
+    out_f = open(args.output, "w") if args.output else sys.stdout
+    for k in sorted(hyps):
+        print(k, " ".join(map(str, hyps[k])), file=out_f)
+    if args.output:
+        out_f.close()
+
+    if args.text:
+        refs = {k: v.split() for k, v in SequentialTextReader(args.text)}
+        err = tot = 0
+        for k, hyp in hyps.items():
+            if k in refs:
+                err += edit_distance(refs[k], [str(x) for x in hyp])
+                tot += len(refs[k])
+        print(json.dumps({
+            "label_error_rate": err / max(tot, 1), "errors": err,
+            "ref_tokens": tot, "rtf": rtf,
+            "median_chunk_latency_ms": 1e3 * float(np.median(lat)),
+        }))
+
+
+if __name__ == "__main__":
+    main()

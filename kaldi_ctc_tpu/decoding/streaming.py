@@ -1,0 +1,93 @@
+"""Online (streaming) CTC recognition with carried recurrent state.
+
+The online-decoding parity piece (the reference ships online decoder
+variants next to LatticeFasterDecoder — ``src/decoder/``'s
+lattice-faster-online-decoder / online-faster-decoder with their
+AdvanceDecoding idiom).  CTC + a unidirectional stack makes this
+simple on TPU: per-chunk forward with explicit (h, c) carry is exactly
+equivalent to the full-utterance forward, so results match offline
+greedy decoding bit-for-bit while latency is one chunk.
+
+Usage:
+    rec = StreamingRecognizer(params, cfg, priors=...)
+    for chunk in feature_chunks:          # [T_chunk, D] each
+        new_labels = rec.process(chunk)   # incremental emissions
+    labels = rec.finalize()
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_ctc_tpu.models.acoustic import AmConfig
+from kaldi_ctc_tpu.ops.rnn import init_stream_state, rnn_forward_stream
+
+__all__ = ["StreamingRecognizer"]
+
+
+class StreamingRecognizer:
+    """Single-stream greedy CTC recognizer over feature chunks."""
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: AmConfig,
+        priors: Optional[np.ndarray] = None,
+        acoustic_scale: float = 1.0,
+        blank: int = 0,
+    ):
+        if cfg.bidirectional:
+            raise ValueError(
+                "streaming requires a unidirectional model "
+                "(--bidirectional 0); a bidirectional stack needs the "
+                "whole utterance")
+        self._params = params
+        self._cfg = cfg
+        self._blank = blank
+        self._state = init_stream_state(cfg.rnn, batch=1)
+        self._last = blank          # last argmax label (collapse carry)
+        self._labels: List[int] = []
+        log_priors = (jnp.log(jnp.asarray(priors, jnp.float32))
+                      if priors is not None else None)
+
+        def chunk_fn(params, x, states):
+            # x: [T, 1, D] time-major single stream
+            y, new_states = rnn_forward_stream(
+                params["rnn"], x, cfg.rnn, states)
+            t, b, h = y.shape
+            logits = (y.reshape(t * b, h) @ params["out_w"]
+                      + params["out_b"]).reshape(t, b, -1)
+            scores = jax.nn.log_softmax(logits, axis=-1)
+            if log_priors is not None:
+                scores = scores - log_priors[None, None, :]
+            scores = acoustic_scale * scores
+            return jnp.argmax(scores[:, 0, :], axis=-1), new_states
+
+        self._chunk_fn = jax.jit(chunk_fn)
+
+    def process(self, feats: np.ndarray) -> List[int]:
+        """Feed one chunk [T, D]; returns labels newly emitted."""
+        if feats.shape[0] == 0:
+            return []
+        x = jnp.asarray(feats, jnp.float32)[:, None, :]
+        ids, self._state = self._chunk_fn(self._params, x, self._state)
+        new: List[int] = []
+        for lab in np.asarray(ids).tolist():
+            if lab != self._blank and lab != self._last:
+                new.append(int(lab))
+            self._last = lab
+        self._labels.extend(new)
+        return new
+
+    def finalize(self) -> List[int]:
+        """Full collapsed label sequence seen so far."""
+        return list(self._labels)
+
+    def reset(self) -> None:
+        self._state = init_stream_state(self._cfg.rnn, batch=1)
+        self._last = self._blank
+        self._labels = []

@@ -36,7 +36,8 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["RnnMode", "RnnConfig", "init_rnn_params", "rnn_forward"]
+__all__ = ["RnnMode", "RnnConfig", "init_rnn_params", "rnn_forward",
+           "init_stream_state", "rnn_forward_stream"]
 
 
 class RnnMode(enum.IntEnum):
@@ -223,3 +224,65 @@ def rnn_forward(
         else:
             out = fwd
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming (state-carrying) forward — unidirectional stacks only
+# ---------------------------------------------------------------------------
+
+def init_stream_state(cfg: RnnConfig, batch: int) -> List[Any]:
+    """Zero carry state per layer: (h, c) for LSTM, h otherwise."""
+    if cfg.bidirectional:
+        raise ValueError("streaming requires a unidirectional stack")
+    states: List[Any] = []
+    for _ in range(cfg.num_layers):
+        h = jnp.zeros((batch, cfg.hidden_dim), jnp.float32)
+        if cfg.mode == RnnMode.LSTM:
+            states.append((h, jnp.zeros((batch, cfg.hidden_dim),
+                                        jnp.float32)))
+        else:
+            states.append(h)
+    return states
+
+
+def rnn_forward_stream(
+    params: List[Dict[str, Any]],
+    x: jnp.ndarray,                 # [T, B, input_dim] (one chunk)
+    cfg: RnnConfig,
+    states: List[Any],
+) -> tuple:
+    """Chunked forward with explicit carry — the online-decoding analogue
+    of the reference's AdvanceDecoding-style incremental processing
+    (decoder/lattice-faster-online-decoder.h): feeding chunks with the
+    carried state is exactly equivalent to one full-utterance forward.
+
+    → (y [T, B, H], new_states)."""
+    if cfg.bidirectional:
+        raise ValueError("streaming requires a unidirectional stack")
+    t_max, b, _ = x.shape
+    h_dim = cfg.hidden_dim
+    out = x
+    new_states: List[Any] = []
+    for layer_params, st in zip(params, states):
+        p = layer_params["dirs"][0]
+        x_proj = (out.reshape(t_max * b, -1) @ p["w_x"] + p["b"]).reshape(
+            t_max, b, -1)
+        w_h = p["w_h"]
+        if cfg.mode == RnnMode.LSTM:
+            def step(carry, xp):
+                h, c = carry
+                h_new, c_new = _lstm_cell(h, c, xp, w_h)
+                return (h_new, c_new), h_new
+        elif cfg.mode == RnnMode.GRU:
+            def step(h, xp):
+                h_new = _gru_cell(h, xp, w_h, h_dim)
+                return h_new, h_new
+        else:
+            act = jax.nn.relu if cfg.mode == RnnMode.RELU else jnp.tanh
+            def step(h, xp):
+                h_new = _elementwise_cell(h, xp, w_h, act)
+                return h_new, h_new
+        st_new, ys = jax.lax.scan(step, st, x_proj)
+        new_states.append(st_new)
+        out = ys
+    return out, new_states

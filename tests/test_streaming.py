@@ -1,0 +1,86 @@
+"""Streaming recognition: chunked forward with state carry must match
+offline full-utterance greedy decoding exactly (unidirectional models)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kaldi_ctc_tpu.decoding.greedy import greedy_decode
+from kaldi_ctc_tpu.decoding.streaming import StreamingRecognizer
+from kaldi_ctc_tpu.models.acoustic import AmConfig, am_forward, init_am_params
+from kaldi_ctc_tpu.ops.rnn import (
+    RnnMode,
+    init_stream_state,
+    rnn_forward,
+    rnn_forward_stream,
+)
+
+T, D, H = 37, 6, 12
+
+
+def _cfg(mode):
+    return AmConfig(input_dim=D, num_targets=5, hidden_dim=H, num_layers=2,
+                    mode=mode, bidirectional=False)
+
+
+@pytest.mark.parametrize("mode", [RnnMode.LSTM, RnnMode.GRU, RnnMode.TANH])
+def test_stream_forward_matches_full(mode):
+    cfg = _cfg(mode)
+    params = init_am_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, 1, D)).astype(np.float32))
+
+    y_full = rnn_forward(params["rnn"], x, cfg.rnn,
+                         jnp.full((1,), T, jnp.int32))
+    states = init_stream_state(cfg.rnn, 1)
+    outs = []
+    for lo in range(0, T, 10):
+        y, states = rnn_forward_stream(params["rnn"], x[lo:lo + 10],
+                                       cfg.rnn, states)
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=0)
+    np.testing.assert_allclose(np.asarray(y_stream), np.asarray(y_full),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("chunk", [7, 10, 37])
+def test_recognizer_matches_offline_greedy(chunk):
+    cfg = _cfg(RnnMode.LSTM)
+    params = init_am_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    # peaky features so argmax labels vary across frames
+    feats = (rng.standard_normal((T, D)) * 2).astype(np.float32)
+
+    logits = am_forward(params, jnp.asarray(feats)[None], cfg,
+                        input_lens=jnp.full((1,), T, jnp.int32))
+    scores = jax.nn.log_softmax(logits, axis=-1)
+    labels, lens = greedy_decode(scores, jnp.full((1,), T, jnp.int32))
+    offline = list(np.asarray(labels)[0][: int(np.asarray(lens)[0])])
+
+    rec = StreamingRecognizer(params, cfg)
+    for lo in range(0, T, chunk):
+        rec.process(feats[lo:lo + chunk])
+    assert rec.finalize() == offline
+
+
+def test_recognizer_rejects_bidirectional():
+    cfg = AmConfig(input_dim=D, num_targets=5, hidden_dim=H, num_layers=1,
+                   mode=RnnMode.LSTM, bidirectional=True)
+    params = init_am_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError):
+        StreamingRecognizer(params, cfg)
+
+
+def test_reset():
+    cfg = _cfg(RnnMode.GRU)
+    params = init_am_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    feats = (rng.standard_normal((20, D)) * 2).astype(np.float32)
+    rec = StreamingRecognizer(params, cfg)
+    rec.process(feats)
+    first = rec.finalize()
+    rec.reset()
+    rec.process(feats)
+    assert rec.finalize() == first
