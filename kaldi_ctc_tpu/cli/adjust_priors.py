@@ -32,6 +32,8 @@ def kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
 
 
 def parse_args(argv=None):
+    from kaldi_ctc_tpu.utils.options import expand_config_args
+    argv = expand_config_args(argv)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dir", required=True, help="experiment directory")
     p.add_argument("--google-prior-const", type=float, default=0.0,

@@ -14,6 +14,8 @@ import os
 
 
 def parse_args(argv=None):
+    from kaldi_ctc_tpu.utils.options import expand_config_args
+    argv = expand_config_args(argv)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dir", required=True, help="experiment dir")
     p.add_argument("--steps", type=int, nargs="+", required=True,

@@ -25,6 +25,11 @@ def parse_args(argv=None):
     p.add_argument("--out", required=True,
                    help="output like ark,scp:feats.ark,feats.scp")
     p.add_argument("--compress", type=int, default=1)
+    p.add_argument("--speed-perturb", default=None,
+                   help="comma list of speed factors, e.g. 0.9,1.0,1.1 "
+                        "(the recipe's 3-way perturbation, "
+                        "run_ctc_phone.sh stage 0); perturbed copies get "
+                        "Kaldi-style 'spFACTOR-' key prefixes")
     return p.parse_args(argv)
 
 
@@ -63,16 +68,26 @@ def main(argv=None):
         opts = FbankOptions(frame_opts=frame_opts, mel_opts=mel)
         compute = compute_fbank
 
+    factors = ([float(x) for x in args.speed_perturb.split(",")]
+               if args.speed_perturb else [1.0])
+
+    from kaldi_ctc_tpu.features.resample import speed_perturb
+
     n = 0
     with MatrixWriter(args.out, compress=bool(args.compress)) as w:
         for key, path in SequentialTextReader(args.wav_scp):
             samples, rate = read_wave(path.strip())
-            wave = jnp.asarray(samples[0])
-            key_rng = (jax.random.PRNGKey(args.seed + hash(key) % (2 ** 31))
-                       if args.dither > 0 else None)
-            feats = np.asarray(compute(wave, opts, dither_key=key_rng))
-            w[key] = feats
-            n += 1
+            for factor in factors:
+                wave_np = speed_perturb(samples[0], rate, factor)
+                wave = jnp.asarray(wave_np)
+                out_key = (key if factor == 1.0
+                           else f"sp{factor:g}-{key}")
+                key_rng = (jax.random.PRNGKey(
+                    args.seed + hash(out_key) % (2 ** 31))
+                    if args.dither > 0 else None)
+                feats = np.asarray(compute(wave, opts, dither_key=key_rng))
+                w[out_key] = feats
+                n += 1
     log.info("wrote %d feature matrices", n)
 
 

@@ -18,6 +18,8 @@ import sys
 
 
 def parse_args(argv=None):
+    from kaldi_ctc_tpu.utils.options import expand_config_args
+    argv = expand_config_args(argv)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--feats", default=None)
     p.add_argument("--ali", default=None)

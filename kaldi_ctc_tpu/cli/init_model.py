@@ -18,6 +18,8 @@ import numpy as np
 
 
 def parse_args(argv=None):
+    from kaldi_ctc_tpu.utils.options import expand_config_args
+    argv = expand_config_args(argv)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dir", required=True)
     p.add_argument("--input-dim", type=int, required=True)

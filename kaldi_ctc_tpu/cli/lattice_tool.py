@@ -21,6 +21,8 @@ import numpy as np
 
 
 def parse_args(argv=None):
+    from kaldi_ctc_tpu.utils.options import expand_config_args
+    argv = expand_config_args(argv)
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

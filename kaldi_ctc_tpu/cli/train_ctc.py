@@ -28,6 +28,8 @@ import jax.numpy as jnp
 
 
 def parse_args(argv=None):
+    from kaldi_ctc_tpu.utils.options import expand_config_args
+    argv = expand_config_args(argv)
     p = argparse.ArgumentParser(description=__doc__)
     # data
     p.add_argument("--feats", default=None, help="feats rspecifier (ark:/scp:)")

@@ -185,3 +185,16 @@ def test_perturb_examples():
     assert corr > 0.9, corr
     # labels unchanged
     np.testing.assert_array_equal(out[0].labels, egs[0].labels)
+
+
+def test_expand_config_args(tmp_path):
+    from kaldi_ctc_tpu.utils.options import expand_config_args
+    cfg = tmp_path / "opts.conf"
+    cfg.write_text("--hidden-dim=64  # comment\n\n--momentum 0.5\n")
+    out = expand_config_args(
+        ["--feats", "x", "--config", str(cfg), "--hidden-dim", "32"])
+    # config tokens first, explicit flags later (override in argparse)
+    assert out == ["--hidden-dim=64", "--momentum", "0.5",
+                   "--feats", "x", "--hidden-dim", "32"]
+    out2 = expand_config_args([f"--config={cfg}"])
+    assert out2 == ["--hidden-dim=64", "--momentum", "0.5"]

@@ -47,3 +47,37 @@ def test_speed_perturb_changes_length_and_pitch(factor):
     # playing faster raises pitch by the same factor
     f = _dominant_freq(y, rate)
     assert abs(f - 440.0 * factor) < 8.0, f
+
+
+def test_compute_feats_speed_perturb(tmp_path):
+    """3-way perturbation through the CLI: 3x keys, sp-prefixed."""
+    import io as _io
+    import struct
+    import wave as wavemod
+
+    import numpy as np
+
+    from kaldi_ctc_tpu.cli import compute_feats
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    # write a small 16 kHz wav
+    rate = 16000
+    t = np.arange(int(0.3 * rate))
+    samples = (5000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    wav = tmp_path / "a.wav"
+    with wavemod.open(str(wav), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    scp = tmp_path / "wav.scp"
+    scp.write_text(f"utt1 {wav}\n")
+    out = tmp_path / "feats.ark"
+    compute_feats.main([
+        "--wav-scp", str(scp), "--type", "fbank",
+        "--out", f"ark:{out}", "--compress", "0",
+        "--speed-perturb", "0.9,1.0,1.1",
+    ])
+    feats = dict(kaldi_io.SequentialMatrixReader(f"ark:{out}"))
+    assert set(feats) == {"utt1", "sp0.9-utt1", "sp1.1-utt1"}
+    # slower audio (factor 0.9) has more frames; faster has fewer
+    assert feats["sp0.9-utt1"].shape[0] > feats["utt1"].shape[0]
+    assert feats["sp1.1-utt1"].shape[0] < feats["utt1"].shape[0]
