@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--wfst-beam", type=float, default=16.0,
                    help="decoding beam (run_ctc_phone.sh uses 20)")
     p.add_argument("--max-active", type=int, default=7000)
+    p.add_argument("--decode-threads", type=int, default=0,
+                   help="native decoder threads for wfst batch decode "
+                        "(0 = hardware concurrency)")
     p.add_argument("--beam", type=int, default=8)
     p.add_argument("--prune-k", type=int, default=8)
     p.add_argument("--acoustic-scale", type=float, default=1.0)
@@ -176,9 +179,9 @@ def main(argv=None):
         with profiling.profiler.track("am_forward"):
             scores, skip = forward(model_params, feats, lens)
         if args.method == "wfst":
-            from kaldi_ctc_tpu.decoding.wfst import decode_best_path
             scores_np = np.asarray(scores)
             skip_np = np.asarray(skip)
+            todo = []     # (key, rows) with blank-threshold frames dropped
             for j, e in enumerate(group):
                 t = int(batch["input_lens"][j])
                 # drop blank-threshold frames exactly like the reference
@@ -187,8 +190,17 @@ def main(argv=None):
                 if rows.shape[0] == 0:
                     hyps[e.key] = []
                     continue
-                if lat_writer is not None:
-                    from kaldi_ctc_tpu.decoding.lattice import decode_lattice
+                todo.append((e.key, rows))
+
+            def emit(key, words):
+                if word_syms is not None:
+                    hyps[key] = [word_syms.get(w, str(w)) for w in words]
+                else:
+                    hyps[key] = list(map(int, words))
+
+            if lat_writer is not None:
+                from kaldi_ctc_tpu.decoding.lattice import decode_lattice
+                for key, rows in todo:
                     lat = decode_lattice(
                         graph, rows, ilabel_map=ilabel_map,
                         beam=args.wfst_beam, max_active=args.max_active,
@@ -200,19 +212,22 @@ def main(argv=None):
                         clat = determinize_lattice_pruned(
                             lat, det_beam=args.lattice_beam)
                         write_compact_lattice_text(
-                            lat_writer._f, e.key, clat)
+                            lat_writer._f, key, clat)
                         words, _, _ = clat.best_path()
                     else:
-                        lat_writer[e.key] = lat
+                        lat_writer[key] = lat
                         words, _, _ = lat.best_path()
-                else:
-                    words, _, _, _ = decode_best_path(
-                        graph, rows, ilabel_map=ilabel_map,
-                        beam=args.wfst_beam, max_active=args.max_active)
-                if word_syms is not None:
-                    hyps[e.key] = [word_syms.get(w, str(w)) for w in words]
-                else:
-                    hyps[e.key] = list(map(int, words))
+                    emit(key, words)
+            elif todo:
+                # threaded native batch decode (nj-parallel analogue)
+                from kaldi_ctc_tpu.decoding.wfst import decode_best_path_batch
+                results = decode_best_path_batch(
+                    graph, [rows for _, rows in todo],
+                    ilabel_map=ilabel_map, beam=args.wfst_beam,
+                    max_active=args.max_active,
+                    num_threads=args.decode_threads)
+                for (key, _), (words, _, _, ok) in zip(todo, results):
+                    emit(key, words if ok else [])
         else:
             if args.method == "greedy":
                 labels, out_lens = greedy_decode(scores, lens)

@@ -15,7 +15,8 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["NativeFst", "decode_best_path", "ensure_built"]
+__all__ = ["NativeFst", "decode_best_path", "decode_best_path_batch",
+           "ensure_built"]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libctc_native.so")
 _NATIVE_DIR = os.path.normpath(
@@ -65,6 +66,17 @@ def _load():
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.c_float, ctypes.c_int32, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+    lib.ctcn_decode_best_path_batch.restype = ctypes.c_int
+    lib.ctcn_decode_best_path_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_float, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -197,3 +209,59 @@ def decode_best_path(
         raise RuntimeError("decode failed (all tokens pruned?)")
     return (words[: n_words.value].copy(), align[: n_align.value].copy(),
             float(cost.value), bool(final.value))
+
+
+def decode_best_path_batch(
+    fst: NativeFst,
+    scores_list,                        # sequence of [T_u, A] arrays
+    ilabel_map: Optional[np.ndarray] = None,
+    beam: float = 16.0,
+    max_active: int = 7000,
+    acoustic_scale: float = 1.0,
+    num_threads: int = 0,
+):
+    """Decode many utterances across native worker threads (the
+    in-process analogue of decode.sh's nj-way parallel jobs).
+
+    -> list of (words, alignment, total_cost, ok) per utterance."""
+    lib = _load()
+    scores_list = [np.ascontiguousarray(s, np.float32) for s in scores_list]
+    if not scores_list:
+        return []
+    a = scores_list[0].shape[1]
+    offsets = np.zeros(len(scores_list) + 1, np.int64)
+    for i, s in enumerate(scores_list):
+        if s.shape[1] != a:
+            raise ValueError("inconsistent score widths")
+        offsets[i + 1] = offsets[i] + s.shape[0]
+    packed = (np.concatenate(scores_list, axis=0)
+              if len(scores_list) > 1 else scores_list[0])
+    packed = np.ascontiguousarray(packed, np.float32)
+    if ilabel_map is None:
+        ilabel_map = np.concatenate(
+            [[-1], np.arange(a, dtype=np.int32)]).astype(np.int32)
+    ilabel_map = np.ascontiguousarray(ilabel_map, np.int32)
+    n = len(scores_list)
+    max_out = int(max(s.shape[0] for s in scores_list)) + 8
+    words = np.zeros((n, max_out), np.int32)
+    align = np.zeros((n, max_out), np.int32)
+    n_words = np.zeros(n, np.int64)
+    n_align = np.zeros(n, np.int64)
+    costs = np.zeros(n, np.float32)
+    ok = np.zeros(n, np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    f32 = ctypes.POINTER(ctypes.c_float)
+    lib.ctcn_decode_best_path_batch(
+        fst._h, packed.ctypes.data_as(f32), offsets.ctypes.data_as(i64),
+        n, a, ilabel_map.ctypes.data_as(i32), ilabel_map.shape[0],
+        beam, max_active, acoustic_scale, num_threads,
+        words.ctypes.data_as(i32), max_out, n_words.ctypes.data_as(i64),
+        align.ctypes.data_as(i32), max_out, n_align.ctypes.data_as(i64),
+        costs.ctypes.data_as(f32), ok.ctypes.data_as(i32))
+    out = []
+    for u in range(n):
+        out.append((words[u, : n_words[u]].copy(),
+                    align[u, : n_align[u]].copy(),
+                    float(costs[u]), bool(ok[u])))
+    return out

@@ -102,6 +102,40 @@ int ctcn_decode_best_path(void* fst_ptr, const float* scores,
   return 0;
 }
 
+// Threaded batch decode.  words_out/align_out are [num_utts, max_len]
+// row-major; lengths reported per utterance (truncated to max_len).
+// ok_out[u] = 1 on success.  Returns the success count.
+int ctcn_decode_best_path_batch(
+    void* fst_ptr, const float* scores, const int64_t* frame_offsets,
+    int64_t num_utts, int64_t num_cols, const int32_t* ilabel_map,
+    int64_t map_size, float beam, int32_t max_active, float acoustic_scale,
+    int num_threads, int32_t* words_out, int64_t max_words,
+    int64_t* num_words, int32_t* align_out, int64_t max_align,
+    int64_t* num_align, float* total_costs, int32_t* ok_out) {
+  const Fst& fst = *static_cast<Fst*>(fst_ptr);
+  DecodeOptions opts;
+  opts.beam = beam;
+  opts.max_active = max_active;
+  opts.acoustic_scale = acoustic_scale;
+  std::vector<DecodeResult> results;
+  std::vector<int> ok;
+  int n_ok = DecodeBestPathBatch(fst, scores, frame_offsets, num_utts,
+                                 num_cols, ilabel_map, map_size, opts,
+                                 &results, &ok, num_threads);
+  for (int64_t u = 0; u < num_utts; ++u) {
+    const DecodeResult& r = results[u];
+    num_words[u] = (int64_t)r.words.size();
+    num_align[u] = (int64_t)r.alignment.size();
+    total_costs[u] = r.total_cost;
+    ok_out[u] = ok[u];
+    for (int64_t i = 0; i < std::min<int64_t>(num_words[u], max_words); ++i)
+      words_out[u * max_words + i] = r.words[i];
+    for (int64_t i = 0; i < std::min<int64_t>(num_align[u], max_align); ++i)
+      align_out[u * max_align + i] = r.alignment[i];
+  }
+  return n_ok;
+}
+
 // ---- Lattice generation ----
 
 void* ctcn_decode_lattice(void* fst_ptr, const float* scores,

@@ -5,7 +5,8 @@
 #include <cstring>
 #include <deque>
 #include <limits>
-#include <unordered_map>
+#include <thread>
+#include <vector>
 
 namespace ctc_native {
 
@@ -25,47 +26,77 @@ struct Token {
   int32_t bp = -1;
 };
 
-using TokenMap = std::unordered_map<int32_t, Token>;
+// Dense token store: per-state slots validated by an epoch stamp, plus a
+// list of active states.  Replaces the hash map on the hot path — O(1)
+// lookup with no hashing/allocation (the hash-list idea of Kaldi's
+// decoder taken to its dense limit; fine for CTC graph sizes where
+// 12 bytes/state of resident memory is cheap).
+class TokenStore {
+ public:
+  explicit TokenStore(int64_t num_states)
+      : toks_(num_states), stamp_(num_states, -1), epoch_(0) {}
 
-// Histogram-style cutoff: if tokens exceed max_active, find the cost of
-// the max_active-th best and tighten the beam to it (the adaptive-beam
-// idea of LatticeFasterDecoder::GetCutoff).
-float GetCutoff(const TokenMap& toks, const DecodeOptions& opts,
-                float best_cost) {
+  void Clear() {
+    ++epoch_;
+    active_.clear();
+  }
+
+  bool Has(int32_t s) const { return stamp_[s] == epoch_; }
+
+  Token& Get(int32_t s) {            // inserts (fresh) if absent
+    if (stamp_[s] != epoch_) {
+      stamp_[s] = epoch_;
+      toks_[s] = Token();
+      active_.push_back(s);
+    }
+    return toks_[s];
+  }
+
+  const std::vector<int32_t>& Active() const { return active_; }
+  Token& At(int32_t s) { return toks_[s]; }
+  size_t Size() const { return active_.size(); }
+
+ private:
+  std::vector<Token> toks_;
+  std::vector<int32_t> stamp_;
+  std::vector<int32_t> active_;
+  int32_t epoch_;
+};
+
+float GetCutoff(TokenStore& toks, const DecodeOptions& opts,
+                float best_cost, std::vector<float>* scratch) {
   float beam_cutoff = best_cost + opts.beam;
   if (opts.max_active <= 0 ||
-      (int64_t)toks.size() <= (int64_t)opts.max_active)
+      (int64_t)toks.Size() <= (int64_t)opts.max_active)
     return beam_cutoff;
-  std::vector<float> costs;
-  costs.reserve(toks.size());
-  for (const auto& kv : toks) costs.push_back(kv.second.cost);
-  std::nth_element(costs.begin(), costs.begin() + opts.max_active - 1,
-                   costs.end());
-  float active_cutoff = costs[opts.max_active - 1];
+  scratch->clear();
+  for (int32_t s : toks.Active()) scratch->push_back(toks.At(s).cost);
+  std::nth_element(scratch->begin(),
+                   scratch->begin() + opts.max_active - 1, scratch->end());
+  float active_cutoff = (*scratch)[opts.max_active - 1];
   return std::min(beam_cutoff, active_cutoff);
 }
 
 void ProcessNonemitting(const Fst& fst, float cutoff,
-                        std::vector<BackPtr>* arena, TokenMap* toks) {
-  // epsilon closure with improvement-only relaxation
-  std::deque<int32_t> queue;
-  for (const auto& kv : *toks) queue.push_back(kv.first);
-  while (!queue.empty()) {
-    int32_t s = queue.front();
-    queue.pop_front();
-    const Token tok = (*toks)[s];
+                        std::vector<BackPtr>* arena, TokenStore* toks,
+                        std::deque<int32_t>* queue) {
+  queue->assign(toks->Active().begin(), toks->Active().end());
+  while (!queue->empty()) {
+    int32_t s = queue->front();
+    queue->pop_front();
+    const Token tok = toks->At(s);
     if (tok.cost > cutoff) continue;
     for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
       const Arc& a = fst.arcs[i];
       if (a.ilabel != 0) continue;
       float nc = tok.cost + a.weight;
       if (nc >= cutoff) continue;
-      Token& nt = (*toks)[a.nextstate];
+      Token& nt = toks->Get(a.nextstate);
       if (nc < nt.cost) {
         nt.cost = nc;
         arena->push_back({tok.bp, 0, a.olabel});
         nt.bp = (int32_t)arena->size() - 1;
-        queue.push_back(a.nextstate);
+        queue->push_back(a.nextstate);
       }
     }
   }
@@ -80,22 +111,25 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
   if (fst.start < 0) return false;
   std::vector<BackPtr> arena;
   arena.reserve(1 << 16);
-  TokenMap cur;
-  cur[(int32_t)fst.start] = Token{0.0f, -1};
-  ProcessNonemitting(fst, opts.beam, &arena, &cur);
+  TokenStore cur(fst.NumStates());
+  TokenStore next(fst.NumStates());
+  std::deque<int32_t> queue;
+  std::vector<float> cutoff_scratch;
 
-  TokenMap next;
+  cur.Clear();
+  cur.Get((int32_t)fst.start).cost = 0.0f;
+  ProcessNonemitting(fst, opts.beam, &arena, &cur, &queue);
+
   for (int64_t t = 0; t < num_frames; ++t) {
     const float* row = scores + t * num_cols;
     float best = kInf;
-    for (const auto& kv : cur) best = std::min(best, kv.second.cost);
-    float cutoff = GetCutoff(cur, opts, best);
+    for (int32_t s : cur.Active()) best = std::min(best, cur.At(s).cost);
+    float cutoff = GetCutoff(cur, opts, best, &cutoff_scratch);
 
-    next.clear();
+    next.Clear();
     float next_best = kInf;
-    for (const auto& kv : cur) {
-      const int32_t s = kv.first;
-      const Token& tok = kv.second;
+    for (int32_t s : cur.Active()) {
+      const Token tok = cur.At(s);
       if (tok.cost > cutoff) continue;
       for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
         const Arc& a = fst.arcs[i];
@@ -105,7 +139,7 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
         if (col < 0 || col >= num_cols) continue;
         float acoustic = -opts.acoustic_scale * row[col];
         float nc = tok.cost + a.weight + acoustic;
-        Token& nt = next[a.nextstate];
+        Token& nt = next.Get(a.nextstate);
         if (nc < nt.cost) {
           nt.cost = nc;
           arena.push_back({tok.bp, a.ilabel, a.olabel});
@@ -114,8 +148,8 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
         }
       }
     }
-    if (next.empty()) return false;  // pruned everything: decode failure
-    ProcessNonemitting(fst, next_best + opts.beam, &arena, &next);
+    if (next.Size() == 0) return false;  // pruned everything
+    ProcessNonemitting(fst, next_best + opts.beam, &arena, &next, &queue);
     std::swap(cur, next);
   }
 
@@ -123,10 +157,10 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
   // LatticeFasterDecoder: best token regardless of finality if none final)
   float best_final = kInf, best_any = kInf;
   int32_t bp_final = -1, bp_any = -1;
-  for (const auto& kv : cur) {
-    const Token& tok = kv.second;
+  for (int32_t s : cur.Active()) {
+    const Token& tok = cur.At(s);
     if (tok.cost < best_any) { best_any = tok.cost; bp_any = tok.bp; }
-    float fw = fst.final_weight[kv.first];
+    float fw = fst.final_weight[s];
     if (fw != kInf && tok.cost + fw < best_final) {
       best_final = tok.cost + fw;
       bp_final = tok.bp;
@@ -147,6 +181,39 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
   std::reverse(result->words.begin(), result->words.end());
   std::reverse(result->alignment.begin(), result->alignment.end());
   return true;
+}
+
+int DecodeBestPathBatch(const Fst& fst, const float* scores,
+                        const int64_t* frame_offsets, int64_t num_utts,
+                        int64_t num_cols, const int32_t* ilabel_map,
+                        int64_t map_size, const DecodeOptions& opts,
+                        std::vector<DecodeResult>* results,
+                        std::vector<int>* ok_flags, int num_threads) {
+  results->assign(num_utts, DecodeResult());
+  std::vector<int>& ok = *ok_flags;
+  ok.assign(num_utts, 0);
+  if (num_threads <= 0) {
+    num_threads = (int)std::thread::hardware_concurrency();
+    if (num_threads <= 0) num_threads = 1;
+  }
+  num_threads = (int)std::min<int64_t>(num_threads, num_utts);
+
+  auto worker = [&](int tid) {
+    for (int64_t u = tid; u < num_utts; u += num_threads) {
+      int64_t lo = frame_offsets[u], hi = frame_offsets[u + 1];
+      ok[u] = DecodeBestPath(fst, scores + lo * num_cols, hi - lo,
+                             num_cols, ilabel_map, map_size, opts,
+                             &(*results)[u])
+                  ? 1 : 0;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 1; i < num_threads; ++i) threads.emplace_back(worker, i);
+  worker(0);
+  for (auto& th : threads) th.join();
+  int n_ok = 0;
+  for (int64_t u = 0; u < num_utts; ++u) n_ok += ok[u];
+  return n_ok;
 }
 
 }  // namespace ctc_native

@@ -41,4 +41,17 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
                     int64_t map_size, const DecodeOptions& opts,
                     DecodeResult* result);
 
+// Decode a batch of utterances across worker threads (the in-process
+// analogue of decode.sh's nj-way parallel jobs, steps/ctc/decode.sh:
+// 151-164).  scores holds the utterances back-to-back; utterance u spans
+// rows [frame_offsets[u], frame_offsets[u+1]).  Returns the number of
+// utterances decoded successfully; per-utterance failures leave an empty
+// DecodeResult.  num_threads <= 0 means hardware concurrency.
+int DecodeBestPathBatch(const Fst& fst, const float* scores,
+                        const int64_t* frame_offsets, int64_t num_utts,
+                        int64_t num_cols, const int32_t* ilabel_map,
+                        int64_t map_size, const DecodeOptions& opts,
+                        std::vector<DecodeResult>* results,
+                        std::vector<int>* ok_flags, int num_threads);
+
 }  // namespace ctc_native

@@ -4,8 +4,8 @@
 #include <cmath>
 #include <deque>
 #include <limits>
-#include <unordered_map>
 #include <unordered_set>
+#include <vector>
 
 namespace ctc_native {
 
@@ -40,16 +40,48 @@ struct Builder {
   }
 };
 
-using StateMap = std::unordered_map<int32_t, int32_t>;  // graph state -> tok
+// Dense state->token map with epoch stamping (same idea as the
+// best-path decoder's TokenStore: no hashing on the hot path).
+class StateMap {
+ public:
+  explicit StateMap(int64_t num_states)
+      : tok_(num_states, -1), stamp_(num_states, -1), epoch_(0) {}
+
+  void Clear() {
+    ++epoch_;
+    active_.clear();
+  }
+
+  bool Has(int32_t s) const { return stamp_[s] == epoch_; }
+
+  int32_t Get(int32_t s) const { return tok_[s]; }
+
+  void Put(int32_t s, int32_t tid) {
+    if (stamp_[s] != epoch_) {
+      stamp_[s] = epoch_;
+      active_.push_back(s);
+    }
+    tok_[s] = tid;
+  }
+
+  const std::vector<int32_t>& Active() const { return active_; }
+  size_t Size() const { return active_.size(); }
+
+ private:
+  std::vector<int32_t> tok_;
+  std::vector<int32_t> stamp_;
+  std::vector<int32_t> active_;
+  int32_t epoch_;
+};
 
 float LatCutoff(const StateMap& m, const Builder& b,
                 const LatticeOptions& opts, float best) {
   float beam_cutoff = best + opts.beam;
-  if (opts.max_active <= 0 || (int64_t)m.size() <= (int64_t)opts.max_active)
+  if (opts.max_active <= 0 || (int64_t)m.Size() <= (int64_t)opts.max_active)
     return beam_cutoff;
   std::vector<float> costs;
-  costs.reserve(m.size());
-  for (const auto& kv : m) costs.push_back(b.tokens[kv.second].alpha);
+  costs.reserve(m.Size());
+  for (int32_t s : m.Active()) costs.push_back(b.tokens[m.Get(s)].alpha);
   std::nth_element(costs.begin(), costs.begin() + opts.max_active - 1,
                    costs.end());
   return std::min(beam_cutoff, costs[opts.max_active - 1]);
@@ -60,13 +92,13 @@ float LatCutoff(const StateMap& m, const Builder& b,
 // the cutoff adds a link so alternative epsilon paths survive into the
 // lattice.
 void LatProcessNonemitting(const Fst& fst, float cutoff, int32_t frame,
-                           Builder* b, StateMap* m) {
-  std::deque<int32_t> queue;
-  for (const auto& kv : *m) queue.push_back(kv.first);
-  while (!queue.empty()) {
-    int32_t s = queue.front();
-    queue.pop_front();
-    int32_t tid = (*m)[s];
+                           Builder* b, StateMap* m,
+                           std::deque<int32_t>* queue) {
+  queue->assign(m->Active().begin(), m->Active().end());
+  while (!queue->empty()) {
+    int32_t s = queue->front();
+    queue->pop_front();
+    int32_t tid = m->Get(s);
     float cost = b->tokens[tid].alpha;
     if (cost > cutoff) continue;
     for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
@@ -74,18 +106,17 @@ void LatProcessNonemitting(const Fst& fst, float cutoff, int32_t frame,
       if (a.ilabel != 0) continue;
       float nc = cost + a.weight;
       if (nc >= cutoff) continue;
-      auto it = m->find(a.nextstate);
       int32_t nt;
-      if (it == m->end()) {
+      if (!m->Has(a.nextstate)) {
         nt = b->NewToken(frame);
-        (*m)[a.nextstate] = nt;
+        m->Put(a.nextstate, nt);
       } else {
-        nt = it->second;
+        nt = m->Get(a.nextstate);
       }
       b->links.push_back(LatLink{tid, nt, 0, a.olabel, a.weight, 0.0f});
       if (nc < b->tokens[nt].alpha) {
         b->tokens[nt].alpha = nc;
-        queue.push_back(a.nextstate);
+        queue->push_back(a.nextstate);
       }
     }
   }
@@ -99,27 +130,29 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
                    RawLattice* out) {
   if (fst.start < 0) return false;
   Builder b;
-  StateMap cur;
+  StateMap cur(fst.NumStates());
+  StateMap next(fst.NumStates());
+  std::deque<int32_t> queue;
+  cur.Clear();
+  next.Clear();
   int32_t t0 = b.NewToken(0);
   b.tokens[t0].alpha = 0.0f;
-  cur[(int32_t)fst.start] = t0;
-  LatProcessNonemitting(fst, opts.beam, 0, &b, &cur);
+  cur.Put((int32_t)fst.start, t0);
+  LatProcessNonemitting(fst, opts.beam, 0, &b, &cur, &queue);
 
-  StateMap next;
   for (int64_t t = 0; t < num_frames; ++t) {
     const float* row = scores + t * num_cols;
     float best = kInf;
-    for (const auto& kv : cur)
-      best = std::min(best, b.tokens[kv.second].alpha);
+    for (int32_t s : cur.Active())
+      best = std::min(best, b.tokens[cur.Get(s)].alpha);
     float cutoff = LatCutoff(cur, b, opts, best);
 
-    next.clear();
+    next.Clear();
     float next_best = kInf;
-    for (const auto& kv : cur) {
-      int32_t tid = kv.second;
+    for (int32_t s : cur.Active()) {
+      int32_t tid = cur.Get(s);
       float cost = b.tokens[tid].alpha;
       if (cost > cutoff) continue;
-      const int32_t s = kv.first;
       for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
         const Arc& a = fst.arcs[i];
         if (a.ilabel == 0) continue;
@@ -128,13 +161,12 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
         if (col < 0 || col >= num_cols) continue;
         float acoustic = -opts.acoustic_scale * row[col];
         float nc = cost + a.weight + acoustic;
-        auto it = next.find(a.nextstate);
         int32_t nt;
-        if (it == next.end()) {
+        if (!next.Has(a.nextstate)) {
           nt = b.NewToken((int32_t)t + 1);
-          next[a.nextstate] = nt;
+          next.Put(a.nextstate, nt);
         } else {
-          nt = it->second;
+          nt = next.Get(a.nextstate);
         }
         b.links.push_back(
             LatLink{tid, nt, a.ilabel, a.olabel, a.weight, acoustic});
@@ -144,9 +176,9 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
         }
       }
     }
-    if (next.empty()) return false;
+    if (next.Size() == 0) return false;
     LatProcessNonemitting(fst, next_best + opts.beam, (int32_t)t + 1, &b,
-                          &next);
+                          &next, &queue);
     std::swap(cur, next);
   }
 
@@ -155,15 +187,15 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
   // use_final_probs=false fallback).
   std::vector<float> final_cost(b.tokens.size(), kInf);
   bool reached_final = false;
-  for (const auto& kv : cur) {
-    float fw = fst.final_weight[kv.first];
+  for (int32_t s : cur.Active()) {
+    float fw = fst.final_weight[s];
     if (fw != kInf) {
-      final_cost[kv.second] = fw;
+      final_cost[cur.Get(s)] = fw;
       reached_final = true;
     }
   }
   if (!reached_final)
-    for (const auto& kv : cur) final_cost[kv.second] = 0.0f;
+    for (int32_t s : cur.Active()) final_cost[cur.Get(s)] = 0.0f;
 
   // Exact alpha: the search kept Viterbi alpha, but link recording may
   // include links added before their source improved.  Recompute alpha by

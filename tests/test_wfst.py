@@ -159,3 +159,24 @@ def test_decode_failure_on_impossible():
     with pytest.raises(RuntimeError):
         decode_best_path(fst, _scores([0], num_cols=2),
                          ilabel_map=ilabel_map)
+
+
+def test_batch_decode_matches_single():
+    from kaldi_ctc_tpu.decoding.wfst import decode_best_path_batch
+    fst = _chain_fst([1, 2, 3])
+    ilabel_map = np.asarray([-1, 1, 2, 3], np.int32)
+    rng = np.random.default_rng(5)
+    scores_list = []
+    for _ in range(3):   # chain consumes exactly 3 frames; vary the noise
+        s = _scores([1, 2, 3], num_cols=4)
+        scores_list.append(s + rng.standard_normal(s.shape).astype(
+            np.float32) * 0.1)
+    singles = [decode_best_path(fst, s, ilabel_map=ilabel_map)
+               for s in scores_list]
+    batched = decode_best_path_batch(fst, scores_list,
+                                     ilabel_map=ilabel_map, num_threads=2)
+    for (w0, a0, c0, f0), (w1, a1, c1, ok) in zip(singles, batched):
+        assert ok
+        assert list(w0) == list(w1)
+        assert list(a0) == list(a1)
+        assert abs(c0 - c1) < 1e-5
