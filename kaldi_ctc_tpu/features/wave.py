@@ -16,8 +16,25 @@ __all__ = ["read_wave"]
 
 
 def read_wave(path: str) -> Tuple[np.ndarray, float]:
-    """Read a wav file → (samples [channels, n] float32, sample_rate)."""
+    """Read a wav file → (samples [channels, n] float32, sample_rate).
+
+    Accepts Kaldi extended filenames: a trailing ``|`` runs the entry as
+    a shell pipeline and reads the wav from its stdout (the wav.scp
+    ``flac -c -d ... |`` idiom of the librispeech recipes,
+    util/kaldi-io pipe inputs)."""
+    if path.rstrip().endswith("|"):
+        import io
+        import subprocess
+        proc = subprocess.run(path.rstrip().rstrip("|"), shell=True,
+                              stdout=subprocess.PIPE, check=True)
+        f = io.BytesIO(proc.stdout)
+        return _read_wave_stream(f, path)
     with open(path, "rb") as f:
+        return _read_wave_stream(f, path)
+
+
+def _read_wave_stream(f, path: str) -> Tuple[np.ndarray, float]:
+    if True:
         riff = f.read(12)
         if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
@@ -28,7 +45,13 @@ def read_wave(path: str) -> Tuple[np.ndarray, float]:
             if len(hdr) < 8:
                 break
             chunk_id, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-            payload = f.read(size)
+            if chunk_id == b"data" and size in (0, 0xFFFFFFFF):
+                # streamed writers can't seek back to fix the size;
+                # read to EOF like Kaldi's wave reader does
+                payload = f.read()
+                size = len(payload)
+            else:
+                payload = f.read(size)
             if size % 2:
                 f.read(1)
             if chunk_id == b"fmt ":

@@ -195,3 +195,53 @@ def test_wave_reader_reference_fixture():
     assert feats.shape[0] == num_frames(samples.shape[1],
                                         FrameOptions(samp_freq=rate))
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_compute_cmvn_cli(tmp_path):
+    """Per-speaker stats accumulate across utterances; applying them
+    zero-means the pooled features."""
+    import io, contextlib
+
+    from kaldi_ctc_tpu.cli import compute_cmvn
+    from kaldi_ctc_tpu.features.cmvn import apply_cmvn
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    rng = np.random.default_rng(0)
+    fark = tmp_path / "f.ark"
+    utts = {}
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as w:
+        for i in range(4):
+            m = (rng.standard_normal((10 + i, 3)) + 5).astype(np.float32)
+            utts[f"u{i}"] = m
+            w[f"u{i}"] = m
+    u2s = tmp_path / "utt2spk"
+    u2s.write_text("u0 spkA\nu1 spkA\nu2 spkB\nu3 spkB\n")
+    out = tmp_path / "cmvn.ark"
+    compute_cmvn.main(["--feats", f"ark:{fark}", "--utt2spk", str(u2s),
+                       "--out", f"ark,scp:{out},{tmp_path}/cmvn.scp"])
+    stats = dict(kaldi_io.SequentialMatrixReader(f"ark:{out}"))
+    assert set(stats) == {"spkA", "spkB"}
+    assert stats["spkA"][0, -1] == 21  # 10 + 11 frames
+    pooled = np.concatenate([utts["u0"], utts["u1"]], axis=0)
+    normed = np.concatenate(
+        [np.asarray(apply_cmvn(utts["u0"], stats["spkA"])),
+         np.asarray(apply_cmvn(utts["u1"], stats["spkA"]))], axis=0)
+    np.testing.assert_allclose(normed.mean(axis=0), 0.0, atol=1e-4)
+
+
+def test_read_wave_pipe(tmp_path):
+    """wav.scp pipe entries (cmd |) stream through a shell pipeline."""
+    import wave as wavemod
+
+    from kaldi_ctc_tpu.features.wave import read_wave
+
+    rate = 8000
+    samples = (1000 * np.sin(np.arange(800) / 10.0)).astype(np.int16)
+    wav = tmp_path / "x.wav"
+    with wavemod.open(str(wav), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    direct, r1 = read_wave(str(wav))
+    piped, r2 = read_wave(f"cat {wav} |")
+    assert r1 == r2 == rate
+    np.testing.assert_array_equal(direct, piped)
