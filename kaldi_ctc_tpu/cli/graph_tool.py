@@ -28,6 +28,27 @@ def parse_args(argv=None):
     i = sub.add_parser("info", help="print graph statistics")
     i.add_argument("--graph", required=True)
 
+    t = sub.add_parser(
+        "make-tlg",
+        help="lexicon + ARPA LM -> CTC decoding graph (mono): "
+             "L compose G, CTC transform; the native mkgraph.sh --ctc "
+             "for monophone models")
+    t.add_argument("--lexicon", required=True,
+                   help="'word phone1 phone2 ...' lines")
+    t.add_argument("--arpa", required=True)
+    t.add_argument("--output", required=True, help="TLG.fst path")
+    t.add_argument("--phones", default=None,
+                   help="phones.txt (symbol id) fixing phone ids to the "
+                        "model's training labels; default: enumerate "
+                        "from the lexicon starting at 1")
+    t.add_argument("--sil-phone", default=None,
+                   help="optional inter-word silence phone")
+    t.add_argument("--sil-prob", type=float, default=0.5)
+    t.add_argument("--write-words", default=None,
+                   help="words.txt output (default <output>.words.txt)")
+    t.add_argument("--write-phones", default=None,
+                   help="phones.txt output (default <output>.phones.txt)")
+
     return p.parse_args(argv)
 
 
@@ -37,6 +58,46 @@ def main(argv=None):
 
     args = parse_args(argv)
     log = get_logger("graph_tool")
+
+    if args.cmd == "make-tlg":
+        from kaldi_ctc_tpu.lm import arpa_to_fst_arrays, parse_arpa
+        from kaldi_ctc_tpu.lm.lexicon import (
+            lexicon_to_fst_arrays, parse_lexicon)
+
+        lexicon = parse_lexicon(args.lexicon)
+        phone_to_id = None
+        if args.phones:
+            phone_to_id = {}
+            with open(args.phones) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        phone_to_id[parts[0]] = int(parts[1])
+        l_start, l_n, l_arcs, l_w, l_fin, phone_to_id, word_to_id = \
+            lexicon_to_fst_arrays(lexicon, phone_to_id=phone_to_id,
+                                  sil_phone=args.sil_phone,
+                                  sil_prob=args.sil_prob)
+        L = NativeFst.from_arrays(l_start, l_n, l_arcs, l_w, l_fin)
+        lm = parse_arpa(args.arpa)
+        g_start, g_n, g_arcs, g_w, g_fin, word_to_id = \
+            arpa_to_fst_arrays(lm, dict(word_to_id))
+        G = NativeFst.from_arrays(g_start, g_n, g_arcs, g_w, g_fin)
+        LG = L.compose(G)
+        # H step: self-loops (sustained frames), then the CTC transform
+        tlg = LG.add_self_loops().make_ctc_graph()
+        tlg.write(args.output)
+        words_out = args.write_words or args.output + ".words.txt"
+        with open(words_out, "w") as f:
+            for w, i in sorted(word_to_id.items(), key=lambda kv: kv[1]):
+                print(w, i, file=f)
+        phones_out = args.write_phones or args.output + ".phones.txt"
+        with open(phones_out, "w") as f:
+            for ph, i in sorted(phone_to_id.items(), key=lambda kv: kv[1]):
+                print(ph, i, file=f)
+        log.info("L: %d/%d  G: %d/%d  LG: %d/%d  TLG: %d states / %d arcs",
+                 L.num_states, L.num_arcs, G.num_states, G.num_arcs,
+                 LG.num_states, LG.num_arcs, tlg.num_states, tlg.num_arcs)
+        return
 
     fst = NativeFst.load(args.graph)
     if args.cmd == "make-ctc":

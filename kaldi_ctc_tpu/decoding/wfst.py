@@ -60,6 +60,10 @@ def _load():
     lib.ctcn_fst_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ctcn_make_ctc_graph.restype = ctypes.c_void_p
     lib.ctcn_make_ctc_graph.argtypes = [ctypes.c_void_p]
+    lib.ctcn_fst_compose.restype = ctypes.c_void_p
+    lib.ctcn_fst_compose.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.ctcn_add_self_loops.restype = ctypes.c_void_p
+    lib.ctcn_add_self_loops.argtypes = [ctypes.c_void_p]
     lib.ctcn_decode_best_path.restype = ctypes.c_int
     lib.ctcn_decode_best_path.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -163,6 +167,17 @@ class NativeFst:
     def make_ctc_graph(self) -> "NativeFst":
         """ShiftTransitionIdAndAddBlanks (ctc-graph.cc:30-76)."""
         return NativeFst(self._lib.ctcn_make_ctc_graph(self._h))
+
+    def compose(self, other: "NativeFst") -> "NativeFst":
+        """self ∘ other (tropical), connected (fsttablecompose +
+        fstconnect analogue for graph building)."""
+        return NativeFst(self._lib.ctcn_fst_compose(self._h, other._h))
+
+    def add_self_loops(self) -> "NativeFst":
+        """add-self-loops --ctc=true (hmm-utils.cc:504-509): per emitting
+        arc, a self-loop state so sustained frames stay on the arc's
+        label; run before make_ctc_graph when building from L ∘ G."""
+        return NativeFst(self._lib.ctcn_add_self_loops(self._h))
 
     def __del__(self):
         if getattr(self, "_h", None):

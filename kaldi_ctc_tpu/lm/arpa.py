@@ -144,7 +144,11 @@ def arpa_to_fst_arrays(
         return state_of[h]
 
     uni = get_state(())
-    start = get_state((bos,)) if (bos,) in lm.ngrams else uni
+    # order-1 LMs have no <s>-conditioned continuations: the (bos,) state
+    # would be a dead end (no backoff arc is emitted at max order), so
+    # start at the unigram state directly.
+    start = (get_state((bos,))
+             if lm.order > 1 and (bos,) in lm.ngrams else uni)
 
     arcs: List[List[int]] = []
     weights: List[float] = []

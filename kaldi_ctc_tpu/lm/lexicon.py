@@ -1,0 +1,90 @@
+"""Lexicon → L transducer (phones in, words out).
+
+The L.fst piece of the graph chain (``utils/mkgraph.sh``'s
+prepare_lang-produced lexicon transducer): each pronunciation is a chain
+of phone:eps arcs with the word emitted on the first arc, closed through
+a loop state; optional inter-word silence is a sil:eps arc on the loop
+weighted -log(sil_prob) (a simplification of Kaldi's L_disambig — no
+disambiguation symbols, which the nondeterminism-tolerant token-passing
+decoder does not need).
+
+Phone ids must match the acoustic model's training labels (pdf+1 with
+blank = 0), so phone 1 scores against model column 1 after the CTC graph
+shift.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, IO, Iterable, List, Optional, Tuple, Union
+
+import numpy as np
+
+__all__ = ["parse_lexicon", "lexicon_to_fst_arrays"]
+
+
+def parse_lexicon(f: Union[str, IO]) -> List[Tuple[str, List[str]]]:
+    """Read 'word phone1 phone2 ...' lines (multiple prons allowed)."""
+    if isinstance(f, str):
+        with open(f) as fh:
+            return parse_lexicon(fh)
+    out: List[Tuple[str, List[str]]] = []
+    for raw in f:
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        out.append((parts[0], parts[1:]))
+    return out
+
+
+def lexicon_to_fst_arrays(
+    lexicon: List[Tuple[str, List[str]]],
+    phone_to_id: Optional[Dict[str, int]] = None,
+    word_to_id: Optional[Dict[str, int]] = None,
+    sil_phone: Optional[str] = None,
+    sil_prob: float = 0.5,
+):
+    """→ (start, num_states, arcs [N,4] int32, weights [N] f32,
+    finals [S] f32, phone_to_id, word_to_id)."""
+    if phone_to_id is None:
+        phone_to_id = {}
+        if sil_phone:
+            phone_to_id[sil_phone] = 1
+        for _, phones in lexicon:
+            for p in phones:
+                if p not in phone_to_id:
+                    phone_to_id[p] = len(phone_to_id) + 1
+    if word_to_id is None:
+        word_to_id = {"<eps>": 0}
+        for w, _ in lexicon:
+            if w not in word_to_id:
+                word_to_id[w] = len(word_to_id)
+
+    arcs: List[List[int]] = []
+    weights: List[float] = []
+    loop = 0
+    n_states = 1
+    if sil_phone:
+        sil_cost = -math.log(max(sil_prob, 1e-10))
+        arcs.append([loop, phone_to_id[sil_phone], 0, loop])
+        weights.append(sil_cost)
+    for word, phones in lexicon:
+        wid = word_to_id.setdefault(word, len(word_to_id))
+        cur = loop
+        for i, p in enumerate(phones):
+            pid = phone_to_id.setdefault(p, len(phone_to_id) + 1)
+            last = i == len(phones) - 1
+            nxt = loop if last else n_states
+            if not last:
+                n_states += 1
+            arcs.append([cur, pid, wid if i == 0 else 0, nxt])
+            weights.append(0.0)
+            cur = nxt
+    finals = np.full(n_states, np.inf, np.float32)
+    finals[loop] = 0.0
+    return (loop, n_states, np.asarray(arcs, np.int32).reshape(-1, 4),
+            np.asarray(weights, np.float32), finals, phone_to_id,
+            word_to_id)

@@ -62,6 +62,19 @@ int ctcn_fst_write(void* fst, const char* path) {
   return WriteVectorFst(path, *static_cast<Fst*>(fst), &err) ? 0 : -1;
 }
 
+// Composition + connect (graph building).
+void* ctcn_fst_compose(void* a, void* b) {
+  return new Fst(Connect(Compose(*static_cast<Fst*>(a),
+                                 *static_cast<Fst*>(b))));
+}
+
+// add-self-loops --ctc=true (per-arc self-loop states, weight One).
+void* ctcn_add_self_loops(void* fst) {
+  MutableFst m = MutableFst::FromCsr(*static_cast<Fst*>(fst));
+  AddSelfLoops(&m);
+  return new Fst(m.ToCsr());
+}
+
 // CTC graph transform (ShiftTransitionIdAndAddBlanks).
 void* ctcn_make_ctc_graph(void* fst) {
   MutableFst m = MutableFst::FromCsr(*static_cast<Fst*>(fst));

@@ -1,6 +1,8 @@
 #include "fst.h"
 
 #include <cstdio>
+#include <unordered_map>
+#include <utility>
 #include <cstring>
 
 namespace ctc_native {
@@ -176,6 +178,144 @@ void ShiftLabelsAndAddBlanks(MutableFst* fst) {
     // best-token-not-final fallback.
     fst->final_weight[ns] = fst->final_weight[s];
   }
+}
+
+
+// Per-arc self-loop insertion — the add-self-loops --ctc=true step of
+// the graph chain (hmm/hmm-utils.cc:504-509,561-567: in CTC mode both
+// the forward transition and the self-loop carry weight One).  Each
+// emitting arc s --p:w/c--> t becomes s --p:w/c--> m, m --p:eps/0--> m,
+// m --eps:eps/0--> t, so sustained frames of a phone ride the self-loop
+// instead of re-entering the word arc.  Run before
+// ShiftLabelsAndAddBlanks when building TLG from L (which has no HMM
+// self-loops), mirroring mkgraph.sh's HCLGa -> HCLG step.
+void AddSelfLoops(MutableFst* fst) {
+  int64_t n0 = fst->NumStates();
+  for (int64_t s = 0; s < n0; ++s) {
+    // NOTE: AddState() reallocates state_arcs — never hold a reference
+    // to fst->state_arcs[s] across it; index fresh each time.
+    size_t n_arcs = fst->state_arcs[s].size();
+    for (size_t i = 0; i < n_arcs; ++i) {
+      Arc a = fst->state_arcs[s][i];
+      if (a.ilabel == 0) continue;
+      if (a.nextstate == (int32_t)s && a.olabel == 0) continue;  // loop
+      int64_t m = fst->AddState();
+      fst->state_arcs[s][i].nextstate = (int32_t)m;
+      fst->AddArc(m, Arc{a.ilabel, 0, 0.0f, (int32_t)m});
+      fst->AddArc(m, Arc{0, 0, 0.0f, a.nextstate});
+    }
+  }
+}
+
+// Weighted composition a ∘ b (a's olabels match b's ilabels), tropical
+// semiring, with naive epsilon handling: a's output-epsilon arcs advance
+// only a, b's input-epsilon arcs advance only b.  This can generate
+// redundant epsilon paths (no composition filter), which is harmless for
+// min-cost token-passing decoding — the use here is offline TLG
+// construction (utils/mkgraph.sh's fsttablecompose analogue for the
+// mono-CTC graph chain L ∘ G).
+Fst Compose(const Fst& a, const Fst& b) {
+  MutableFst out;
+  if (a.start < 0 || b.start < 0) return out.ToCsr();
+  // pair state -> id
+  std::unordered_map<int64_t, int64_t> ids;
+  std::vector<std::pair<int32_t, int32_t>> stack;
+  auto key = [&](int32_t sa, int32_t sb) {
+    return ((int64_t)sa << 32) | (uint32_t)sb;
+  };
+  auto get_id = [&](int32_t sa, int32_t sb) {
+    int64_t k = key(sa, sb);
+    auto it = ids.find(k);
+    if (it != ids.end()) return it->second;
+    int64_t id = out.AddState();
+    ids.emplace(k, id);
+    float fa = a.final_weight[sa], fb = b.final_weight[sb];
+    out.final_weight[id] =
+        (fa == Fst::kInfinity || fb == Fst::kInfinity) ? Fst::kInfinity
+                                                       : fa + fb;
+    stack.emplace_back(sa, sb);
+    return id;
+  };
+  out.start = get_id((int32_t)a.start, (int32_t)b.start);
+  while (!stack.empty()) {
+    auto [sa, sb] = stack.back();
+    stack.pop_back();
+    int64_t s = ids[key(sa, sb)];
+    for (int64_t i = a.arc_offset[sa]; i < a.arc_offset[sa + 1]; ++i) {
+      const Arc& aa = a.arcs[i];
+      if (aa.olabel == 0) {
+        out.AddArc(s, Arc{aa.ilabel, 0, aa.weight,
+                          (int32_t)get_id(aa.nextstate, sb)});
+      } else {
+        for (int64_t j = b.arc_offset[sb]; j < b.arc_offset[sb + 1]; ++j) {
+          const Arc& ba = b.arcs[j];
+          if (ba.ilabel != aa.olabel) continue;
+          out.AddArc(s, Arc{aa.ilabel, ba.olabel, aa.weight + ba.weight,
+                            (int32_t)get_id(aa.nextstate, ba.nextstate)});
+        }
+      }
+    }
+    for (int64_t j = b.arc_offset[sb]; j < b.arc_offset[sb + 1]; ++j) {
+      const Arc& ba = b.arcs[j];
+      if (ba.ilabel == 0)
+        out.AddArc(s, Arc{0, ba.olabel, ba.weight,
+                          (int32_t)get_id(sa, ba.nextstate)});
+    }
+  }
+  return out.ToCsr();
+}
+
+// Connect: drop states not reachable from start or not co-reachable to a
+// final state (fstconnect), renumbering the survivors.
+Fst Connect(const Fst& f) {
+  int64_t n = f.NumStates();
+  MutableFst out;
+  if (f.start < 0 || n == 0) return out.ToCsr();
+  std::vector<char> fwd(n, 0), bwd(n, 0);
+  std::vector<int32_t> stack{(int32_t)f.start};
+  fwd[f.start] = 1;
+  while (!stack.empty()) {
+    int32_t s = stack.back();
+    stack.pop_back();
+    for (int64_t i = f.arc_offset[s]; i < f.arc_offset[s + 1]; ++i) {
+      int32_t t = f.arcs[i].nextstate;
+      if (!fwd[t]) { fwd[t] = 1; stack.push_back(t); }
+    }
+  }
+  // reverse adjacency for co-reachability
+  std::vector<std::vector<int32_t>> rev(n);
+  for (int64_t s = 0; s < n; ++s)
+    for (int64_t i = f.arc_offset[s]; i < f.arc_offset[s + 1]; ++i)
+      rev[f.arcs[i].nextstate].push_back((int32_t)s);
+  for (int64_t s = 0; s < n; ++s)
+    if (f.final_weight[s] != Fst::kInfinity && fwd[s] && !bwd[s]) {
+      bwd[s] = 1;
+      stack.push_back((int32_t)s);
+    }
+  while (!stack.empty()) {
+    int32_t s = stack.back();
+    stack.pop_back();
+    for (int32_t p : rev[s])
+      if (fwd[p] && !bwd[p]) { bwd[p] = 1; stack.push_back(p); }
+  }
+  std::vector<int64_t> remap(n, -1);
+  for (int64_t s = 0; s < n; ++s)
+    if (fwd[s] && bwd[s]) {
+      remap[s] = out.AddState();
+      out.final_weight[remap[s]] = f.final_weight[s];
+    }
+  if (remap[f.start] < 0) return MutableFst().ToCsr();
+  out.start = remap[f.start];
+  for (int64_t s = 0; s < n; ++s) {
+    if (remap[s] < 0) continue;
+    for (int64_t i = f.arc_offset[s]; i < f.arc_offset[s + 1]; ++i) {
+      const Arc& a = f.arcs[i];
+      if (remap[a.nextstate] < 0) continue;
+      out.AddArc(remap[s], Arc{a.ilabel, a.olabel, a.weight,
+                               (int32_t)remap[a.nextstate]});
+    }
+  }
+  return out.ToCsr();
 }
 
 }  // namespace ctc_native

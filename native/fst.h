@@ -68,4 +68,12 @@ bool WriteVectorFst(const std::string& path, const Fst& fst,
 // (shifted) self-loops on s.
 void ShiftLabelsAndAddBlanks(MutableFst* fst);
 
+// Weighted composition a ∘ b (tropical; naive epsilon handling — fine
+// for offline graph building; see fst.cc) and connection (drop
+// non-accessible / non-coaccessible states).
+void AddSelfLoops(MutableFst* fst);
+
+Fst Compose(const Fst& a, const Fst& b);
+Fst Connect(const Fst& f);
+
 }  // namespace ctc_native

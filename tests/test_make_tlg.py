@@ -1,0 +1,158 @@
+"""Native graph building: composition, lexicon L, and the full
+lexicon+LM → TLG → word decoding pipeline with zero Kaldi fixtures."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from kaldi_ctc_tpu.decoding.wfst import NativeFst, decode_best_path
+from kaldi_ctc_tpu.lm import arpa_to_fst_arrays, parse_arpa
+from kaldi_ctc_tpu.lm.lexicon import lexicon_to_fst_arrays, parse_lexicon
+
+INF = np.float32(np.inf)
+
+
+def test_compose_basic():
+    # A: accepts input 1 -> output 7, then 2 -> 8
+    a = NativeFst.from_arrays(
+        0, 3, np.asarray([[0, 1, 7, 1], [1, 2, 8, 2]], np.int32),
+        np.asarray([0.5, 0.25], np.float32),
+        np.asarray([INF, INF, 0.0], np.float32))
+    # B: maps 7 -> 70, 8 -> 80
+    b = NativeFst.from_arrays(
+        0, 1, np.asarray([[0, 7, 70, 0], [0, 8, 80, 0]], np.int32),
+        np.asarray([1.0, 2.0], np.float32),
+        np.asarray([0.0], np.float32))
+    c = a.compose(b)
+    assert c.num_states == 3
+    assert c.num_arcs == 2
+    # decode through c: inputs 1, 2 -> outputs 70, 80 with summed weights
+    ilabel_map = np.asarray([-1, 0, 1], np.int32)
+    scores = np.zeros((2, 2), np.float32)
+    scores[0, 0] = 1.0
+    scores[1, 1] = 1.0
+    words, align, cost, final = decode_best_path(c, scores,
+                                                 ilabel_map=ilabel_map)
+    assert list(words) == [70, 80]
+    assert final
+    assert abs(cost - (0.5 + 0.25 + 1.0 + 2.0 - 2.0)) < 1e-5
+
+
+def test_lexicon_fst():
+    lex = parse_lexicon(io.StringIO("ab p1 p2\nc p3\n"))
+    start, n, arcs, w, fin, p2i, w2i = lexicon_to_fst_arrays(lex)
+    L = NativeFst.from_arrays(start, n, arcs, w, fin)
+    # decode phone sequence p1 p2 p3 -> words ab c; phone id i scores
+    # against column i (identity map, no CTC shift on raw L)
+    pid = [p2i["p1"], p2i["p2"], p2i["p3"]]
+    ncols = max(p2i.values()) + 1
+    ilabel_map = np.asarray([-1] + list(range(1, ncols)), np.int32)
+    scores = np.full((3, ncols), -5.0, np.float32)
+    for t, p in enumerate(pid):
+        scores[t, p] = 5.0
+    words, align, cost, final = decode_best_path(
+        L, scores, ilabel_map=ilabel_map)
+    # map back
+    id2w = {v: k for k, v in w2i.items()}
+    assert [id2w[int(x)] for x in words] == ["ab", "c"]
+
+
+ARPA = """\\
+\\data\\
+ngram 1=5
+
+\\1-grams:
+-0.5 <s>
+-0.5 </s>
+-0.5 ab
+-0.5 c
+-0.8 de
+
+\\end\\
+"""
+
+
+def test_full_native_tlg_word_decoding(tmp_path):
+    """Train a toy phone model, build TLG natively, decode words."""
+    import jax
+
+    from kaldi_ctc_tpu.cli import decode_ctc, graph_tool, train_ctc
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    lexicon = {"ab": ["p1", "p2"], "c": ["p3"], "de": ["p4", "p5"]}
+    lex_path = tmp_path / "lexicon.txt"
+    lex_path.write_text(
+        "\n".join(f"{w} {' '.join(ps)}" for w, ps in lexicon.items()) + "\n")
+    arpa_path = tmp_path / "lm.arpa"
+    arpa_path.write_text(ARPA.replace("\\\\", "\\"))
+
+    # dataset: word sequences -> phone labels (ids 1..5) -> painted feats
+    phone_ids = {"p1": 1, "p2": 2, "p3": 3, "p4": 4, "p5": 5}
+    rng = np.random.default_rng(0)
+    words_list = list(lexicon)
+    fark, aark = tmp_path / "feats.ark", tmp_path / "ali.ark"
+    refs = {}
+    D = 8
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as fw, \
+         kaldi_io.IntVectorWriter(f"ark:{aark}") as aw:
+        for i in range(16):
+            # avoid consecutive repeats: equal adjacent phones across a
+            # word boundary merge in the alignment (no blank between),
+            # which CTC cannot represent as two words
+            ws = []
+            for _ in range(int(rng.integers(1, 4))):
+                w = words_list[int(rng.integers(3))]
+                while ws and w == ws[-1]:
+                    w = words_list[int(rng.integers(3))]
+                ws.append(w)
+            phones = [phone_ids[p] for w in ws for p in lexicon[w]]
+            span = 8
+            t = len(phones) * span
+            feats = rng.standard_normal((t, D)).astype(np.float32) * 0.1
+            ali = np.zeros(t, np.int32)
+            for j, ph in enumerate(phones):
+                feats[j * span:(j + 1) * span, ph % D] += 2.0
+                ali[j * span:(j + 1) * span] = ph - 1  # pdf = phone-1
+            fw[f"utt{i}"] = feats
+            aw[f"utt{i}"] = ali
+            refs[f"utt{i}"] = ws
+    text = tmp_path / "words_ref.txt"
+    text.write_text("\n".join(
+        f"{k} {' '.join(v)}" for k, v in refs.items()) + "\n")
+
+    exp = str(tmp_path / "exp")
+    train_ctc.main([
+        "--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+        "--num-targets", "6", "--hidden-dim", "24", "--num-layers", "2",
+        "--epochs", "300", "--minibatch-size", "16",
+        "--initial-learning-rate", "3e-2", "--final-learning-rate", "3e-3",
+        "--momentum", "0.9", "--dir", exp, "--checkpoint-period", "100",
+    ])
+
+    # phones.txt pinned to the training label ids
+    phones_path = tmp_path / "phones.txt"
+    phones_path.write_text("\n".join(
+        f"{p} {i}" for p, i in phone_ids.items()) + "\n")
+    tlg = str(tmp_path / "TLG.fst")
+    graph_tool.main([
+        "make-tlg", "--lexicon", str(lex_path), "--arpa", str(arpa_path),
+        "--phones", str(phones_path), "--output", tlg,
+    ])
+    assert os.path.exists(tlg)
+    assert os.path.exists(tlg + ".words.txt")
+
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decode_ctc.main([
+            "--feats", f"ark:{fark}", "--dir", exp,
+            "--method", "wfst", "--graph", tlg,
+            "--words", tlg + ".words.txt",
+            "--use-priors", "0", "--blank-threshold", "0.98",
+            "--text", str(text), "--minibatch-size", "8",
+        ])
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result["label_error_rate"] < 0.1, result
