@@ -38,7 +38,6 @@ def parse_args(argv=None):
 
 def main(argv=None):
     import jax
-    import jax.numpy as jnp
 
     from kaldi_ctc_tpu.data import load_examples
     from kaldi_ctc_tpu.data.bucketing import make_buckets, pad_batch

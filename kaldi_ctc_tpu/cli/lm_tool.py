@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
-import sys
 
 
 def parse_args(argv=None):
@@ -38,8 +36,6 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    import numpy as np
-
     from kaldi_ctc_tpu.lm import (
         arpa_to_fst_arrays, parse_arpa, sentence_logprob)
     from kaldi_ctc_tpu.utils import get_logger

@@ -22,7 +22,6 @@ Archive outputs take a template containing ``JOB`` when splitting, e.g.
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -24,7 +24,6 @@ import time
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 def parse_args(argv=None):
@@ -130,12 +129,40 @@ def main(argv=None):
     if not examples:
         log.error("no examples loaded"); sys.exit(1)
     import jax as _jax_mod
+    fixed_shape = None
     if _jax_mod.process_count() > 1:
-        # per-host data shard (the per-job egs archives of train.sh:408-419)
+        # SPMD requires every process to run the SAME program: equal step
+        # counts and equal batch shapes.  Pre-filter on the global list
+        # (identical on all hosts) so per-shard filtering can't diverge,
+        # truncate shards to equal length, and fix the padded shape to
+        # the global maxima.
+        from kaldi_ctc_tpu.data.egs import (
+            CtcExample, example_ok, frame_subsample)
+
+        def ok_all_shifts(e):
+            for shift in range(max(args.frame_subsampling_factor, 1)):
+                sub = CtcExample(
+                    e.key,
+                    frame_subsample(e.feats, args.frame_subsampling_factor,
+                                    shift),
+                    e.labels)
+                if not example_ok(sub, args.max_allow_frames):
+                    return False
+            return True
+
+        from kaldi_ctc_tpu.data.egs import CtcExample
+        examples = [e for e in examples if ok_all_shifts(e)]
+        n_proc = _jax_mod.process_count()
+        n_even = (len(examples) // n_proc) * n_proc
+        examples = examples[:n_even]
+        fixed_shape = (
+            max((e.num_frames for e in examples), default=1),
+            max((e.num_labels for e in examples), default=1))
         examples = host_shard(examples)
-        log.info("host %d/%d: %d utterances after sharding",
-                 _jax_mod.process_index(), _jax_mod.process_count(),
-                 len(examples))
+        log.info("host %d/%d: %d utterances after sharding, "
+                 "fixed shape %s",
+                 _jax_mod.process_index(), n_proc, len(examples),
+                 fixed_shape)
     input_dim = examples[0].feats.shape[1]
     log.info("loaded %d utterances, input dim %d", len(examples), input_dim)
 
@@ -143,7 +170,7 @@ def main(argv=None):
         examples, minibatch_size=args.minibatch_size,
         max_allow_frames=args.max_allow_frames,
         frame_subsampling_factor=args.frame_subsampling_factor,
-        seed=args.seed)
+        seed=args.seed, fixed_shape=fixed_shape)
 
     valid_pipe = None
     if args.valid_feats and args.valid_ali:

@@ -19,7 +19,7 @@ support random access.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, List, Optional, Sequence
+from typing import Iterable, Iterator, List
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Dict, Iterable, Iterator, List, Optional
 
 import numpy as np
 
@@ -24,7 +24,7 @@ from kaldi_ctc_tpu.data.egs import (
     example_ok,
     frame_subsample,
 )
-from kaldi_ctc_tpu.features.cmvn import acc_cmvn_stats, apply_cmvn
+from kaldi_ctc_tpu.features.cmvn import apply_cmvn
 from kaldi_ctc_tpu.utils import kaldi_io
 
 __all__ = ["load_examples", "EgsPipeline", "Prefetcher"]
@@ -80,6 +80,7 @@ class EgsPipeline:
         frame_subsampling_factor: int = 1,
         sort_window: int = 4096,
         seed: int = 0,
+        fixed_shape=None,
     ):
         self.examples: List[CtcExample] = list(examples)
         self.minibatch_size = minibatch_size
@@ -88,6 +89,13 @@ class EgsPipeline:
         self.sort_window = sort_window
         self.seed = seed
         self.num_skipped = 0
+        # fixed_shape: (t_max, l_max) — pad every batch to this one
+        # shape.  Required in multi-host SPMD where each process
+        # contributes a shard of ONE global array per step, so shapes
+        # must agree across hosts; compute the pair from the GLOBAL
+        # example list before sharding (a shard's own maxima differ
+        # between hosts).
+        self.fixed_shape = fixed_shape
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """One pass: frame-shift cycles with the epoch index
@@ -105,8 +113,14 @@ class EgsPipeline:
                 self.num_skipped += 1
                 continue
             egs.append(eg)
+        frame_buckets = label_buckets = None
+        if self.fixed_shape is not None:
+            frame_buckets = [max(int(self.fixed_shape[0]), 1)]
+            label_buckets = [max(int(self.fixed_shape[1]), 1)]
         yield from batch_by_length(
-            egs, self.minibatch_size, sort_window=self.sort_window, rng=rng)
+            egs, self.minibatch_size, frame_buckets=frame_buckets,
+            label_buckets=label_buckets, sort_window=self.sort_window,
+            rng=rng)
 
 
 class Prefetcher:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import ctypes
 import dataclasses
 import math
-from typing import Dict, Iterator, List, Optional, Sequence, TextIO, Tuple
+from typing import Dict, Iterator, List, Optional, TextIO, Tuple
 
 import numpy as np
 

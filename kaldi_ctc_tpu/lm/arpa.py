@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, IO, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Dict, IO, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 

@@ -16,7 +16,7 @@ shift.
 from __future__ import annotations
 
 import math
-from typing import Dict, IO, Iterable, List, Optional, Tuple, Union
+from typing import Dict, IO, List, Optional, Tuple, Union
 
 import numpy as np
 

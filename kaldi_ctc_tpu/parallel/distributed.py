@@ -39,8 +39,12 @@ def init_distributed(
     from jax._src import xla_bridge
     if xla_bridge.backends_are_initialized():
         return  # too late to initialize (interactive/test session)
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
     jax.distributed.initialize(
-        coordinator_address=coordinator_address,
+        coordinator_address=coordinator_address or explicit,
         num_processes=num_processes,
         process_id=process_id,
     )

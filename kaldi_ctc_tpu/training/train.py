@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -170,6 +170,18 @@ def make_eval_step(cfg: AmConfig):
     return jax.jit(eval_step)
 
 
+def _host_local_rows(x) -> np.ndarray:
+    """This host's rows of a batch-sharded output.
+
+    In multi-host SPMD the hyp arrays span non-addressable devices; each
+    host scores only its own rows (which line up with its local labels),
+    so gather just the addressable shards in index order."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards, key=lambda s: s.index)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def accuracy_from_outputs(
     metrics: Dict[str, Any],
     labels: np.ndarray,
@@ -181,8 +193,8 @@ def accuracy_from_outputs(
     (ComputeTotAccuracy, ctc-nnet-update.cc:261-317).
     Returns (accuracy, total_errors, total_ref_len).
     """
-    hyp_ids = np.asarray(metrics["hyp_ids"])
-    hyp_lens = np.asarray(metrics["hyp_lens"])
+    hyp_ids = _host_local_rows(metrics["hyp_ids"])
+    hyp_lens = _host_local_rows(metrics["hyp_lens"])
     dists, ref_lens = batch_edit_distance(
         np.asarray(labels), np.asarray(label_lens), hyp_ids, hyp_lens)
     total_err = int(dists.sum())

@@ -25,7 +25,7 @@ import io
 import os
 import struct
 import subprocess
-from typing import Iterator, Optional, Tuple, Union
+from typing import Iterator, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import BinaryIO, Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -198,3 +198,19 @@ def test_expand_config_args(tmp_path):
                    "--feats", "x", "--hidden-dim", "32"]
     out2 = expand_config_args([f"--config={cfg}"])
     assert out2 == ["--hidden-dim=64", "--momentum", "0.5"]
+
+
+def test_pipeline_fixed_shape():
+    from kaldi_ctc_tpu.data.pipeline import EgsPipeline
+    rng = np.random.default_rng(0)
+    egs = []
+    for i in range(8):
+        t = 16 + 4 * (i % 3)
+        egs.append(CtcExample(
+            f"u{i}", rng.standard_normal((t, 4)).astype(np.float32),
+            np.asarray([1, 2], np.int32)))
+    pipe = EgsPipeline(egs, minibatch_size=4, fixed_shape=(32, 5))
+    shapes = {b["feats"].shape for b in pipe.epoch(0)}
+    assert shapes == {(4, 32, 4)}
+    label_shapes = {b["labels"].shape for b in pipe.epoch(0)}
+    assert label_shapes == {(4, 5)}
