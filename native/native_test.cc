@@ -1,0 +1,164 @@
+// Self-checking native unit test (the reference's *-test.cc idiom,
+// src/makefiles/default_rules.mk:74-91: asserts internally, nonzero exit
+// on failure).  Covers the C++ layer directly — FST CSR build, CTC graph
+// transform, composition/connect, best-path and lattice decoding — so
+// `make test` works without Python, and `make asan` runs the same checks
+// under AddressSanitizer (the valgrind-target analogue).
+
+#include <cassert>
+#include <cmath>
+#include <cstdio>
+#include <vector>
+
+#include "decoder.h"
+#include "fst.h"
+#include "lattice.h"
+
+using namespace ctc_native;
+
+namespace {
+
+Fst ChainFst(const std::vector<int32_t>& labels) {
+  MutableFst m;
+  m.start = 0;
+  int64_t s = m.AddState();
+  for (size_t i = 0; i < labels.size(); ++i) {
+    int64_t t = m.AddState();
+    m.AddArc(s, Arc{labels[i], labels[i], 0.0f, (int32_t)t});
+    s = t;
+  }
+  m.final_weight[s] = 0.0f;
+  return m.ToCsr();
+}
+
+void TestBestPath() {
+  Fst fst = ChainFst({1, 2, 3});
+  // identity-ish map: ilabel i -> column i
+  std::vector<int32_t> map = {-1, 1, 2, 3};
+  std::vector<float> scores(3 * 4, -5.0f);
+  scores[0 * 4 + 1] = 5.0f;
+  scores[1 * 4 + 2] = 5.0f;
+  scores[2 * 4 + 3] = 5.0f;
+  DecodeOptions opts;
+  DecodeResult res;
+  bool ok = DecodeBestPath(fst, scores.data(), 3, 4, map.data(),
+                           (int64_t)map.size(), opts, &res);
+  assert(ok);
+  assert(res.reached_final);
+  assert(res.words.size() == 3 && res.words[0] == 1 && res.words[2] == 3);
+  std::printf("TestBestPath ok\n");
+}
+
+void TestBatchMatchesSingle() {
+  Fst fst = ChainFst({1, 2});
+  std::vector<int32_t> map = {-1, 1, 2};
+  std::vector<float> scores(2 * 3, -2.0f);
+  scores[0 * 3 + 1] = 2.0f;
+  scores[1 * 3 + 2] = 2.0f;
+  DecodeOptions opts;
+  DecodeResult single;
+  assert(DecodeBestPath(fst, scores.data(), 2, 3, map.data(), 3, opts,
+                        &single));
+  // batch: same utterance twice
+  std::vector<float> packed;
+  packed.insert(packed.end(), scores.begin(), scores.end());
+  packed.insert(packed.end(), scores.begin(), scores.end());
+  std::vector<int64_t> offsets = {0, 2, 4};
+  std::vector<DecodeResult> results;
+  std::vector<int> ok_flags;
+  int n_ok = DecodeBestPathBatch(fst, packed.data(), offsets.data(), 2, 3,
+                                 map.data(), 3, opts, &results, &ok_flags,
+                                 2);
+  assert(n_ok == 2);
+  for (const auto& r : results) {
+    assert(r.words == single.words);
+    assert(std::fabs(r.total_cost - single.total_cost) < 1e-5f);
+  }
+  std::printf("TestBatchMatchesSingle ok\n");
+}
+
+void TestCtcTransformAndLattice() {
+  // word-loop graph, 2 words
+  MutableFst m;
+  m.start = 0;
+  m.AddState();
+  for (int32_t lab = 1; lab <= 2; ++lab) {
+    int64_t s = m.AddState();
+    m.AddArc(0, Arc{lab, lab, 1.0f, (int32_t)s});
+    m.AddArc(s, Arc{lab, 0, 0.0f, (int32_t)s});
+    m.AddArc(s, Arc{0, 0, 0.0f, 0});
+  }
+  m.final_weight[0] = 0.0f;
+  Fst base = m.ToCsr();
+  MutableFst mm = MutableFst::FromCsr(base);
+  ShiftLabelsAndAddBlanks(&mm);
+  Fst g = mm.ToCsr();
+  assert(g.NumStates() > base.NumStates());
+
+  // scores: labels 1,1,blank,2 -> words 1, 2 (CTC default map g -> g-1)
+  std::vector<int32_t> map = {-1, 0, 1, 2};
+  std::vector<float> scores(4 * 3, -4.0f);
+  scores[0 * 3 + 1] = 4.0f;
+  scores[1 * 3 + 1] = 4.0f;
+  scores[2 * 3 + 0] = 4.0f;
+  scores[3 * 3 + 2] = 4.0f;
+  LatticeOptions lopts;
+  RawLattice lat;
+  bool ok = DecodeLattice(g, scores.data(), 4, 3, map.data(), 4, lopts,
+                          &lat);
+  assert(ok);
+  assert(lat.num_states > 0);
+  // the best-path decoder agrees on the word sequence
+  DecodeOptions dopts;
+  DecodeResult res;
+  assert(DecodeBestPath(g, scores.data(), 4, 3, map.data(), 4, dopts,
+                        &res));
+  assert(res.words.size() == 2 && res.words[0] == 1 && res.words[1] == 2);
+  std::printf("TestCtcTransformAndLattice ok\n");
+}
+
+void TestComposeConnect() {
+  // A: 1:7 then 2:8 ; B: 7->70, 8->80 loop
+  MutableFst a;
+  a.start = 0;
+  a.AddState(); a.AddState(); a.AddState();
+  a.AddArc(0, Arc{1, 7, 0.5f, 1});
+  a.AddArc(1, Arc{2, 8, 0.25f, 2});
+  a.final_weight[2] = 0.0f;
+  MutableFst b;
+  b.start = 0;
+  b.AddState();
+  b.AddArc(0, Arc{7, 70, 1.0f, 0});
+  b.AddArc(0, Arc{8, 80, 2.0f, 0});
+  b.final_weight[0] = 0.0f;
+  Fst c = Connect(Compose(a.ToCsr(), b.ToCsr()));
+  assert(c.NumStates() == 3);
+  assert(c.NumArcs() == 2);
+  assert(c.arcs[0].olabel == 70 || c.arcs[1].olabel == 70);
+  std::printf("TestComposeConnect ok\n");
+}
+
+void TestVectorFstRoundTrip() {
+  Fst fst = ChainFst({3, 1, 4});
+  std::string path = "/tmp/ctc_native_test.fst";
+  std::string err;
+  assert(WriteVectorFst(path, fst, &err));
+  Fst back;
+  assert(ReadVectorFst(path, &back, &err));
+  assert(back.NumStates() == fst.NumStates());
+  assert(back.NumArcs() == fst.NumArcs());
+  assert(back.start == fst.start);
+  std::printf("TestVectorFstRoundTrip ok\n");
+}
+
+}  // namespace
+
+int main() {
+  TestBestPath();
+  TestBatchMatchesSingle();
+  TestCtcTransformAndLattice();
+  TestComposeConnect();
+  TestVectorFstRoundTrip();
+  std::printf("ALL NATIVE TESTS PASSED\n");
+  return 0;
+}
