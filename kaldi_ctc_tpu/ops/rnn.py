@@ -250,17 +250,23 @@ def rnn_forward_stream(
     x: jnp.ndarray,                 # [T, B, input_dim] (one chunk)
     cfg: RnnConfig,
     states: List[Any],
+    lens: Optional[jnp.ndarray] = None,   # [B] valid frames this chunk
 ) -> tuple:
     """Chunked forward with explicit carry — the online-decoding analogue
     of the reference's AdvanceDecoding-style incremental processing
     (decoder/lattice-faster-online-decoder.h): feeding chunks with the
     carried state is exactly equivalent to one full-utterance forward.
 
+    With `lens`, frames >= lens[b] neither update stream b's state nor
+    produce output (batched serving: slots with short final chunks).
+
     → (y [T, B, H], new_states)."""
     if cfg.bidirectional:
         raise ValueError("streaming requires a unidirectional stack")
     t_max, b, _ = x.shape
     h_dim = cfg.hidden_dim
+    valid = (None if lens is None else
+             (jnp.arange(t_max)[:, None] < lens[None, :])[..., None])
     out = x
     new_states: List[Any] = []
     for layer_params, st in zip(params, states):
@@ -269,20 +275,31 @@ def rnn_forward_stream(
             t_max, b, -1)
         w_h = p["w_h"]
         if cfg.mode == RnnMode.LSTM:
-            def step(carry, xp):
+            def step(carry, inp):
                 h, c = carry
+                xp, v = inp
                 h_new, c_new = _lstm_cell(h, c, xp, w_h)
+                if v is not None:
+                    h_new = jnp.where(v, h_new, h)
+                    c_new = jnp.where(v, c_new, c)
                 return (h_new, c_new), h_new
         elif cfg.mode == RnnMode.GRU:
-            def step(h, xp):
+            def step(h, inp):
+                xp, v = inp
                 h_new = _gru_cell(h, xp, w_h, h_dim)
+                if v is not None:
+                    h_new = jnp.where(v, h_new, h)
                 return h_new, h_new
         else:
             act = jax.nn.relu if cfg.mode == RnnMode.RELU else jnp.tanh
-            def step(h, xp):
+            def step(h, inp):
+                xp, v = inp
                 h_new = _elementwise_cell(h, xp, w_h, act)
+                if v is not None:
+                    h_new = jnp.where(v, h_new, h)
                 return h_new, h_new
-        st_new, ys = jax.lax.scan(step, st, x_proj)
+        xs = (x_proj, valid)
+        st_new, ys = jax.lax.scan(step, st, xs)
         new_states.append(st_new)
         out = ys
     return out, new_states

@@ -84,3 +84,55 @@ def test_reset():
     rec.reset()
     rec.process(feats)
     assert rec.finalize() == first
+
+
+def test_batch_streaming_matches_single():
+    """Each slot of the batched recognizer matches the single-stream one,
+    including ragged chunk lengths and a mid-run slot reset."""
+    from kaldi_ctc_tpu.decoding.streaming import BatchStreamingRecognizer
+
+    cfg = _cfg(RnnMode.LSTM)
+    params = init_am_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(7)
+    n_streams, chunk = 3, 10
+    utts = [(rng.standard_normal((25 + 6 * i, D)) * 2).astype(np.float32)
+            for i in range(n_streams)]
+
+    # single-stream references
+    singles = []
+    for f in utts:
+        rec = StreamingRecognizer(params, cfg)
+        rec.process(f)
+        singles.append(rec.finalize())
+
+    batch_rec = BatchStreamingRecognizer(params, cfg, n_streams, chunk)
+    pos = [0] * n_streams
+    done = [False] * n_streams
+    while not all(done):
+        block = np.zeros((n_streams, chunk, D), np.float32)
+        valid = np.zeros(n_streams, np.int64)
+        for s in range(n_streams):
+            if done[s]:
+                continue
+            take = min(chunk, utts[s].shape[0] - pos[s])
+            block[s, :take] = utts[s][pos[s]:pos[s] + take]
+            valid[s] = take
+            pos[s] += take
+            if pos[s] >= utts[s].shape[0]:
+                done[s] = True
+        batch_rec.process(block, valid)
+    for s in range(n_streams):
+        assert batch_rec.finalize(s) == singles[s], s
+
+    # slot reset: re-stream utt 0 through slot 1 and match again
+    batch_rec.reset_slot(1)
+    pos1 = 0
+    while pos1 < utts[0].shape[0]:
+        block = np.zeros((n_streams, chunk, D), np.float32)
+        valid = np.zeros(n_streams, np.int64)
+        take = min(chunk, utts[0].shape[0] - pos1)
+        block[1, :take] = utts[0][pos1:pos1 + take]
+        valid[1] = take
+        pos1 += take
+        batch_rec.process(block, valid)
+    assert batch_rec.finalize(1) == singles[0]
