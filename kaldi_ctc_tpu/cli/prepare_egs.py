@@ -36,9 +36,18 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    g = sub.add_parser("get", help="feats+ali -> egs archives")
+    g = sub.add_parser("get", help="feats+ali (or feats+text+lexicon "
+                       "for flat-start) -> egs archives")
     g.add_argument("--feats", required=True)
-    g.add_argument("--ali", required=True)
+    g.add_argument("--ali", default=None,
+                   help="pdf-id alignments (GMM-bootstrap route)")
+    g.add_argument("--text", default=None,
+                   help="transcripts (flat-start route, with --lexicon)")
+    g.add_argument("--lexicon", default=None,
+                   help="'word phone...' lexicon for flat-start labels")
+    g.add_argument("--phones", default=None,
+                   help="phones.txt fixing phone ids (default: enumerate "
+                        "lexicon phones from 1)")
     g.add_argument("--cmvn", default=None)
     g.add_argument("--utt2spk", default=None)
     g.add_argument("--output", required=True,
@@ -132,22 +141,85 @@ def main(argv=None):
         utt2spk = (dict(SequentialTextReader(args.utt2spk))
                    if args.utt2spk else None)
         n_skip = 0
+        n_oov = 0
 
-        def gen():
-            nonlocal n_skip
-            for eg in load_examples(args.feats, args.ali,
-                                    cmvn_rspecifier=args.cmvn,
-                                    utt2spk=utt2spk):
-                if not example_ok(eg, args.max_allow_frames,
-                                  max_label_length=args.max_label_length):
-                    n_skip += 1
-                    continue
-                yield eg
+        if args.ali:
+            def gen():
+                nonlocal n_skip
+                for eg in load_examples(args.feats, args.ali,
+                                        cmvn_rspecifier=args.cmvn,
+                                        utt2spk=utt2spk):
+                    if not example_ok(
+                            eg, args.max_allow_frames,
+                            max_label_length=args.max_label_length):
+                        n_skip += 1
+                        continue
+                    yield eg
+        elif args.text and args.lexicon:
+            # flat-start: labels from transcripts via the lexicon (no
+            # GMM bootstrap; CTC only needs label order)
+            from kaldi_ctc_tpu.data.egs import CtcExample
+            from kaldi_ctc_tpu.features.cmvn import apply_cmvn
+            from kaldi_ctc_tpu.lm.lexicon import (
+                labels_from_text, parse_lexicon)
+            from kaldi_ctc_tpu.utils import kaldi_io
+            import numpy as _np
+
+            prons = {}
+            for w, ps in parse_lexicon(args.lexicon):
+                prons.setdefault(w, []).append(ps)
+            if args.phones:
+                phone_to_id = {}
+                with open(args.phones) as f:
+                    for line in f:
+                        parts = line.split()
+                        if len(parts) >= 2:
+                            phone_to_id[parts[0]] = int(parts[1])
+            else:
+                phone_to_id = {}
+                for ps_list in prons.values():
+                    for ps in ps_list:
+                        for p in ps:
+                            if p not in phone_to_id:
+                                phone_to_id[p] = len(phone_to_id) + 1
+            texts = {k: v.split()
+                     for k, v in SequentialTextReader(args.text)}
+            cmvn = (kaldi_io.RandomAccessMatrixReader(args.cmvn)
+                    if args.cmvn else None)
+
+            def gen():
+                nonlocal n_skip, n_oov
+                for key, feats in kaldi_io.SequentialMatrixReader(
+                        args.feats):
+                    if key not in texts:
+                        continue
+                    labels = labels_from_text(texts[key], prons,
+                                              phone_to_id)
+                    if labels is None:
+                        n_oov += 1
+                        continue
+                    if cmvn is not None:
+                        spk = utt2spk.get(key, key) if utt2spk else key
+                        if spk in cmvn:
+                            feats = _np.asarray(
+                                apply_cmvn(feats, cmvn[spk]))
+                    eg = CtcExample(key, _np.asarray(feats, _np.float32),
+                                    labels)
+                    if not example_ok(
+                            eg, args.max_allow_frames,
+                            max_label_length=args.max_label_length):
+                        n_skip += 1
+                        continue
+                    yield eg
+        else:
+            log.error("get needs --ali or both --text and --lexicon")
+            import sys
+            sys.exit(1)
 
         counts = _split_write(gen(), args.output, args.num_archives,
                               args.random, args.seed, args.compress)
-        log.info("wrote %s examples (%d skipped by filters)",
-                 "+".join(map(str, counts)), n_skip)
+        log.info("wrote %s examples (%d skipped by filters, %d with OOV)",
+                 "+".join(map(str, counts)), n_skip, n_oov)
 
     elif args.cmd == "copy":
         counts = _split_write(SequentialEgsReader(args.egs), args.output,

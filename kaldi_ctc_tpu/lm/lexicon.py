@@ -20,7 +20,7 @@ from typing import Dict, IO, List, Optional, Tuple, Union
 
 import numpy as np
 
-__all__ = ["parse_lexicon", "lexicon_to_fst_arrays"]
+__all__ = ["parse_lexicon", "lexicon_to_fst_arrays", "labels_from_text"]
 
 
 def parse_lexicon(f: Union[str, IO]) -> List[Tuple[str, List[str]]]:
@@ -88,3 +88,27 @@ def lexicon_to_fst_arrays(
     return (loop, n_states, np.asarray(arcs, np.int32).reshape(-1, 4),
             np.asarray(weights, np.float32), finals, phone_to_id,
             word_to_id)
+
+
+def labels_from_text(
+    words: List[str],
+    lexicon: Dict[str, List[List[str]]],
+    phone_to_id: Dict[str, int],
+) -> Optional[np.ndarray]:
+    """Transcript words → CTC phone-label sequence (flat-start training:
+    CTC needs only the label ORDER, so transcripts + a lexicon replace
+    the reference's GMM alignments entirely — no bootstrap system).
+
+    Uses the first pronunciation of each word; returns None when a word
+    or phone is missing (caller skips the utterance with a count)."""
+    out: List[int] = []
+    for w in words:
+        prons = lexicon.get(w)
+        if not prons:
+            return None
+        for p in prons[0]:
+            pid = phone_to_id.get(p)
+            if pid is None:
+                return None
+            out.append(pid)
+    return np.asarray(out, np.int32)

@@ -156,3 +156,83 @@ def test_full_native_tlg_word_decoding(tmp_path):
         ])
     result = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert result["label_error_rate"] < 0.1, result
+
+
+def test_flat_start_training(tmp_path):
+    """Full flat-start pipeline: transcripts + lexicon -> egs (no GMM
+    alignments) -> train -> native TLG -> word decoding."""
+    from kaldi_ctc_tpu.cli import decode_ctc, graph_tool, prepare_egs, train_ctc
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    lexicon = {"ab": ["p1", "p2"], "c": ["p3"], "de": ["p4", "p5"]}
+    lex_path = tmp_path / "lexicon.txt"
+    lex_path.write_text(
+        "\n".join(f"{w} {' '.join(ps)}" for w, ps in lexicon.items()) + "\n")
+    phones_path = tmp_path / "phones.txt"
+    phone_ids = {"p1": 1, "p2": 2, "p3": 3, "p4": 4, "p5": 5}
+    phones_path.write_text(
+        "\n".join(f"{p} {i}" for p, i in phone_ids.items()) + "\n")
+    arpa_path = tmp_path / "lm.arpa"
+    arpa_path.write_text(ARPA.replace("\\\\", "\\"))
+
+    rng = np.random.default_rng(1)
+    words_list = list(lexicon)
+    fark = tmp_path / "feats.ark"
+    text_path = tmp_path / "text"
+    lines = []
+    D = 8
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as fw:
+        for i in range(16):
+            ws = []
+            for _ in range(int(rng.integers(1, 4))):
+                w = words_list[int(rng.integers(3))]
+                while ws and w == ws[-1]:
+                    w = words_list[int(rng.integers(3))]
+                ws.append(w)
+            phones = [phone_ids[p] for w in ws for p in lexicon[w]]
+            span = 8
+            t = len(phones) * span
+            feats = rng.standard_normal((t, D)).astype(np.float32) * 0.1
+            for j, ph in enumerate(phones):
+                feats[j * span:(j + 1) * span, ph % D] += 2.0
+            fw[f"utt{i}"] = feats
+            lines.append(f"utt{i} {' '.join(ws)}")
+    text_path.write_text("\n".join(lines) + "\n")
+    # one utterance with an OOV word: must be skipped, not crash
+    with open(text_path, "a") as f:
+        f.write("uttOOV zzz\n")
+
+    egs = tmp_path / "egs.ark"
+    prepare_egs.main([
+        "get", "--feats", f"ark:{fark}",
+        "--text", str(text_path), "--lexicon", str(lex_path),
+        "--phones", str(phones_path),
+        "--output", f"ark:{egs}"])
+
+    exp = str(tmp_path / "exp_fs")
+    train_ctc.main([
+        "--egs", f"ark:{egs}", "--num-targets", "6",
+        "--hidden-dim", "24", "--num-layers", "2",
+        "--epochs", "300", "--minibatch-size", "16",
+        "--initial-learning-rate", "3e-2", "--final-learning-rate", "3e-3",
+        "--momentum", "0.9", "--dir", exp, "--checkpoint-period", "100",
+    ])
+
+    tlg = str(tmp_path / "TLG.fst")
+    graph_tool.main([
+        "make-tlg", "--lexicon", str(lex_path), "--arpa", str(arpa_path),
+        "--phones", str(phones_path), "--output", tlg])
+
+    import contextlib, io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decode_ctc.main([
+            "--feats", f"ark:{fark}", "--dir", exp,
+            "--method", "wfst", "--graph", tlg,
+            "--words", tlg + ".words.txt",
+            "--use-priors", "0", "--blank-threshold", "0.98",
+            "--text", str(text_path), "--minibatch-size", "8",
+        ])
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # the OOV utterance has no hypothesis constraint; it counts 1 ref word
+    assert result["label_error_rate"] < 0.15, result
