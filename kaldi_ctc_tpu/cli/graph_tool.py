@@ -48,6 +48,25 @@ def parse_args(argv=None):
                    help="words.txt output (default <output>.words.txt)")
     t.add_argument("--write-phones", default=None,
                    help="phones.txt output (default <output>.phones.txt)")
+    t.add_argument("--determinize", type=int, default=1,
+                   help="determinize-star + minimize LG with lexicon "
+                        "disambig symbols (mkgraph.sh:92-98); 0 = plain "
+                        "compose (the decoder tolerates nondeterminism)")
+    t.add_argument("--push", type=int, default=1,
+                   help="push-special LG weights (needs --determinize 1)")
+
+    for name, hlp in (("determinize", "fstdeterminizestar"),
+                      ("minimize", "fstminimizeencoded"),
+                      ("push", "fstpushspecial"),
+                      ("connect", "fstconnect")):
+        s = sub.add_parser(name, help=f"{hlp} on a VectorFst file")
+        s.add_argument("--graph", required=True)
+        s.add_argument("--output", required=True)
+
+    c = sub.add_parser("compose", help="fsttablecompose a ∘ b (+connect)")
+    c.add_argument("--a", required=True)
+    c.add_argument("--b", required=True)
+    c.add_argument("--output", required=True)
 
     return p.parse_args(argv)
 
@@ -62,9 +81,14 @@ def main(argv=None):
     if args.cmd == "make-tlg":
         from kaldi_ctc_tpu.lm import arpa_to_fst_arrays, parse_arpa
         from kaldi_ctc_tpu.lm.lexicon import (
-            lexicon_to_fst_arrays, parse_lexicon)
+            add_lex_disambig, lexicon_to_fst_arrays, parse_lexicon)
 
         lexicon = parse_lexicon(args.lexicon)
+        num_disambig = 0
+        if args.determinize:
+            # homophone/prefix disambiguation so LG is determinizable
+            # (utils/add_lex_disambig.pl + L_disambig.fst, mkgraph.sh:92)
+            lexicon, num_disambig = add_lex_disambig(lexicon)
         phone_to_id = None
         if args.phones:
             phone_to_id = {}
@@ -83,6 +107,16 @@ def main(argv=None):
             arpa_to_fst_arrays(lm, dict(word_to_id))
         G = NativeFst.from_arrays(g_start, g_n, g_arcs, g_w, g_fin)
         LG = L.compose(G)
+        if args.determinize:
+            # mkgraph.sh:92-98 chain on LG: determinize-star |
+            # minimize-encoded | push-special, then strip disambig ids
+            LG = LG.determinize_star().minimize()
+            if args.push:
+                LG = LG.push_special()
+            if num_disambig:
+                first = min(i for p, i in phone_to_id.items()
+                            if p.startswith("#") and p[1:].isdigit())
+                LG = LG.remove_disambig(first).connect()
         # H step: self-loops (sustained frames), then the CTC transform
         tlg = LG.add_self_loops().make_ctc_graph()
         tlg.write(args.output)
@@ -93,10 +127,34 @@ def main(argv=None):
         phones_out = args.write_phones or args.output + ".phones.txt"
         with open(phones_out, "w") as f:
             for ph, i in sorted(phone_to_id.items(), key=lambda kv: kv[1]):
-                print(ph, i, file=f)
-        log.info("L: %d/%d  G: %d/%d  LG: %d/%d  TLG: %d states / %d arcs",
+                if not (ph.startswith("#") and ph[1:].isdigit()):
+                    print(ph, i, file=f)
+        log.info("L: %d/%d  G: %d/%d  LG: %d/%d (det=%d, disambig=%d)  "
+                 "TLG: %d states / %d arcs",
                  L.num_states, L.num_arcs, G.num_states, G.num_arcs,
-                 LG.num_states, LG.num_arcs, tlg.num_states, tlg.num_arcs)
+                 LG.num_states, LG.num_arcs, args.determinize,
+                 num_disambig, tlg.num_states, tlg.num_arcs)
+        return
+
+    if args.cmd == "compose":
+        a = NativeFst.load(args.a)
+        b = NativeFst.load(args.b)
+        out = a.compose(b)
+        out.write(args.output)
+        log.info("composed %d/%d ∘ %d/%d -> %d states / %d arcs",
+                 a.num_states, a.num_arcs, b.num_states, b.num_arcs,
+                 out.num_states, out.num_arcs)
+        return
+
+    if args.cmd in ("determinize", "minimize", "push", "connect"):
+        fst = NativeFst.load(args.graph)
+        op = {"determinize": fst.determinize_star, "minimize": fst.minimize,
+              "push": fst.push_special, "connect": fst.connect}[args.cmd]
+        out = op()
+        out.write(args.output)
+        log.info("%s: %d states / %d arcs -> %d states / %d arcs",
+                 args.cmd, fst.num_states, fst.num_arcs,
+                 out.num_states, out.num_arcs)
         return
 
     fst = NativeFst.load(args.graph)

@@ -64,6 +64,19 @@ def _load():
     lib.ctcn_fst_compose.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.ctcn_add_self_loops.restype = ctypes.c_void_p
     lib.ctcn_add_self_loops.argtypes = [ctypes.c_void_p]
+    lib.ctcn_fst_determinize_star.restype = ctypes.c_void_p
+    lib.ctcn_fst_determinize_star.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64]
+    for name in ("ctcn_fst_minimize", "ctcn_fst_push_special",
+                 "ctcn_fst_connect"):
+        getattr(lib, name).restype = ctypes.c_void_p
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ctcn_fst_remove_disambig.restype = ctypes.c_void_p
+    lib.ctcn_fst_remove_disambig.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int32]
+    lib.ctcn_fst_get_arrays.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
     lib.ctcn_decode_best_path.restype = ctypes.c_int
     lib.ctcn_decode_best_path.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -178,6 +191,54 @@ class NativeFst:
         arc, a self-loop state so sustained frames stay on the arc's
         label; run before make_ctc_graph when building from L ∘ G."""
         return NativeFst(self._lib.ctcn_add_self_loops(self._h))
+
+    def determinize_star(self, max_states: int = 0) -> "NativeFst":
+        """Subset determinization with input-epsilon removal
+        (fstdeterminizestar, fstext/determinize-star.h semantics).
+        Raises RuntimeError if the input is not determinizable (use
+        lexicon disambiguation symbols).  max_states 0 = default cap."""
+        err = ctypes.create_string_buffer(512)
+        h = self._lib.ctcn_fst_determinize_star(self._h, err, len(err),
+                                                max_states)
+        if not h:
+            raise RuntimeError(err.value.decode()
+                               or "determinize-star failed")
+        return NativeFst(h)
+
+    def minimize(self) -> "NativeFst":
+        """Encoded minimization (fstminimizeencoded): bisimulation
+        partition refinement over (ilabel, olabel, weight) atoms."""
+        return NativeFst(self._lib.ctcn_fst_minimize(self._h))
+
+    def push_special(self) -> "NativeFst":
+        """fstpushspecial: reweight so every state's outgoing probability
+        mass is the same constant (path weights exactly preserved) —
+        improves pruned-search behavior."""
+        return NativeFst(self._lib.ctcn_fst_push_special(self._h))
+
+    def remove_disambig(self, first_disambig: int) -> "NativeFst":
+        """Map ilabels >= first_disambig to epsilon (fstrmsymbols on the
+        lexicon disambiguation range, mkgraph.sh's post-determinize
+        cleanup)."""
+        return NativeFst(self._lib.ctcn_fst_remove_disambig(
+            self._h, first_disambig))
+
+    def connect(self) -> "NativeFst":
+        """fstconnect: drop non-accessible/non-coaccessible states."""
+        return NativeFst(self._lib.ctcn_fst_connect(self._h))
+
+    def to_arrays(self):
+        """→ (start, arcs [N,4] int32 (state, ilabel, olabel, nextstate),
+        weights [N] f32, finals [S] f32) — inverse of from_arrays."""
+        n_arcs, n_states = self.num_arcs, self.num_states
+        arcs = np.zeros((n_arcs, 4), np.int32)
+        weights = np.zeros(n_arcs, np.float32)
+        finals = np.zeros(max(n_states, 1), np.float32)
+        self._lib.ctcn_fst_get_arrays(
+            self._h, arcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            finals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return self.start, arcs, weights, finals[:n_states]
 
     def __del__(self):
         if getattr(self, "_h", None):

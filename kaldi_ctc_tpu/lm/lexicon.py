@@ -20,7 +20,8 @@ from typing import Dict, IO, List, Optional, Tuple, Union
 
 import numpy as np
 
-__all__ = ["parse_lexicon", "lexicon_to_fst_arrays", "labels_from_text"]
+__all__ = ["parse_lexicon", "add_lex_disambig", "lexicon_to_fst_arrays",
+           "labels_from_text"]
 
 
 def parse_lexicon(f: Union[str, IO]) -> List[Tuple[str, List[str]]]:
@@ -40,6 +41,36 @@ def parse_lexicon(f: Union[str, IO]) -> List[Tuple[str, List[str]]]:
     return out
 
 
+def add_lex_disambig(
+    lexicon: List[Tuple[str, List[str]]],
+) -> Tuple[List[Tuple[str, List[str]]], int]:
+    """Append disambiguation symbols ``#1..#N`` to pronunciations that are
+    homophones or prefixes of other pronunciations, so L ∘ G is
+    determinizable (utils/add_lex_disambig.pl semantics).  Returns the
+    augmented lexicon and the number of disambig symbols used (0 when the
+    lexicon needed none)."""
+    from collections import Counter
+
+    counts = Counter(tuple(p) for _, p in lexicon)
+    prefixes = set()
+    for _, phones in lexicon:
+        for i in range(1, len(phones)):
+            prefixes.add(tuple(phones[:i]))
+    last_used: Dict[Tuple[str, ...], int] = {}
+    out: List[Tuple[str, List[str]]] = []
+    max_disambig = 0
+    for word, phones in lexicon:
+        t = tuple(phones)
+        if counts[t] > 1 or t in prefixes:
+            cur = last_used.get(t, 0) + 1
+            last_used[t] = cur
+            max_disambig = max(max_disambig, cur)
+            out.append((word, phones + [f"#{cur}"]))
+        else:
+            out.append((word, phones))
+    return out, max_disambig
+
+
 def lexicon_to_fst_arrays(
     lexicon: List[Tuple[str, List[str]]],
     phone_to_id: Optional[Dict[str, int]] = None,
@@ -49,14 +80,25 @@ def lexicon_to_fst_arrays(
 ):
     """→ (start, num_states, arcs [N,4] int32, weights [N] f32,
     finals [S] f32, phone_to_id, word_to_id)."""
+    def is_disambig(p: str) -> bool:
+        return p.startswith("#") and p[1:].isdigit()
+
     if phone_to_id is None:
         phone_to_id = {}
         if sil_phone:
             phone_to_id[sil_phone] = 1
         for _, phones in lexicon:
             for p in phones:
-                if p not in phone_to_id:
+                if p not in phone_to_id and not is_disambig(p):
                     phone_to_id[p] = len(phone_to_id) + 1
+    # disambiguation symbols (from add_lex_disambig) go after the real
+    # phones so they can be stripped post-determinization by id range
+    next_id = max(phone_to_id.values(), default=0) + 1
+    for _, phones in lexicon:
+        for p in phones:
+            if is_disambig(p) and p not in phone_to_id:
+                phone_to_id[p] = next_id
+                next_id += 1
     if word_to_id is None:
         word_to_id = {"<eps>": 0}
         for w, _ in lexicon:

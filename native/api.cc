@@ -68,6 +68,47 @@ void* ctcn_fst_compose(void* a, void* b) {
                                  *static_cast<Fst*>(b))));
 }
 
+// Determinize-star (subset determinization + input-eps removal).
+// Returns nullptr on failure (non-determinizable / eps cycles) with the
+// message in err_buf.
+void* ctcn_fst_determinize_star(void* fst, char* err_buf, int err_len,
+                                int64_t max_states) {
+  auto* out = new Fst();
+  std::string err;
+  if (!DeterminizeStar(*static_cast<Fst*>(fst), out, &err,
+                       max_states > 0 ? max_states : 20 * 1000 * 1000)) {
+    if (err_buf && err_len > 0) {
+      std::strncpy(err_buf, err.c_str(), err_len - 1);
+      err_buf[err_len - 1] = '\0';
+    }
+    delete out;
+    return nullptr;
+  }
+  return out;
+}
+
+// Encoded minimization (fstminimizeencoded).
+void* ctcn_fst_minimize(void* fst) {
+  return new Fst(MinimizeEncoded(*static_cast<Fst*>(fst)));
+}
+
+// Push-special weight equalization (fstpushspecial).
+void* ctcn_fst_push_special(void* fst) {
+  return new Fst(PushSpecial(*static_cast<Fst*>(fst)));
+}
+
+// Map ilabels >= first_disambig to epsilon (fstrmsymbols).
+void* ctcn_fst_remove_disambig(void* fst, int32_t first_disambig) {
+  MutableFst m = MutableFst::FromCsr(*static_cast<Fst*>(fst));
+  RemoveDisambigSymbols(&m, first_disambig);
+  return new Fst(m.ToCsr());
+}
+
+// Connect (drop non-accessible / non-coaccessible states).
+void* ctcn_fst_connect(void* fst) {
+  return new Fst(Connect(*static_cast<Fst*>(fst)));
+}
+
 // add-self-loops --ctc=true (per-arc self-loop states, weight One).
 void* ctcn_add_self_loops(void* fst) {
   MutableFst m = MutableFst::FromCsr(*static_cast<Fst*>(fst));
@@ -80,6 +121,25 @@ void* ctcn_make_ctc_graph(void* fst) {
   MutableFst m = MutableFst::FromCsr(*static_cast<Fst*>(fst));
   ShiftLabelsAndAddBlanks(&m);
   return new Fst(m.ToCsr());
+}
+
+// Copy the FST out as flat arrays (inverse of ctcn_fst_from_arrays);
+// caller allocates to num_arcs/num_states.
+void ctcn_fst_get_arrays(void* fst_ptr, int32_t* arcs_flat, float* weights,
+                         float* finals) {
+  const Fst& f = *static_cast<Fst*>(fst_ptr);
+  int64_t k = 0;
+  for (int64_t s = 0; s < f.NumStates(); ++s) {
+    finals[s] = f.final_weight[s];
+    for (int64_t i = f.arc_offset[s]; i < f.arc_offset[s + 1]; ++i, ++k) {
+      const Arc& a = f.arcs[i];
+      arcs_flat[k * 4 + 0] = (int32_t)s;
+      arcs_flat[k * 4 + 1] = a.ilabel;
+      arcs_flat[k * 4 + 2] = a.olabel;
+      arcs_flat[k * 4 + 3] = a.nextstate;
+      weights[k] = a.weight;
+    }
+  }
 }
 
 // ---- Decoding ----

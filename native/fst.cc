@@ -1,5 +1,6 @@
 #include "fst.h"
 
+#include <algorithm>
 #include <cstdio>
 #include <unordered_map>
 #include <utility>
@@ -217,6 +218,27 @@ void AddSelfLoops(MutableFst* fst) {
 Fst Compose(const Fst& a, const Fst& b) {
   MutableFst out;
   if (a.start < 0 || b.start < 0) return out.ToCsr();
+  // Per-state ilabel-sorted index over b's arcs so each match is a binary
+  // search instead of a full arc scan (the fsttablecompose idea: G states
+  // can carry very many word arcs).
+  std::vector<int32_t> b_order(b.NumArcs());
+  for (int64_t i = 0; i < b.NumArcs(); ++i) b_order[i] = (int32_t)i;
+  for (int64_t s = 0; s < b.NumStates(); ++s)
+    std::sort(b_order.begin() + b.arc_offset[s],
+              b_order.begin() + b.arc_offset[s + 1],
+              [&](int32_t x, int32_t y) {
+                return b.arcs[x].ilabel < b.arcs[y].ilabel;
+              });
+  auto b_match = [&](int32_t sb, int32_t label, int64_t* lo, int64_t* hi) {
+    int64_t first = b.arc_offset[sb], last = b.arc_offset[sb + 1];
+    auto cmp = [&](int32_t idx, int32_t l) { return b.arcs[idx].ilabel < l; };
+    auto it = std::lower_bound(b_order.begin() + first,
+                               b_order.begin() + last, label, cmp);
+    *lo = it - b_order.begin();
+    int64_t j = *lo;
+    while (j < last && b.arcs[b_order[j]].ilabel == label) ++j;
+    *hi = j;
+  };
   // pair state -> id
   std::unordered_map<int64_t, int64_t> ids;
   std::vector<std::pair<int32_t, int32_t>> stack;
@@ -247,19 +269,23 @@ Fst Compose(const Fst& a, const Fst& b) {
         out.AddArc(s, Arc{aa.ilabel, 0, aa.weight,
                           (int32_t)get_id(aa.nextstate, sb)});
       } else {
-        for (int64_t j = b.arc_offset[sb]; j < b.arc_offset[sb + 1]; ++j) {
-          const Arc& ba = b.arcs[j];
-          if (ba.ilabel != aa.olabel) continue;
+        int64_t lo, hi;
+        b_match(sb, aa.olabel, &lo, &hi);
+        for (int64_t j = lo; j < hi; ++j) {
+          const Arc& ba = b.arcs[b_order[j]];
           out.AddArc(s, Arc{aa.ilabel, ba.olabel, aa.weight + ba.weight,
                             (int32_t)get_id(aa.nextstate, ba.nextstate)});
         }
       }
     }
-    for (int64_t j = b.arc_offset[sb]; j < b.arc_offset[sb + 1]; ++j) {
-      const Arc& ba = b.arcs[j];
-      if (ba.ilabel == 0)
+    {
+      int64_t lo, hi;
+      b_match(sb, 0, &lo, &hi);
+      for (int64_t j = lo; j < hi; ++j) {
+        const Arc& ba = b.arcs[b_order[j]];
         out.AddArc(s, Arc{0, ba.olabel, ba.weight,
                           (int32_t)get_id(sa, ba.nextstate)});
+      }
     }
   }
   return out.ToCsr();

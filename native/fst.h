@@ -76,4 +76,13 @@ void AddSelfLoops(MutableFst* fst);
 Fst Compose(const Fst& a, const Fst& b);
 Fst Connect(const Fst& f);
 
+// Graph-building algorithms (determinize.cc) — the native
+// fstdeterminizestar / fstminimizeencoded / fstpushspecial / fstrmsymbols
+// chain utils/mkgraph.sh runs on LG (mkgraph.sh:92-98).
+bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
+                     int64_t max_states = 20 * 1000 * 1000);
+Fst MinimizeEncoded(const Fst& in);
+Fst PushSpecial(const Fst& in, int iterations = 200);
+void RemoveDisambigSymbols(MutableFst* fst, int32_t first_disambig);
+
 }  // namespace ctc_native

@@ -153,12 +153,52 @@ void TestVectorFstRoundTrip() {
 
 }  // namespace
 
+void TestDeterminizeMinimizePush() {
+  // two equal-input paths with different weights; determinize keeps min
+  MutableFst m;
+  m.start = 0;
+  for (int i = 0; i < 4; ++i) m.AddState();
+  m.AddArc(0, Arc{1, 7, 0.5f, 1});
+  m.AddArc(0, Arc{1, 7, 1.0f, 2});
+  m.AddArc(1, Arc{2, 0, 0.25f, 3});
+  m.AddArc(2, Arc{2, 0, 0.25f, 3});
+  m.final_weight[3] = 0.0f;
+  Fst f = m.ToCsr();
+  Fst det;
+  std::string err;
+  bool ok = DeterminizeStar(f, &det, &err);
+  assert(ok);
+  // deterministic: start state has one arc on ilabel 1, total best path
+  // cost 0.75 preserved
+  assert(det.start >= 0);
+  int n_start_arcs =
+      (int)(det.arc_offset[det.start + 1] - det.arc_offset[det.start]);
+  assert(n_start_arcs == 1);
+  Fst mini = MinimizeEncoded(det);
+  assert(mini.NumStates() <= det.NumStates());
+  Fst pushed = PushSpecial(mini);
+  // per-state outgoing mass equal across states
+  double mass0 = -1.0;
+  for (int64_t s = 0; s < pushed.NumStates(); ++s) {
+    double acc = 0.0;
+    for (int64_t i = pushed.arc_offset[s]; i < pushed.arc_offset[s + 1];
+         ++i)
+      acc += std::exp(-(double)pushed.arcs[i].weight);
+    if (pushed.final_weight[s] != Fst::kInfinity)
+      acc += std::exp(-(double)pushed.final_weight[s]);
+    if (mass0 < 0) mass0 = acc;
+    assert(std::abs(acc - mass0) < 1e-3);
+  }
+  std::printf("TestDeterminizeMinimizePush ok\n");
+}
+
 int main() {
   TestBestPath();
   TestBatchMatchesSingle();
   TestCtcTransformAndLattice();
   TestComposeConnect();
   TestVectorFstRoundTrip();
+  TestDeterminizeMinimizePush();
   std::printf("ALL NATIVE TESTS PASSED\n");
   return 0;
 }

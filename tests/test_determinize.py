@@ -1,0 +1,314 @@
+"""Determinize-star / minimize-encoded / push-special property tests.
+
+The randomized equivalence-testing idiom of the reference's
+``fstext/determinize-star-test.cc`` / ``fstext/push-special-test.cc``:
+generate random weighted transducers, run the algorithm, and compare the
+weighted relation (min cost + output string per accepted input string)
+computed by a brute-force Python scorer.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from kaldi_ctc_tpu.decoding.wfst import NativeFst
+
+INF = float("inf")
+
+
+def string_score(start, arcs, weights, finals, ilabels):
+    """Min total cost + best output over all paths matching `ilabels`
+    exactly (epsilon input arcs free to interleave).  Brute-force DP over
+    (position, state); returns (cost, tuple(olabels)) or (inf, None)."""
+    n_states = len(finals)
+    if start < 0 or n_states == 0:
+        return INF, None
+    by_state = [[] for _ in range(n_states)]
+    for (s, il, ol, ns), w in zip(arcs, weights):
+        by_state[s].append((int(il), int(ol), float(w), int(ns)))
+
+    def eps_closure(front):
+        # front: {state: (cost, outputs)}; relax eps arcs to fixpoint
+        items = dict(front)
+        changed = True
+        guard = 0
+        while changed:
+            changed = False
+            guard += 1
+            assert guard < 10 * n_states + 10, "eps relaxation blowup"
+            for s, (c, out) in list(items.items()):
+                for il, ol, w, ns in by_state[s]:
+                    if il != 0:
+                        continue
+                    c2 = c + w
+                    out2 = out + ((ol,) if ol else ())
+                    cur = items.get(ns)
+                    if cur is None or c2 < cur[0] - 1e-9 or (
+                            abs(c2 - cur[0]) <= 1e-9 and out2 < cur[1]):
+                        items[ns] = (c2, out2)
+                        changed = True
+        return items
+
+    front = eps_closure({int(start): (0.0, ())})
+    for label in ilabels:
+        nxt = {}
+        for s, (c, out) in front.items():
+            for il, ol, w, ns in by_state[s]:
+                if il != label:
+                    continue
+                c2 = c + w
+                out2 = out + ((ol,) if ol else ())
+                cur = nxt.get(ns)
+                if cur is None or c2 < cur[0] - 1e-9 or (
+                        abs(c2 - cur[0]) <= 1e-9 and out2 < cur[1]):
+                    nxt[ns] = (c2, out2)
+        if not nxt:
+            return INF, None
+        front = eps_closure(nxt)
+    best = (INF, None)
+    for s, (c, out) in front.items():
+        if math.isinf(finals[s]):
+            continue
+        tot = c + float(finals[s])
+        if tot < best[0] - 1e-9 or (abs(tot - best[0]) <= 1e-9
+                                    and best[1] is not None
+                                    and out < best[1]):
+            best = (tot, out)
+    return best
+
+
+def random_fst(rng, n_states=6, n_arcs=14, n_ilabels=3, n_olabels=3,
+               eps_prob=0.25, acyclic=True):
+    arcs, weights = [], []
+    for _ in range(n_arcs):
+        s = rng.integers(0, n_states - 1 if acyclic else n_states)
+        ns = rng.integers(s + 1, n_states) if acyclic else \
+            rng.integers(0, n_states)
+        il = 0 if rng.random() < eps_prob else rng.integers(1, n_ilabels + 1)
+        ol = 0 if rng.random() < 0.3 else rng.integers(1, n_olabels + 1)
+        arcs.append([s, il, ol, ns])
+        weights.append(round(float(rng.random()) * 4) / 4)  # delta-friendly
+    finals = np.full(n_states, np.inf, np.float32)
+    finals[n_states - 1] = 0.0
+    if rng.random() < 0.5:
+        finals[rng.integers(0, n_states)] = round(float(rng.random()), 2)
+    return NativeFst.from_arrays(
+        0, n_states, np.asarray(arcs, np.int32),
+        np.asarray(weights, np.float32), finals)
+
+
+def accepted_strings(start, arcs, weights, finals, rng, k=8, max_len=8):
+    """Sample input strings that have at least one path (random walks)."""
+    n_states = len(finals)
+    by_state = [[] for _ in range(n_states)]
+    for (s, il, ol, ns), w in zip(arcs, weights):
+        by_state[s].append((int(il), int(ns)))
+    out = set()
+    for _ in range(k * 8):
+        s, labels = int(start), []
+        for _ in range(max_len):
+            if not math.isinf(finals[s]) and rng.random() < 0.4:
+                break
+            if not by_state[s]:
+                break
+            il, ns = by_state[s][rng.integers(0, len(by_state[s]))]
+            if il:
+                labels.append(il)
+            s = ns
+        if not math.isinf(finals[s]):
+            out.add(tuple(labels))
+        if len(out) >= k:
+            break
+    return [list(t) for t in out]
+
+
+def assert_equivalent(f1, f2, rng, n_strings=8, also_random=True,
+                      check_outputs=True):
+    a1 = f1.to_arrays()
+    a2 = f2.to_arrays()
+    strings = accepted_strings(*a1, rng, k=n_strings)
+    if also_random:
+        strings += [list(rng.integers(1, 4, rng.integers(0, 5)))
+                    for _ in range(4)]
+    for s in strings:
+        c1, o1 = string_score(*a1, s)
+        c2, o2 = string_score(*a2, s)
+        assert (math.isinf(c1) and math.isinf(c2)) or \
+            abs(c1 - c2) < 2e-2, (s, c1, c2)
+        if check_outputs and not math.isinf(c1):
+            assert o1 == o2, (s, o1, o2)
+
+
+def is_deterministic(fst):
+    """No input-eps arcs except emission chains (single-eps-arc states),
+    and no two arcs with the same nonzero ilabel from one state."""
+    start, arcs, weights, finals = fst.to_arrays()
+    seen = {}
+    n_out = np.zeros(len(finals), np.int64)
+    for (s, il, ol, ns) in arcs[:, :4]:
+        n_out[s] += 1
+    for (s, il, ol, ns) in arcs[:, :4]:
+        if il == 0:
+            # emission-chain state: its source must have only this arc,
+            # unless it's a subset state emitting a final string / chain
+            continue
+        key = (int(s), int(il))
+        assert key not in seen, f"duplicate ilabel {il} at state {s}"
+        seen[key] = True
+    return True
+
+
+class TestDeterminizeStar:
+    def test_acyclic_random(self):
+        rng = np.random.default_rng(0)
+        for trial in range(25):
+            f = random_fst(rng, acyclic=True)
+            d = f.determinize_star()
+            is_deterministic(d)
+            assert_equivalent(f, d, rng)
+
+    def test_cyclic_random(self):
+        rng = np.random.default_rng(1)
+        ok = 0
+        for trial in range(15):
+            # cyclic but no eps cycles: make eps arcs only forward
+            n = 6
+            arcs, weights = [], []
+            for _ in range(14):
+                s = int(rng.integers(0, n))
+                eps = rng.random() < 0.2
+                if eps:
+                    if s == n - 1:
+                        continue
+                    ns = int(rng.integers(s + 1, n))
+                    il = 0
+                else:
+                    ns = int(rng.integers(0, n))
+                    il = int(rng.integers(1, 4))
+                ol = 0 if rng.random() < 0.3 else int(rng.integers(1, 4))
+                arcs.append([s, il, ol, ns])
+                weights.append(round(float(rng.random()) * 4) / 4 + 0.25)
+            finals = np.full(n, np.inf, np.float32)
+            finals[n - 1] = 0.0
+            f = NativeFst.from_arrays(0, n, np.asarray(arcs, np.int32),
+                                      np.asarray(weights, np.float32),
+                                      finals)
+            try:
+                # random cyclic transducers may genuinely violate the
+                # twins property; only determinizable draws are checked
+                d = f.determinize_star(max_states=20000)
+            except RuntimeError:
+                continue
+            ok += 1
+            is_deterministic(d)
+            assert_equivalent(f, d, rng)
+        assert ok >= 5, f"only {ok} determinizable cyclic draws"
+
+    def test_output_strings_emitted_in_chains(self):
+        # two-arc same-input paths with multi-symbol outputs force a
+        # common prefix + residual chain
+        arcs = np.asarray([
+            [0, 1, 5, 1],
+            [1, 2, 6, 2],
+            [0, 1, 5, 3],
+            [3, 3, 7, 2],
+        ], np.int32)
+        weights = np.zeros(4, np.float32)
+        finals = np.asarray([np.inf, np.inf, 0.0, np.inf], np.float32)
+        f = NativeFst.from_arrays(0, 4, arcs, weights, finals)
+        d = f.determinize_star()
+        rng = np.random.default_rng(2)
+        for s in ([1, 2], [1, 3], [1], [2]):
+            assert string_score(*f.to_arrays(), s) == \
+                string_score(*d.to_arrays(), s)
+
+    def test_nondeterminizable_raises(self):
+        # twins-property violation: two sibling cycles on the same input
+        # with different cycle weights -> residual weights diverge and
+        # subsets never repeat (the case lexicon disambig symbols fix)
+        arcs = np.asarray([
+            [0, 1, 10, 1],
+            [0, 1, 11, 2],
+            [1, 1, 0, 1],
+            [2, 1, 0, 2],
+        ], np.int32)
+        weights = np.asarray([0.0, 0.0, 0.0, 0.25], np.float32)
+        finals = np.asarray([np.inf, 0.0, 0.125], np.float32)
+        f = NativeFst.from_arrays(0, 3, arcs, weights, finals)
+        with pytest.raises(RuntimeError):
+            f.determinize_star(max_states=5000)
+
+
+class TestMinimizeEncoded:
+    def test_equivalent_and_smaller(self):
+        rng = np.random.default_rng(3)
+        for trial in range(20):
+            f = random_fst(rng, acyclic=trial % 2 == 0,
+                           n_states=8, n_arcs=20)
+            m = f.minimize()
+            assert m.num_states <= f.num_states
+            assert_equivalent(f, m, rng)
+
+    def test_merges_identical_tails(self):
+        # two branches with identical suffix structure must merge
+        arcs = np.asarray([
+            [0, 1, 1, 1],
+            [0, 2, 2, 2],
+            [1, 3, 0, 3],
+            [2, 3, 0, 4],
+            [3, 4, 0, 5],
+            [4, 4, 0, 5],
+        ], np.int32)
+        weights = np.zeros(6, np.float32)
+        finals = np.full(6, np.inf, np.float32)
+        finals[5] = 0.0
+        f = NativeFst.from_arrays(0, 6, arcs, weights, finals)
+        m = f.minimize()
+        assert m.num_states == 4  # {0}, {1,2}, {3,4}, {5}
+
+
+class TestPushSpecial:
+    def test_path_weights_preserved_exactly(self):
+        rng = np.random.default_rng(4)
+        for trial in range(15):
+            f = random_fst(rng, acyclic=trial % 2 == 0)
+            # connect first: push needs no dead states
+            f = f.connect()
+            if f.num_states == 0:
+                continue
+            p = f.push_special()
+            # pushing preserves path COSTS exactly (potentials telescope)
+            # but float rounding can flip which of two near-tie paths is
+            # best, so outputs are not compared
+            assert_equivalent(f, p, rng, check_outputs=False)
+
+    def test_outgoing_mass_uniform(self):
+        rng = np.random.default_rng(5)
+        f = random_fst(rng, acyclic=True, n_states=7, n_arcs=16).connect()
+        p = f.push_special()
+        start, arcs, weights, finals = p.to_arrays()
+        mass = np.zeros(len(finals))
+        for (s, il, ol, ns), w in zip(arcs, weights):
+            mass[s] += math.exp(-float(w))
+        for s, fw in enumerate(finals):
+            if not math.isinf(fw):
+                mass[s] += math.exp(-float(fw))
+        # every state's outgoing mass equals the same constant
+        assert mass.size > 0
+        np.testing.assert_allclose(mass, mass[int(start)], rtol=1e-3)
+
+
+class TestLexDisambig:
+    def test_homophones_and_prefixes(self):
+        from kaldi_ctc_tpu.lm.lexicon import add_lex_disambig
+        lex = [("red", ["r", "eh", "d"]),
+               ("read", ["r", "eh", "d"]),
+               ("re", ["r", "eh"]),
+               ("blue", ["b", "l", "uw"])]
+        out, n = add_lex_disambig(lex)
+        assert n == 2            # homophone pair needs #1/#2
+        assert out[0][1][-1] == "#1"
+        assert out[1][1][-1] == "#2"
+        assert out[2][1][-1] == "#1"   # prefix pron gets #1
+        assert out[3][1] == ["b", "l", "uw"]  # untouched

@@ -158,6 +158,57 @@ def test_full_native_tlg_word_decoding(tmp_path):
     assert result["label_error_rate"] < 0.1, result
 
 
+def test_homophone_lexicon_determinizes(tmp_path):
+    """Homophones/prefix prons make plain LG non-determinizable; the
+    disambig-symbol route (add_lex_disambig + determinize-star + strip)
+    must build a working graph that picks the higher-LM-probability
+    homophone."""
+    from kaldi_ctc_tpu.cli import graph_tool
+
+    lex_path = tmp_path / "lexicon.txt"
+    # 'red' and 'read' are homophones; 're' is a prefix pron
+    lex_path.write_text(
+        "red p1 p2\nread p1 p2\nre p1\nblue p3 p4\n")
+    arpa = """\\data\\
+ngram 1=6
+
+\\1-grams:
+-0.4 <s>
+-0.4 </s>
+-0.3 red
+-1.5 read
+-0.9 re
+-0.5 blue
+
+\\end\\
+"""
+    arpa_path = tmp_path / "lm.arpa"
+    arpa_path.write_text(arpa)
+    tlg = str(tmp_path / "TLG.fst")
+    graph_tool.main([
+        "make-tlg", "--lexicon", str(lex_path), "--arpa", str(arpa_path),
+        "--output", tlg])
+    fst = NativeFst.load(tlg)
+    assert fst.num_states > 0
+
+    # phones p1..p4 got ids 1..4; decode "p1 p2 p3 p4" (CTC columns:
+    # blank=0, phone i -> column i)
+    with open(tlg + ".words.txt") as f:
+        w2i = {line.split()[0]: int(line.split()[1]) for line in f}
+    ncols = 5
+    frames = []
+    for ph in (1, 2, 0, 3, 4):   # blank between words
+        frames += [ph] * 4
+    scores = np.full((len(frames), ncols), -5.0, np.float32)
+    for t, ph in enumerate(frames):
+        scores[t, ph] = 5.0
+    words, align, cost, final = decode_best_path(fst, scores)
+    id2w = {v: k for k, v in w2i.items()}
+    hyp = [id2w[int(x)] for x in words]
+    # homophone resolved toward the higher LM prob ('red' at -0.3)
+    assert hyp == ["red", "blue"], hyp
+
+
 def test_flat_start_training(tmp_path):
     """Full flat-start pipeline: transcripts + lexicon -> egs (no GMM
     alignments) -> train -> native TLG -> word decoding."""
