@@ -60,6 +60,51 @@ def parse_args(argv=None):
     i.add_argument("--lattices", required=True)
     i.add_argument("--compact", type=int, default=0)
 
+    m = sub.add_parser(
+        "mbr", help="Minimum-Bayes-Risk decode + confusion network "
+                    "(lattice-mbr-decode / sausages)")
+    m.add_argument("--lattices", required=True,
+                   help="CompactLattice archive (lattice_tool determinize "
+                        "output) unless --compact 0 (raw; determinized "
+                        "on the fly)")
+    m.add_argument("--compact", type=int, default=1)
+    m.add_argument("--acoustic-scale", type=float, default=1.0)
+    m.add_argument("--lm-scale", type=float, default=1.0)
+    m.add_argument("--no-mbr", action="store_true",
+                   help="MAP hypothesis + sausage stats only (do_mbr "
+                        "false)")
+    m.add_argument("--words", default=None, help="words.txt symbol table")
+    m.add_argument("--output", default=None, help="transcripts out")
+    m.add_argument("--sausage", default=None,
+                   help="write confusion-network bins (JSON lines)")
+
+    nb = sub.add_parser("nbest", help="N best word sequences per lattice")
+    nb.add_argument("--lattices", required=True)
+    nb.add_argument("--n", type=int, default=10)
+    nb.add_argument("--acoustic-scale", type=float, default=1.0)
+    nb.add_argument("--lm-scale", type=float, default=1.0)
+    nb.add_argument("--words", default=None)
+    nb.add_argument("--output", default=None)
+
+    po = sub.add_parser("post", help="arc posteriors (lattice-arc-post)")
+    po.add_argument("--lattices", required=True)
+    po.add_argument("--acoustic-scale", type=float, default=1.0)
+    po.add_argument("--lm-scale", type=float, default=1.0)
+    po.add_argument("--output", default=None,
+                    help="per-arc 'key from to ilabel olabel post' lines")
+    po.add_argument("--min-post", type=float, default=0.0001)
+
+    lr = sub.add_parser(
+        "lmrescore", help="add/subtract scaled ARPA LM scores "
+                          "(lattice-lmrescore; use --lm-scale -1 with the "
+                          "old LM to subtract, +1 with the new to add)")
+    lr.add_argument("--lattices", required=True,
+                    help="CompactLattice archive")
+    lr.add_argument("--arpa", required=True)
+    lr.add_argument("--words", required=True, help="words.txt symbol table")
+    lr.add_argument("--lm-scale", type=float, default=1.0)
+    lr.add_argument("--output", required=True)
+
     return p.parse_args(argv)
 
 
@@ -73,6 +118,20 @@ def main(argv=None):
 
     args = parse_args(argv)
     log = get_logger("lattice_tool")
+
+    def _read_word_syms(path):
+        if not path:
+            return None
+        syms = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    syms[int(parts[1])] = parts[0]
+        return syms
+
+    def _sym(w, syms):
+        return syms.get(int(w), str(int(w))) if syms else str(int(w))
 
     if args.cmd == "copy":
         n = 0
@@ -134,6 +193,90 @@ def main(argv=None):
                 write_compact_lattice_text(f, key, clat)
                 n += 1
         log.info("determinized %d lattices", n)
+
+    elif args.cmd == "mbr":
+        from kaldi_ctc_tpu.decoding.mbr import MinimumBayesRisk
+        word_syms = _read_word_syms(args.words)
+        out_f = open(args.output, "w") if args.output else sys.stdout
+        saus_f = open(args.sausage, "w") if args.sausage else None
+        n = 0
+        tot_risk = 0.0
+        if args.compact:
+            source = read_compact_lattice_text_ark(args.lattices)
+        else:
+            source = ((k, determinize_lattice_pruned(lat))
+                      for k, lat in read_lattice_text_ark(args.lattices))
+        for key, clat in source:
+            mbr = MinimumBayesRisk(clat, do_mbr=not args.no_mbr,
+                                   acoustic_scale=args.acoustic_scale,
+                                   lm_scale=args.lm_scale)
+            toks = [_sym(w, word_syms) for w in mbr.one_best]
+            print(key, " ".join(toks), file=out_f)
+            tot_risk += mbr.bayes_risk
+            n += 1
+            if saus_f is not None:
+                bins = [{"words": [[_sym(w, word_syms), round(p, 6)]
+                                   for w, p in b],
+                         "time": [round(t, 2) for t in tm]}
+                        for b, tm in zip(mbr.sausage, mbr.times)]
+                print(json.dumps({
+                    "key": key, "bayes_risk": round(mbr.bayes_risk, 4),
+                    "confidences": [round(c, 4)
+                                    for c in mbr.one_best_confidences],
+                    "bins": bins}), file=saus_f)
+        if args.output:
+            out_f.close()
+        if saus_f is not None:
+            saus_f.close()
+        log.info("MBR-decoded %d lattices, mean Bayes risk %.3f",
+                 n, tot_risk / max(n, 1))
+
+    elif args.cmd == "nbest":
+        word_syms = _read_word_syms(args.words)
+        out_f = open(args.output, "w") if args.output else sys.stdout
+        n = 0
+        for key, lat in read_lattice_text_ark(args.lattices):
+            for rank, (words, align, cost) in enumerate(
+                    lat.nbest(args.n, acoustic_scale=args.acoustic_scale,
+                              lm_scale=args.lm_scale)):
+                toks = [_sym(int(w), word_syms) for w in words]
+                print(f"{key}-{rank + 1} {cost:.4f} {' '.join(toks)}",
+                      file=out_f)
+            n += 1
+        if args.output:
+            out_f.close()
+        log.info("wrote %d-best for %d lattices", args.n, n)
+
+    elif args.cmd == "post":
+        out_f = open(args.output, "w") if args.output else sys.stdout
+        n = 0
+        for key, lat in read_lattice_text_ark(args.lattices):
+            post = lat.arc_posteriors(acoustic_scale=args.acoustic_scale,
+                                      lm_scale=args.lm_scale)
+            for i in range(lat.num_arcs):
+                if post[i] < args.min_post:
+                    continue
+                print(f"{key} {lat.arc_from[i]} {lat.arc_to[i]} "
+                      f"{lat.arc_ilabel[i]} {lat.arc_olabel[i]} "
+                      f"{post[i]:.6f}", file=out_f)
+            n += 1
+        if args.output:
+            out_f.close()
+        log.info("wrote arc posteriors for %d lattices", n)
+
+    elif args.cmd == "lmrescore":
+        from kaldi_ctc_tpu.decoding.rescore import lmrescore_compact
+        from kaldi_ctc_tpu.lm import parse_arpa
+        lm = parse_arpa(args.arpa)
+        syms = _read_word_syms(args.words) or {}
+        n = 0
+        with open(args.output, "w") as f:
+            for key, clat in read_compact_lattice_text_ark(args.lattices):
+                out = lmrescore_compact(clat, lm, syms,
+                                        lm_scale=args.lm_scale)
+                write_compact_lattice_text(f, key, out)
+                n += 1
+        log.info("LM-rescored %d lattices (scale %.2f)", n, args.lm_scale)
 
     elif args.cmd == "info":
         reader = (read_compact_lattice_text_ark if args.compact

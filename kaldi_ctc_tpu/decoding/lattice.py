@@ -119,6 +119,129 @@ class Lattice:
                          if self.state_frame is not None else None),
         )
 
+    def arc_posteriors(self, acoustic_scale: float = 1.0,
+                       lm_scale: float = 1.0) -> np.ndarray:
+        """Per-arc posterior probabilities by log-domain forward-backward
+        (lat/lattice-functions ComputeLatticeAlphasAndBetas +
+        LatticeForwardBackward as used by lattice-arc-post)."""
+        ll = -(lm_scale * self.arc_graph_cost.astype(np.float64)
+               + acoustic_scale * self.arc_acoustic_cost.astype(np.float64))
+        order = self._topo_order()
+        rank = np.full(self.num_states, -1, np.int64)
+        for i, s in enumerate(order):
+            rank[s] = i
+        alpha = np.full(self.num_states, -np.inf)
+        alpha[self.start] = 0.0
+        arc_order = np.argsort(rank[self.arc_from], kind="stable")
+        for i in arc_order:
+            f, t = self.arc_from[i], self.arc_to[i]
+            if rank[f] < 0:
+                continue
+            alpha[t] = np.logaddexp(alpha[t], alpha[f] + ll[i])
+        final_ll = np.where(np.isinf(self.final_cost), -np.inf,
+                            -lm_scale * self.final_cost.astype(np.float64))
+        beta = final_ll.copy()
+        for i in arc_order[::-1]:
+            f, t = self.arc_from[i], self.arc_to[i]
+            beta[f] = np.logaddexp(beta[f], beta[t] + ll[i])
+        with np.errstate(invalid="ignore"):
+            tot = np.logaddexp.reduce(alpha + final_ll)
+        if not np.isfinite(tot):
+            return np.zeros(self.num_arcs)
+        post = np.exp(alpha[self.arc_from] + ll + beta[self.arc_to] - tot)
+        return np.where(np.isfinite(post), post, 0.0)
+
+    def _topo_order(self) -> List[int]:
+        """Kahn topological order over states reachable from start."""
+        n = self.num_states
+        adj: List[List[int]] = [[] for _ in range(n)]
+        for i in range(self.num_arcs):
+            adj[self.arc_from[i]].append(self.arc_to[i])
+        reach = np.zeros(n, bool)
+        stack = [int(self.start)]
+        reach[self.start] = True
+        while stack:
+            s = stack.pop()
+            for t in adj[s]:
+                if not reach[t]:
+                    reach[t] = True
+                    stack.append(t)
+        indeg = np.zeros(n, np.int64)
+        for i in range(self.num_arcs):
+            if reach[self.arc_from[i]] and reach[self.arc_to[i]]:
+                indeg[self.arc_to[i]] += 1
+        out: List[int] = []
+        stack = [int(self.start)]
+        while stack:
+            s = stack.pop()
+            out.append(s)
+            for t in adj[s]:
+                if not reach[t]:
+                    continue
+                indeg[t] -= 1
+                if indeg[t] == 0:
+                    stack.append(t)
+        if len(out) != int(reach.sum()):
+            raise ValueError("cycle detected in lattice")
+        return out
+
+    def nbest(self, n: int, acoustic_scale: float = 1.0,
+              lm_scale: float = 1.0, max_pops: int = 200000):
+        """N best distinct paths (lattice-nbest): A* over partial paths
+        with the exact backward best-cost as (admissible) heuristic.
+        → list of (words, alignment, total_cost), best first."""
+        import heapq
+
+        w = (lm_scale * self.arc_graph_cost.astype(np.float64)
+             + acoustic_scale * self.arc_acoustic_cost.astype(np.float64))
+        fc = np.where(np.isinf(self.final_cost), _INF,
+                      lm_scale * self.final_cost.astype(np.float64))
+        # exact heuristic: best completion cost per state
+        beta = fc.copy()
+        for _ in range(self.num_states + 2):
+            changed = False
+            for i in range(self.num_arcs - 1, -1, -1):
+                v = beta[self.arc_to[i]] + w[i]
+                if v < beta[self.arc_from[i]]:
+                    beta[self.arc_from[i]] = v
+                    changed = True
+            if not changed:
+                break
+        by_state: List[List[int]] = [[] for _ in range(self.num_states)]
+        for i in range(self.num_arcs):
+            by_state[self.arc_from[i]].append(i)
+        results = []
+        seen_words = set()
+        if math.isinf(beta[self.start]):
+            return results
+        # heap entries: (f = g + h, tiebreak, state, g, arc-trace)
+        tiebreak = 0
+        heap = [(float(beta[self.start]), 0, int(self.start), 0.0, ())]
+        pops = 0
+        while heap and len(results) < n and pops < max_pops:
+            f, _, s, g, trace = heapq.heappop(heap)
+            pops += 1
+            if not math.isinf(fc[s]):
+                words = tuple(int(self.arc_olabel[i]) for i in trace
+                              if self.arc_olabel[i] != 0)
+                if words not in seen_words:
+                    seen_words.add(words)
+                    align = np.asarray(
+                        [int(self.arc_ilabel[i]) for i in trace
+                         if self.arc_ilabel[i] != 0], np.int32)
+                    results.append((np.asarray(words, np.int32), align,
+                                    float(g + fc[s])))
+            for i in by_state[s]:
+                g2 = g + float(w[i])
+                h = beta[self.arc_to[i]]
+                if math.isinf(h):
+                    continue
+                tiebreak += 1
+                heapq.heappush(heap, (g2 + float(h), tiebreak,
+                                      int(self.arc_to[i]), g2,
+                                      trace + (i,)))
+        return results
+
     def best_path(self, acoustic_scale: float = 1.0,
                   lm_scale: float = 1.0):
         """Shortest path under scaled weights → (words, alignment,

@@ -1,0 +1,305 @@
+"""MBR/sausage, arc-posterior, n-best, and LM-rescoring tests
+(the lat/sausages.cc + lattice-functions + lattice-lmrescore surface)."""
+
+import io
+import math
+import os
+
+import numpy as np
+
+from kaldi_ctc_tpu.decoding.det_lattice import CompactLattice
+from kaldi_ctc_tpu.decoding.lattice import Lattice
+from kaldi_ctc_tpu.decoding.mbr import MinimumBayesRisk
+from kaldi_ctc_tpu.decoding.rescore import lmrescore_compact
+from kaldi_ctc_tpu.lm import parse_arpa
+
+INF = float("inf")
+
+
+def clat_from_paths(paths):
+    """paths: list of (list_of_words, prob). Builds a CompactLattice with
+    one branch per path (graph_cost = -ln p spread on the first arc)."""
+    lat = CompactLattice(
+        start=0, num_states=1, arc_from=[], arc_to=[], arc_word=[],
+        arc_graph_cost=[], arc_acoustic_cost=[], arc_ilabels=[],
+        final_graph_cost=[INF], final_acoustic_cost=[INF],
+        final_ilabels=[()])
+    end = None
+    for words, prob in paths:
+        cur = 0
+        for i, w in enumerate(words):
+            last = i == len(words) - 1
+            if last:
+                if end is None:
+                    end = lat.num_states
+                    lat.num_states += 1
+                    lat.final_graph_cost.append(0.0)
+                    lat.final_acoustic_cost.append(0.0)
+                    lat.final_ilabels.append(())
+                nxt = end
+            else:
+                nxt = lat.num_states
+                lat.num_states += 1
+                lat.final_graph_cost.append(INF)
+                lat.final_acoustic_cost.append(INF)
+                lat.final_ilabels.append(())
+            lat.arc_from.append(cur)
+            lat.arc_to.append(nxt)
+            lat.arc_word.append(w)
+            lat.arc_graph_cost.append(-math.log(prob) if i == 0 else 0.0)
+            lat.arc_acoustic_cost.append(0.0)
+            lat.arc_ilabels.append((w, 0))   # 2 frames per word
+            cur = nxt
+    return lat
+
+
+class TestMbr:
+    def test_single_path_is_map(self):
+        lat = clat_from_paths([([5, 7], 1.0)])
+        mbr = MinimumBayesRisk(lat)
+        assert mbr.one_best == [5, 7]
+        assert mbr.bayes_risk < 0.01
+        assert all(c > 0.99 for c in mbr.one_best_confidences)
+
+    def test_mbr_beats_map(self):
+        # MAP path says word 1 (p=.4); two distinct paths say word 2
+        # (.3 + .3 = .6).  MAP picks 1, MBR must pick 2.
+        lat = clat_from_paths([([1], 0.4), ([2, 9], 0.3), ([2, 8], 0.3)])
+        # make the two word-2 paths distinct in the second position but
+        # identical in the first bin
+        map_words, _, _ = lat.best_path()
+        assert list(map_words) == [1]
+        mbr = MinimumBayesRisk(lat)
+        assert mbr.one_best[0] == 2, (mbr.one_best, mbr.sausage)
+        map_stats = MinimumBayesRisk(lat, do_mbr=False)
+        assert map_stats.one_best[0] == 1  # MAP kept
+
+    def test_sausage_posteriors(self):
+        lat = clat_from_paths([([1], 0.4), ([2], 0.6)])
+        mbr = MinimumBayesRisk(lat)
+        assert mbr.one_best == [2]
+        # find the word bin
+        word_bin = None
+        for b in mbr.sausage:
+            d = dict(b)
+            if 1 in d or 2 in d:
+                word_bin = d
+        assert word_bin is not None
+        assert abs(word_bin[2] - 0.6) < 1e-3
+        assert abs(word_bin[1] - 0.4) < 1e-3
+        # every bin's posteriors sum to ~1
+        for b in mbr.sausage:
+            assert abs(sum(p for _, p in b) - 1.0) < 0.02
+
+    def test_bayes_risk_value(self):
+        # risk of picking word 2 in a 0.6/0.4 bin = 0.4 substitutions
+        lat = clat_from_paths([([1], 0.4), ([2], 0.6)])
+        mbr = MinimumBayesRisk(lat)
+        assert abs(mbr.bayes_risk - 0.4) < 0.02
+
+    def test_deletion_insertion_bins(self):
+        # one path says "5", the other says nothing (eps path probability
+        # mass must appear as eps in the word bin)
+        lat = clat_from_paths([([5, 6], 0.7), ([6], 0.3)])
+        mbr = MinimumBayesRisk(lat)
+        assert mbr.one_best == [5, 6]
+        b0 = dict(mbr.sausage[1])   # first word bin
+        assert abs(b0.get(5, 0.0) - 0.7) < 1e-3
+        assert abs(b0.get(0, 0.0) - 0.3) < 1e-3
+
+    def test_times_monotonic(self):
+        lat = clat_from_paths([([1, 2, 3], 0.5), ([1, 4, 3], 0.5)])
+        mbr = MinimumBayesRisk(lat)
+        for (b1, e1), (b2, e2) in zip(mbr.times, mbr.times[1:]):
+            assert b1 <= e1 + 1e-6
+            assert e1 <= b2 + 1e-6
+
+
+def raw_lattice(arcs, finals, start=0):
+    """arcs: (from, to, il, ol, gc, ac)."""
+    n = max(max(a[0], a[1]) for a in arcs) + 1
+    fc = np.full(n, np.inf, np.float32)
+    for s, c in finals.items():
+        fc[s] = c
+    return Lattice(
+        start=start, num_states=n,
+        arc_from=np.asarray([a[0] for a in arcs], np.int32),
+        arc_to=np.asarray([a[1] for a in arcs], np.int32),
+        arc_ilabel=np.asarray([a[2] for a in arcs], np.int32),
+        arc_olabel=np.asarray([a[3] for a in arcs], np.int32),
+        arc_graph_cost=np.asarray([a[4] for a in arcs], np.float32),
+        arc_acoustic_cost=np.asarray([a[5] for a in arcs], np.float32),
+        final_cost=fc)
+
+
+class TestArcPosteriors:
+    def test_two_path(self):
+        # p(top) = .8, p(bottom) = .2 via graph costs
+        lat = raw_lattice(
+            [(0, 1, 1, 5, -math.log(0.8), 0.0),
+             (0, 2, 2, 6, -math.log(0.2), 0.0),
+             (1, 3, 3, 0, 0.0, 0.0),
+             (2, 3, 3, 0, 0.0, 0.0)],
+            {3: 0.0})
+        post = lat.arc_posteriors()
+        np.testing.assert_allclose(post, [0.8, 0.2, 0.8, 0.2], atol=1e-5)
+
+    def test_cut_sums_to_one(self):
+        rng = np.random.default_rng(0)
+        arcs = []
+        # layered DAG: 3 layers, random costs
+        layer = [0]
+        n = 1
+        for li in range(3):
+            nxt = [n + i for i in range(3)]
+            n += 3
+            for s in layer:
+                for t in nxt:
+                    arcs.append((s, t, 1, 0, float(rng.random()),
+                                 float(rng.random())))
+            layer = nxt
+        lat = raw_lattice(arcs, {s: 0.0 for s in layer})
+        post = lat.arc_posteriors(acoustic_scale=0.7, lm_scale=1.3)
+        # arcs leaving layer 0 form a cut: posteriors sum to 1
+        s0 = sum(p for p, f in zip(post, lat.arc_from) if f == 0)
+        assert abs(s0 - 1.0) < 1e-5
+
+
+class TestNBest:
+    def test_matches_bruteforce(self):
+        lat = raw_lattice(
+            [(0, 1, 1, 5, 0.1, 0.2),
+             (0, 1, 2, 6, 0.3, 0.1),
+             (1, 2, 3, 7, 0.0, 0.5),
+             (1, 2, 4, 8, 0.2, 0.0),
+             (0, 2, 9, 9, 1.0, 1.0)],
+            {2: 0.25})
+        got = lat.nbest(10)
+        # brute force all 5 paths
+        def cost(*idx):
+            return sum(float(lat.arc_graph_cost[i] +
+                             lat.arc_acoustic_cost[i]) for i in idx) + 0.25
+        want = sorted([
+            ((5, 7), cost(0, 2)), ((5, 8), cost(0, 3)),
+            ((6, 7), cost(1, 2)), ((6, 8), cost(1, 3)),
+            ((9,), cost(4))], key=lambda x: x[1])
+        assert len(got) == 5
+        for (w, a, c), (ww, cc) in zip(got, want):
+            assert tuple(int(x) for x in w) == ww
+            assert abs(c - cc) < 1e-5
+        # costs are sorted ascending
+        costs = [c for _, _, c in got]
+        assert costs == sorted(costs)
+
+    def test_distinct_word_sequences(self):
+        # two arc paths with the same word sequence: reported once
+        lat = raw_lattice(
+            [(0, 1, 1, 5, 0.0, 0.0),
+             (0, 1, 2, 5, 0.5, 0.0),
+             (1, 2, 3, 0, 0.0, 0.0)],
+            {2: 0.0})
+        got = lat.nbest(10)
+        assert len(got) == 1
+        assert tuple(got[0][0]) == (5,)
+
+
+ARPA = """\\data\\
+ngram 1=5
+ngram 2=2
+
+\\1-grams:
+-0.5 <s> -0.3
+-0.5 </s>
+-0.5 aa -0.2
+-0.9 bb -0.2
+-0.9 cc -0.2
+
+\\2-grams:
+-0.1 <s> bb
+-0.2 bb cc
+
+\\end\\
+"""
+
+
+class TestLmRescore:
+    def _syms(self):
+        return {0: "<eps>", 1: "aa", 2: "bb", 3: "cc"}
+
+    def test_lm_flips_best_path(self):
+        # acoustically 'aa' wins slightly; LM strongly prefers 'bb cc'
+        lm = parse_arpa(io.StringIO(ARPA))
+        lat = clat_from_paths([([1], 0.51), ([2, 3], 0.49)])
+        w0, _, _ = lat.best_path()
+        assert list(w0) == [1]
+        out = lmrescore_compact(lat, lm, self._syms(), lm_scale=5.0)
+        w1, _, _ = out.best_path()
+        assert list(w1) == [2, 3]
+
+    def test_subtract_add_roundtrip(self):
+        lm = parse_arpa(io.StringIO(ARPA))
+        lat = clat_from_paths([([1], 0.5), ([2, 3], 0.5)])
+        added = lmrescore_compact(lat, lm, self._syms(), lm_scale=1.0)
+        back = lmrescore_compact(added, lm, self._syms(), lm_scale=-1.0)
+        _, _, c0 = lat.best_path()
+        _, _, c1 = back.best_path()
+        assert abs(c0 - c1) < 1e-4
+        # and the total number of distinct word sequences is unchanged
+        assert sorted(set(added.arc_word)) == sorted(set(lat.arc_word))
+
+
+class TestCli(object):
+    def test_lattice_tool_mbr_nbest_post(self, tmp_path):
+        from kaldi_ctc_tpu.cli import lattice_tool
+        from kaldi_ctc_tpu.decoding.det_lattice import (
+            write_compact_lattice_text)
+        from kaldi_ctc_tpu.decoding.lattice import LatticeWriter
+
+        raw = raw_lattice(
+            [(0, 1, 1, 5, 0.1, 0.2),
+             (0, 1, 2, 6, 0.3, 0.1),
+             (1, 2, 3, 7, 0.0, 0.5)],
+            {2: 0.0})
+        raw_ark = tmp_path / "raw.lats"
+        with LatticeWriter(str(raw_ark)) as w:
+            w["utt1"] = raw
+
+        clat = clat_from_paths([([1], 0.4), ([2], 0.6)])
+        clat_ark = tmp_path / "det.lats"
+        with open(clat_ark, "w") as f:
+            write_compact_lattice_text(f, "utt1", clat)
+
+        out = tmp_path / "mbr.txt"
+        saus = tmp_path / "sausage.jsonl"
+        lattice_tool.main(["mbr", "--lattices", str(clat_ark),
+                           "--output", str(out), "--sausage", str(saus)])
+        assert out.read_text().split() == ["utt1", "2"]
+        import json
+        rec = json.loads(saus.read_text().splitlines()[0])
+        assert rec["key"] == "utt1"
+        assert rec["bins"]
+
+        nb = tmp_path / "nbest.txt"
+        lattice_tool.main(["nbest", "--lattices", str(raw_ark),
+                           "--n", "5", "--output", str(nb)])
+        lines = nb.read_text().splitlines()
+        assert len(lines) == 2  # two word sequences
+        assert lines[0].startswith("utt1-1 ")
+
+        po = tmp_path / "post.txt"
+        lattice_tool.main(["post", "--lattices", str(raw_ark),
+                           "--output", str(po)])
+        rows = [l.split() for l in po.read_text().splitlines()]
+        assert all(r[0] == "utt1" for r in rows)
+        total0 = sum(float(r[5]) for r in rows if r[1] == "0")
+        assert abs(total0 - 1.0) < 1e-4
+
+        arpa = tmp_path / "lm.arpa"
+        arpa.write_text(ARPA)
+        words = tmp_path / "words.txt"
+        words.write_text("<eps> 0\naa 1\nbb 2\ncc 3\n")
+        resc = tmp_path / "resc.lats"
+        lattice_tool.main(["lmrescore", "--lattices", str(clat_ark),
+                           "--arpa", str(arpa), "--words", str(words),
+                           "--lm-scale", "1.0", "--output", str(resc)])
+        assert os.path.getsize(resc) > 0
