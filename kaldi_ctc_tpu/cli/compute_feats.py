@@ -15,7 +15,14 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wav-scp", required=True)
-    p.add_argument("--type", choices=["mfcc", "fbank"], default="mfcc")
+    p.add_argument("--type", choices=["mfcc", "fbank", "pitch"],
+                   default="mfcc",
+                   help="pitch = compute-kaldi-pitch-feats | "
+                        "process-kaldi-pitch-feats (3-dim)")
+    p.add_argument("--add-pitch", type=int, default=0,
+                   help="append 3-dim processed pitch to mfcc/fbank "
+                        "(paste-feats analogue; rows matched by "
+                        "truncation to the shorter stream)")
     p.add_argument("--config", choices=["default", "hires"], default="default")
     p.add_argument("--num-mel-bins", type=int, default=None)
     p.add_argument("--num-ceps", type=int, default=None)
@@ -47,7 +54,12 @@ def main(argv=None):
     log = get_logger("compute_feats")
     frame_opts = FrameOptions(dither=args.dither)
 
-    if args.type == "mfcc":
+    from kaldi_ctc_tpu.features.pitch import compute_and_process_pitch
+
+    if args.type == "pitch":
+        opts = None
+        compute = None
+    elif args.type == "mfcc":
         opts = MfccOptions.hires() if args.config == "hires" else MfccOptions()
         if args.num_mel_bins or args.num_ceps:
             opts = MfccOptions(
@@ -82,10 +94,20 @@ def main(argv=None):
                 wave = jnp.asarray(wave_np)
                 out_key = (key if factor == 1.0
                            else f"sp{factor:g}-{key}")
-                key_rng = (jax.random.PRNGKey(
-                    args.seed + hash(out_key) % (2 ** 31))
-                    if args.dither > 0 else None)
-                feats = np.asarray(compute(wave, opts, dither_key=key_rng))
+                if args.type == "pitch":
+                    feats = compute_and_process_pitch(wave_np,
+                                                      seed=args.seed)
+                else:
+                    key_rng = (jax.random.PRNGKey(
+                        args.seed + hash(out_key) % (2 ** 31))
+                        if args.dither > 0 else None)
+                    feats = np.asarray(compute(wave, opts,
+                                               dither_key=key_rng))
+                    if args.add_pitch:
+                        pf = compute_and_process_pitch(wave_np,
+                                                       seed=args.seed)
+                        t = min(feats.shape[0], pf.shape[0])
+                        feats = np.concatenate([feats[:t], pf[:t]], axis=1)
                 w[out_key] = feats
                 n += 1
     log.info("wrote %d feature matrices", n)
