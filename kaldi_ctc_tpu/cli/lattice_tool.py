@@ -77,6 +77,13 @@ def parse_args(argv=None):
     m.add_argument("--output", default=None, help="transcripts out")
     m.add_argument("--sausage", default=None,
                    help="write confusion-network bins (JSON lines)")
+    m.add_argument("--ctm", default=None,
+                   help="write NIST CTM with times + confidences "
+                        "(lattice-to-ctm-conf analogue)")
+    m.add_argument("--frame-shift", type=float, default=0.01,
+                   help="seconds per lattice frame for CTM times "
+                        "(multiply by the frame-subsampling factor when "
+                        "the model ran subsampled)")
 
     nb = sub.add_parser("nbest", help="N best word sequences per lattice")
     nb.add_argument("--lattices", required=True)
@@ -199,6 +206,7 @@ def main(argv=None):
         word_syms = _read_word_syms(args.words)
         out_f = open(args.output, "w") if args.output else sys.stdout
         saus_f = open(args.sausage, "w") if args.sausage else None
+        ctm_f = open(args.ctm, "w") if args.ctm else None
         n = 0
         tot_risk = 0.0
         if args.compact:
@@ -224,10 +232,21 @@ def main(argv=None):
                     "confidences": [round(c, 4)
                                     for c in mbr.one_best_confidences],
                     "bins": bins}), file=saus_f)
+            if ctm_f is not None:
+                # NIST CTM: utt channel start duration word [confidence]
+                for w, (tb, te), conf in zip(mbr.one_best,
+                                             mbr.one_best_times,
+                                             mbr.one_best_confidences):
+                    start = tb * args.frame_shift
+                    dur = max(te - tb, 0.0) * args.frame_shift
+                    print(f"{key} 1 {start:.2f} {dur:.2f} "
+                          f"{_sym(w, word_syms)} {conf:.2f}", file=ctm_f)
         if args.output:
             out_f.close()
         if saus_f is not None:
             saus_f.close()
+        if ctm_f is not None:
+            ctm_f.close()
         log.info("MBR-decoded %d lattices, mean Bayes risk %.3f",
                  n, tot_risk / max(n, 1))
 

@@ -41,6 +41,10 @@ def parse_args(argv=None):
     g.add_argument("--feats", required=True)
     g.add_argument("--ali", default=None,
                    help="pdf-id alignments (GMM-bootstrap route)")
+    g.add_argument("--trans-model", default=None,
+                   help="Kaldi .mdl: --ali holds transition-ids "
+                        "(gmm-align output) to be mapped to pdf-ids "
+                        "first (ali-to-pdf)")
     g.add_argument("--text", default=None,
                    help="transcripts (flat-start route, with --lexicon)")
     g.add_argument("--lexicon", default=None,
@@ -144,11 +148,19 @@ def main(argv=None):
         n_oov = 0
 
         if args.ali:
+            tid_map = None
+            if args.trans_model:
+                from kaldi_ctc_tpu.utils.transition_model import (
+                    read_transition_model)
+                tid_map = \
+                    read_transition_model(args.trans_model).tid_to_pdf()
+
             def gen():
                 nonlocal n_skip
                 for eg in load_examples(args.feats, args.ali,
                                         cmvn_rspecifier=args.cmvn,
-                                        utt2spk=utt2spk):
+                                        utt2spk=utt2spk,
+                                        tid_to_pdf=tid_map):
                     if not example_ok(
                             eg, args.max_allow_frames,
                             max_label_length=args.max_label_length):

@@ -37,14 +37,23 @@ def load_examples(
     utt2spk: Optional[Dict[str, str]] = None,
     label_shift: int = 1,
     collapse: bool = True,
+    tid_to_pdf: Optional[np.ndarray] = None,
 ) -> Iterator[CtcExample]:
     """Stream (features, alignment) pairs joined by key → CtcExamples.
 
     Alignments are pdf-id sequences; `collapse` applies the
-    `ali-to-pdf --shift=1 --unique=true` transform.  CMVN stats are looked
-    up per speaker via utt2spk (or per utterance if no map given).
+    `ali-to-pdf --shift=1 --unique=true` transform.  If `tid_to_pdf` is
+    given (from a Kaldi TransitionModel), alignments are transition-id
+    sequences as produced by gmm-align and are mapped to pdf-ids first
+    (the ali-to-pdf binary's actual input contract,
+    bin/ali-to-pdf.cc:39-74).  CMVN stats are looked up per speaker via
+    utt2spk (or per utterance if no map given).
     """
     ali = {k: v for k, v in kaldi_io.SequentialIntVectorReader(ali_rspecifier)}
+    if tid_to_pdf is not None:
+        tid_to_pdf = np.asarray(tid_to_pdf, np.int32)
+        ali = {k: tid_to_pdf[np.asarray(v, np.int64) - 1]
+               for k, v in ali.items()}  # transition-ids are 1-based
     cmvn = None
     if cmvn_rspecifier is not None:
         cmvn = kaldi_io.RandomAccessMatrixReader(cmvn_rspecifier)

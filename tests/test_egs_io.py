@@ -133,3 +133,35 @@ def test_prepare_egs_cli(tmp_path):
         prepare_egs.main(["info", "--egs", f"ark:{tmp_path}/sorted.ark"])
     info = json.loads(buf.getvalue())
     assert info["num_examples"] == 3 and info["dim"] == 5
+
+
+def test_prepare_egs_transition_id_alignments(tmp_path):
+    """--trans-model route: alignments are transition-ids (gmm-align
+    output); labels must come out as collapsed pdf+1 (ali-to-pdf)."""
+    import numpy as np
+
+    from kaldi_ctc_tpu.cli import prepare_egs
+    from kaldi_ctc_tpu.data.egs_io import SequentialEgsReader
+    from kaldi_ctc_tpu.utils import kaldi_io
+    from tests.test_transition_model import _make_mono_ctc_model
+
+    mdl = tmp_path / "final.mdl"
+    mdl.write_bytes(_make_mono_ctc_model(3).read())
+
+    # phone p occupies tids (2p-1, 2p) (self-loop, forward); pdf = p-1
+    fark, aark = tmp_path / "f.ark", tmp_path / "a.ark"
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as fw, \
+         kaldi_io.IntVectorWriter(f"ark:{aark}") as aw:
+        feats = np.zeros((9, 4), np.float32)
+        # phones 1,1,1 then 2,2,2 then 3,3,3 as transition-ids:
+        # [1,1,2, 3,3,4, 5,5,6]
+        aw["u1"] = np.asarray([1, 1, 2, 3, 3, 4, 5, 5, 6], np.int32)
+        fw["u1"] = feats
+    out = tmp_path / "egs.ark"
+    prepare_egs.main(["get", "--feats", f"ark:{fark}",
+                      "--ali", f"ark:{aark}", "--trans-model", str(mdl),
+                      "--output", f"ark:{out}"])
+    egs = list(SequentialEgsReader(f"ark:{out}"))
+    assert len(egs) == 1
+    # pdfs 0,1,2 collapsed + shift 1 -> labels [1, 2, 3]
+    assert list(egs[0].labels) == [1, 2, 3]

@@ -303,3 +303,29 @@ class TestCli(object):
                            "--arpa", str(arpa), "--words", str(words),
                            "--lm-scale", "1.0", "--output", str(resc)])
         assert os.path.getsize(resc) > 0
+
+    def test_mbr_ctm_output(self, tmp_path):
+        from kaldi_ctc_tpu.cli import lattice_tool
+        from kaldi_ctc_tpu.decoding.det_lattice import (
+            write_compact_lattice_text)
+
+        clat = clat_from_paths([([4, 5], 0.9), ([4], 0.1)])
+        ark = tmp_path / "det.lats"
+        with open(ark, "w") as f:
+            write_compact_lattice_text(f, "uttA", clat)
+        ctm = tmp_path / "out.ctm"
+        lattice_tool.main(["mbr", "--lattices", str(ark),
+                           "--ctm", str(ctm), "--output", "/dev/null"])
+        rows = [l.split() for l in ctm.read_text().splitlines()]
+        assert len(rows) == 2
+        for r in rows:
+            assert r[0] == "uttA" and r[1] == "1"
+            assert float(r[3]) >= 0.0          # duration
+            assert 0.0 <= float(r[5]) <= 1.0   # confidence
+        assert rows[0][4] == "4" and rows[1][4] == "5"
+        # word 4 is on both paths -> high confidence; word 5 only on the
+        # 0.9 path
+        assert float(rows[0][5]) > 0.95
+        assert abs(float(rows[1][5]) - 0.9) < 0.02
+        # times increase
+        assert float(rows[1][2]) >= float(rows[0][2])
