@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--rnn-mode", type=int, default=2,
                    help="0=relu 1=tanh 2=lstm 3=gru")
     p.add_argument("--bidirectional", type=int, default=1)
+    p.add_argument("--splice-left", type=int, default=0)
+    p.add_argument("--splice-right", type=int, default=0)
+    p.add_argument("--front-affine-dim", type=int, default=0,
+                   help="FT model type front layer width (0 = google)")
     p.add_argument("--param-stddev", type=float, default=0.02)
     p.add_argument("--bias-stddev", type=float, default=0.2)
     p.add_argument("--blank-prior", type=float, default=9.0)
@@ -55,7 +59,10 @@ def main(argv=None):
                    mode=RnnMode(args.rnn_mode),
                    bidirectional=bool(args.bidirectional),
                    param_stddev=args.param_stddev,
-                   bias_stddev=args.bias_stddev)
+                   bias_stddev=args.bias_stddev,
+                   splice_left=args.splice_left,
+                   splice_right=args.splice_right,
+                   front_affine_dim=args.front_affine_dim)
     with open(os.path.join(args.dir, "model_config.json"), "w") as f:
         json.dump(cfg.to_dict(), f)
 

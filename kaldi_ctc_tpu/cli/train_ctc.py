@@ -48,6 +48,12 @@ def parse_args(argv=None):
     p.add_argument("--rnn-mode", type=int, default=2,
                    help="0=relu 1=tanh 2=lstm 3=gru")
     p.add_argument("--bidirectional", type=int, default=1)
+    p.add_argument("--splice-left", type=int, default=0,
+                   help="input splice left context (SpliceComponent)")
+    p.add_argument("--splice-right", type=int, default=0)
+    p.add_argument("--front-affine-dim", type=int, default=0,
+                   help="FT model type: Affine+ReLU+renorm front layer "
+                        "width before the RNN stack (0 = google type)")
     p.add_argument("--dropout", type=float, default=0.0,
                    help="dropout after the RNN stack (removed at decode, "
                         "like nnet-am-copy --remove-dropout)")
@@ -197,7 +203,10 @@ def main(argv=None):
                         mode=RnnMode(args.rnn_mode),
                         bidirectional=bool(args.bidirectional),
                         dropout=args.dropout,
-                        compute_dtype=args.compute_dtype)
+                        compute_dtype=args.compute_dtype,
+                        splice_left=args.splice_left,
+                        splice_right=args.splice_right,
+                        front_affine_dim=args.front_affine_dim)
 
     def write_cfg(cfg):
         with open(os.path.join(args.dir, "model_config.json"), "w") as f:

@@ -41,11 +41,23 @@ class AmConfig:
     dropout: float = 0.0
     # matmul compute dtype: "float32" or "bfloat16" (mixed precision)
     compute_dtype: str = "float32"
+    # input splicing (nnet2 SpliceComponent, edge-clamped): frames
+    # [-splice_left .. +splice_right] concatenated per step
+    splice_left: int = 0
+    splice_right: int = 0
+    # the 'FT' model type (make_configs.py:269-279): an Affine + ReLU +
+    # renormalize front layer of this width before the RNN stack
+    # (AddAffRelNormLayer); 0 = 'google' (RNN-first)
+    front_affine_dim: int = 0
+
+    @property
+    def spliced_dim(self) -> int:
+        return self.input_dim * (1 + self.splice_left + self.splice_right)
 
     @property
     def rnn(self) -> RnnConfig:
         return RnnConfig(
-            input_dim=self.input_dim,
+            input_dim=(self.front_affine_dim or self.spliced_dim),
             hidden_dim=self.hidden_dim,
             num_layers=self.num_layers,
             mode=self.mode,
@@ -75,14 +87,21 @@ def default_priors(num_targets: int, blank_prior: float = 9.0) -> np.ndarray:
 
 
 def init_am_params(key: jax.Array, cfg: AmConfig) -> Dict[str, Any]:
-    k_rnn, k_w = jax.random.split(key)
+    k_rnn, k_w, k_f = jax.random.split(key, 3)
     out_in = cfg.rnn.output_dim
-    return {
+    params = {
         "rnn": init_rnn_params(k_rnn, cfg.rnn),
         "out_w": cfg.param_stddev * jax.random.normal(
             k_w, (out_in, cfg.num_targets), dtype=jnp.float32),
         "out_b": jnp.zeros((cfg.num_targets,), dtype=jnp.float32),
     }
+    if cfg.front_affine_dim:
+        params["front_w"] = cfg.param_stddev * jax.random.normal(
+            k_f, (cfg.spliced_dim, cfg.front_affine_dim),
+            dtype=jnp.float32)
+        params["front_b"] = jnp.zeros((cfg.front_affine_dim,),
+                                      dtype=jnp.float32)
+    return params
 
 
 def grow_rnn_layer(params: Dict[str, Any], cfg: AmConfig,
@@ -126,6 +145,24 @@ def am_forward(
     [T*B, H] @ [H, A] matmul.
     """
     x = jnp.swapaxes(feats, 0, 1)  # [T, B, D]
+    if cfg.splice_left or cfg.splice_right:
+        # SpliceComponent with edge clamping: concat frames t-L..t+R
+        parts = []
+        t = x.shape[0]
+        for off in range(-cfg.splice_left, cfg.splice_right + 1):
+            idx = jnp.clip(jnp.arange(t) + off, 0, t - 1)
+            parts.append(x[idx])
+        x = jnp.concatenate(parts, axis=-1)
+    if cfg.front_affine_dim:
+        # FT front layer: Affine + ReLU + renormalize to unit RMS
+        # (AddAffRelNormLayer, make_configs.py:269-274)
+        cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        h = (jnp.dot(x.astype(cd), params["front_w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+             + params["front_b"])
+        h = jax.nn.relu(h)
+        rms = jnp.sqrt(jnp.mean(h * h, axis=-1, keepdims=True) + 1e-20)
+        x = h / rms
     y = rnn_forward(params["rnn"], x, cfg.rnn, input_lens)
     if cfg.dropout > 0.0 and dropout_key is not None:
         keep = 1.0 - cfg.dropout

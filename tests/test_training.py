@@ -169,3 +169,33 @@ def test_profiler():
     with p.track("c"):
         pass
     assert "c" not in p.report()
+
+
+def test_ft_model_with_splice_overfits():
+    """The 'FT' model type (make_configs.py:269-279): spliced input ->
+    Affine+ReLU+renorm front layer -> RNN stack, must also learn."""
+    cfg = AmConfig(input_dim=8, num_targets=6, hidden_dim=16, num_layers=2,
+                   mode=RnnMode.LSTM, bidirectional=True,
+                   splice_left=2, splice_right=2, front_affine_dim=24)
+    rng = np.random.default_rng(7)
+    batch_np = _synthetic_batch(rng, b=4, t=24, d=8, num_targets=6, lmax=4)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    opts = TrainOptions(initial_learning_rate=1e-2,
+                        final_learning_rate=1e-3,
+                        num_steps=800, momentum=0.9)
+    params = init_am_params(jax.random.PRNGKey(7), cfg)
+    assert params["front_w"].shape == (8 * 5, 24)
+    state = init_train_state(params)
+    step = make_train_step(cfg, opts)
+    first = None
+    for _ in range(800):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss_per_frame"])
+    last = float(metrics["loss_per_frame"])
+    assert last < 0.05 * first, (first, last)
+    # forward shape sanity with splice (T unchanged); the step donates
+    # its inputs, so use the trained state's params
+    logits = am_forward(state.params, batch["feats"], cfg,
+                        batch["input_lens"])
+    assert logits.shape == (4, 24, 6)
