@@ -48,6 +48,12 @@ def parse_args(argv=None):
                    help="words.txt output (default <output>.words.txt)")
     t.add_argument("--write-phones", default=None,
                    help="phones.txt output (default <output>.phones.txt)")
+    t.add_argument("--tree", default=None,
+                   help="ContextDependency tree file: build a "
+                        "context-dependent (e.g. triphone) graph — phone "
+                        "arcs become tree pdfs+1 (fstcomposecontext + "
+                        "make-h-transducer collapsed); default: mono, "
+                        "phone id == pdf+1")
     t.add_argument("--determinize", type=int, default=1,
                    help="determinize-star + minimize LG with lexicon "
                         "disambig symbols (mkgraph.sh:92-98); 0 = plain "
@@ -117,6 +123,13 @@ def main(argv=None):
                 first = min(i for p, i in phone_to_id.items()
                             if p.startswith("#") and p[1:].isdigit())
                 LG = LG.remove_disambig(first).connect()
+        if args.tree:
+            # context-dependency expansion (triphone route): phone
+            # ilabels -> tree pdf+1 before the H/CTC steps
+            from kaldi_ctc_tpu.decoding.context import context_expand
+            from kaldi_ctc_tpu.utils.tree import read_tree
+            tree = read_tree(args.tree)
+            LG = context_expand(LG, tree)
         # H step: self-loops (sustained frames), then the CTC transform
         tlg = LG.add_self_loops().make_ctc_graph()
         tlg.write(args.output)

@@ -52,6 +52,10 @@ def parse_args(argv=None):
     g.add_argument("--phones", default=None,
                    help="phones.txt fixing phone ids (default: enumerate "
                         "lexicon phones from 1)")
+    g.add_argument("--tree", default=None,
+                   help="ContextDependency tree: flat-start labels become "
+                        "tree pdfs+1 (context-dependent targets) instead "
+                        "of phone ids")
     g.add_argument("--cmvn", default=None)
     g.add_argument("--utt2spk", default=None)
     g.add_argument("--output", required=True,
@@ -198,6 +202,11 @@ def main(argv=None):
                      for k, v in SequentialTextReader(args.text)}
             cmvn = (kaldi_io.RandomAccessMatrixReader(args.cmvn)
                     if args.cmvn else None)
+            tree = None
+            if args.tree:
+                from kaldi_ctc_tpu.decoding.context import labels_to_pdfs
+                from kaldi_ctc_tpu.utils.tree import read_tree
+                tree = read_tree(args.tree)
 
             def gen():
                 nonlocal n_skip, n_oov
@@ -210,6 +219,8 @@ def main(argv=None):
                     if labels is None:
                         n_oov += 1
                         continue
+                    if tree is not None:
+                        labels = labels_to_pdfs(labels, tree)
                     if cmvn is not None:
                         spk = utt2spk.get(key, key) if utt2spk else key
                         if spk in cmvn:
