@@ -56,6 +56,13 @@ def parse_args(argv=None):
                    help="ContextDependency tree: flat-start labels become "
                         "tree pdfs+1 (context-dependent targets) instead "
                         "of phone ids")
+    g.add_argument("--const-feat-dim", type=int, default=0,
+                   help="treat the last N feature dims as constant "
+                        "speaker info (appended ivectors): replace them "
+                        "by their utterance mean (nnet-ctc-get-egs "
+                        "spk_info, ctcbin/nnet-ctc-get-egs.cc:150-166 — "
+                        "equivalent layout: the mean is broadcast back "
+                        "onto every frame instead of stored separately)")
     g.add_argument("--cmvn", default=None)
     g.add_argument("--utt2spk", default=None)
     g.add_argument("--output", required=True,
@@ -151,6 +158,18 @@ def main(argv=None):
         n_skip = 0
         n_oov = 0
 
+        import dataclasses as _dc
+
+        def apply_spk_info(eg):
+            # spk_info: utterance-mean of the trailing const dims,
+            # broadcast back onto every frame
+            n = args.const_feat_dim
+            if n <= 0:
+                return eg
+            feats = eg.feats.copy()
+            feats[:, -n:] = feats[:, -n:].mean(axis=0, keepdims=True)
+            return _dc.replace(eg, feats=feats)
+
         if args.ali:
             tid_map = None
             if args.trans_model:
@@ -170,7 +189,7 @@ def main(argv=None):
                             max_label_length=args.max_label_length):
                         n_skip += 1
                         continue
-                    yield eg
+                    yield apply_spk_info(eg)
         elif args.text and args.lexicon:
             # flat-start: labels from transcripts via the lexicon (no
             # GMM bootstrap; CTC only needs label order)
@@ -233,7 +252,7 @@ def main(argv=None):
                             max_label_length=args.max_label_length):
                         n_skip += 1
                         continue
-                    yield eg
+                    yield apply_spk_info(eg)
         else:
             log.error("get needs --ali or both --text and --lexicon")
             import sys

@@ -165,3 +165,31 @@ def test_prepare_egs_transition_id_alignments(tmp_path):
     assert len(egs) == 1
     # pdfs 0,1,2 collapsed + shift 1 -> labels [1, 2, 3]
     assert list(egs[0].labels) == [1, 2, 3]
+
+
+def test_prepare_egs_const_feat_dim(tmp_path):
+    """--const-feat-dim: trailing dims replaced by their utterance mean
+    (the nnet-ctc-get-egs spk_info semantics)."""
+    import numpy as np
+
+    from kaldi_ctc_tpu.cli import prepare_egs
+    from kaldi_ctc_tpu.data.egs_io import SequentialEgsReader
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    fark, aark = tmp_path / "f.ark", tmp_path / "a.ark"
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((10, 6)).astype(np.float32)
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as fw, \
+         kaldi_io.IntVectorWriter(f"ark:{aark}") as aw:
+        fw["u1"] = feats
+        aw["u1"] = np.asarray([0, 0, 1, 1], np.int32)
+    out = tmp_path / "egs.ark"
+    prepare_egs.main(["get", "--feats", f"ark:{fark}",
+                      "--ali", f"ark:{aark}", "--const-feat-dim", "2",
+                      "--compress", "0", "--output", f"ark:{out}"])
+    egs = list(SequentialEgsReader(f"ark:{out}"))
+    got = egs[0].feats
+    np.testing.assert_allclose(got[:, :4], feats[:, :4], rtol=1e-5)
+    want_mean = feats[:, 4:].mean(axis=0)
+    for t in range(10):
+        np.testing.assert_allclose(got[t, 4:], want_mean, rtol=1e-5)
