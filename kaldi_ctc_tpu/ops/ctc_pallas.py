@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["forward_alphas_pallas", "backward_betas_pallas"]
+__all__ = ["forward_alphas_pallas", "backward_betas_pallas",
+           "alpha_beta_pallas"]
 
 _NEG_INF = -1e30
 
@@ -88,6 +89,99 @@ def _beta_kernel(lens_ref, skipd_ref, lp_ref, idx_last_ref, betas_ref,
     out = jnp.where(is_last, init_row, jnp.where(valid, new, b))
     b_scr[:] = out
     betas_ref[0] = out
+
+
+def _alpha_beta_kernel(lens_ref, skip_ref, skipd_ref, idx_last_ref,
+                       lp_a_ref, lp_b_ref, alphas_ref, betas_ref,
+                       a_scr, b_scr, *, t_max: int):
+    """Fused sweep: grid step i advances alpha at t=i AND beta at
+    t=t_max-1-i.  The two recursions are independent, so running them in
+    the same sequential grid halves the recursion's wall-clock versus two
+    back-to-back kernels (the sweep is latency-bound: tiny [B, S] rows)."""
+    i = pl.program_id(0)
+
+    # ---- alpha at t = i (identical math to _alpha_kernel) ----
+    lp = lp_a_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+
+    @pl.when(i == 0)
+    def _init_a():
+        a_scr[:] = jnp.where(col <= 1, lp, _NEG_INF)
+
+    @pl.when(i > 0)
+    def _step_a():
+        a = a_scr[:]
+        prev = jnp.logaddexp(a, _shift_right(a, 1))
+        prev = jnp.logaddexp(
+            prev, jnp.where(skip_ref[:] > 0, _shift_right(a, 2), _NEG_INF))
+        new = jnp.maximum(prev + lp, _NEG_INF)
+        valid = lens_ref[:] > i
+        a_scr[:] = jnp.where(valid, new, a)
+
+    alphas_ref[0] = a_scr[:]
+
+    # ---- beta at t = t_max - 1 - i (identical math to _beta_kernel) ----
+    t = t_max - 1 - i
+    lpb = lp_b_ref[0]
+
+    @pl.when(i == 0)
+    def _init_b():
+        b_scr[:] = jnp.full_like(b_scr, _NEG_INF)
+
+    b = b_scr[:]
+    nxt = jnp.logaddexp(b, _shift_left(b, 1))
+    nxt = jnp.logaddexp(
+        nxt, jnp.where(skipd_ref[:] > 0, _shift_left(b, 2), _NEG_INF))
+    new_b = jnp.maximum(nxt + lpb, _NEG_INF)
+    init_row = jnp.where(
+        (col == idx_last_ref[:]) | (col == idx_last_ref[:] - 1),
+        lpb, _NEG_INF)
+    is_last = lens_ref[:] == (t + 1)
+    valid_b = lens_ref[:] > t
+    out = jnp.where(is_last, init_row, jnp.where(valid_b, new_b, b))
+    b_scr[:] = out
+    betas_ref[0] = out
+
+
+def alpha_beta_pallas(lp_ext_t, skip_ok, skip_down, lens, label_lens,
+                      interpret=False):
+    """Fused alpha+beta recursions in one kernel pass.
+
+    Returns (alphas [T, B, S], betas [T, B, S])."""
+    t_max, b, s = lp_ext_t.shape
+    kern = functools.partial(_alpha_beta_kernel, t_max=t_max)
+    idx_last = (2 * label_lens).astype(jnp.int32)[:, None]
+    return pl.pallas_call(
+        kern,
+        grid=(t_max,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # lens [B,1] f32
+            pl.BlockSpec((b, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # skip_ok
+            pl.BlockSpec((b, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # skip_down
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # idx_last
+            pl.BlockSpec((1, b, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # lp for alpha
+            pl.BlockSpec((1, b, s), lambda i: (t_max - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),   # lp for beta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, s), lambda i: (t_max - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, s), jnp.float32),
+                   jax.ShapeDtypeStruct((t_max, b, s), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, s), jnp.float32),
+                        pltpu.VMEM((b, s), jnp.float32)],
+        interpret=interpret,
+    )(lens.astype(jnp.float32)[:, None], skip_ok.astype(jnp.float32),
+      skip_down.astype(jnp.float32), idx_last.astype(jnp.int32),
+      lp_ext_t, lp_ext_t)
 
 
 def forward_alphas_pallas(lp_ext_t, skip_ok, lens, interpret=False):
