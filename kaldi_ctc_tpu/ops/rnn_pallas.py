@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lstm_sequence", "lstm_seq_fwd"]
+__all__ = ["lstm_sequence", "lstm_seq_fwd", "bilstm_sequence"]
 
 
 def _fwd_kernel(lens_ref, xp_ref, wh_ref, y_ref, c_ref, gates_ref,
@@ -102,6 +102,113 @@ def _bwd_kernel(lens_ref, dy_ref, gates_ref, c_ref, cprev_ref, wh_t_ref,
     dh_scr[:] = jnp.where(valid, dh_new, dh_scr[:])
     dc_scr[:] = jnp.where(valid, dc_total * f, dc_scr[:])
     dgates_ref[0] = dgates
+
+
+def _lstm_cell_update(xp, wh_ref, h, c, valid):
+    """One LSTM cell step; returns (h_out, c_out, y, gates)."""
+    gates = xp + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                         preferred_element_type=jnp.float32)
+    hdim = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
+    f = jax.nn.sigmoid(gates[:, 1 * hdim:2 * hdim])
+    g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+    o = jax.nn.sigmoid(gates[:, 3 * hdim:4 * hdim])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_out = jnp.where(valid, h_new, h)
+    c_out = jnp.where(valid, c_new, c)
+    return h_out, c_out, jnp.where(valid, h_new, 0.0), \
+        jnp.concatenate([i, f, g, o], axis=-1)
+
+
+def _bifwd_kernel(lens_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
+                  yf_ref, cf_ref, gf_ref, yb_ref, cb_ref, gb_ref,
+                  hf_scr, cf_scr, hb_scr, cb_scr, *, t_max: int):
+    """Both BLSTM directions in one sequential grid: step s advances the
+    forward direction at t=s and the backward direction at t=t_max-1-s.
+    The directions are independent, so one pass of T steps replaces two
+    back-to-back T-step kernels."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        cf_scr[:] = jnp.zeros_like(cf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+        cb_scr[:] = jnp.zeros_like(cb_scr)
+
+    valid_f = lens_ref[:] > step
+    h, c, y, g = _lstm_cell_update(xpf_ref[0], whf_ref, hf_scr[:],
+                                   cf_scr[:], valid_f)
+    hf_scr[:] = h
+    cf_scr[:] = c
+    yf_ref[0] = y
+    cf_ref[0] = c
+    gf_ref[0] = g
+
+    valid_b = lens_ref[:] > (t_max - 1 - step)
+    h, c, y, g = _lstm_cell_update(xpb_ref[0], whb_ref, hb_scr[:],
+                                   cb_scr[:], valid_b)
+    hb_scr[:] = h
+    cb_scr[:] = c
+    yb_ref[0] = y
+    cb_ref[0] = c
+    gb_ref[0] = g
+
+
+def _dgates_update(dy, gates, c, c_prev, wh_t_ref, dh, dc, valid):
+    """One backward cell step; returns (dgates, dh_new, dc_new)."""
+    hdim = dh.shape[-1]
+    i = gates[:, 0 * hdim:1 * hdim]
+    f = gates[:, 1 * hdim:2 * hdim]
+    g = gates[:, 2 * hdim:3 * hdim]
+    o = gates[:, 3 * hdim:4 * hdim]
+    tanh_c = jnp.tanh(c)
+    dh_total = dy + dh
+    dc_total = dc + dh_total * o * (1.0 - tanh_c * tanh_c)
+    do = dh_total * tanh_c * o * (1.0 - o)
+    di = dc_total * g * i * (1.0 - i)
+    df = dc_total * c_prev * f * (1.0 - f)
+    dg = dc_total * i * (1.0 - g * g)
+    dgates = jnp.concatenate([di, df, dg, do], axis=-1)
+    dgates = jnp.where(valid, dgates, 0.0)
+    dh_new = jnp.dot(dgates.astype(wh_t_ref.dtype), wh_t_ref[:],
+                     preferred_element_type=jnp.float32)
+    return (dgates, jnp.where(valid, dh_new, dh),
+            jnp.where(valid, dc_total * f, dc))
+
+
+def _bibwd_kernel(lens_ref, dyf_ref, gf_ref, cf_ref, cpf_ref,
+                  dyb_ref, gb_ref, cb_ref, cpb_ref, whf_t_ref, whb_t_ref,
+                  dgf_ref, dgb_ref, dhf_scr, dcf_scr, dhb_scr, dcb_scr,
+                  *, t_max: int):
+    """dgates for both directions: step s handles the forward direction
+    at t=t_max-1-s (reverse of its forward order) and the backward
+    direction at t=s."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dhf_scr[:] = jnp.zeros_like(dhf_scr)
+        dcf_scr[:] = jnp.zeros_like(dcf_scr)
+        dhb_scr[:] = jnp.zeros_like(dhb_scr)
+        dcb_scr[:] = jnp.zeros_like(dcb_scr)
+
+    valid_f = lens_ref[:] > (t_max - 1 - step)
+    dg, dh, dc = _dgates_update(dyf_ref[0], gf_ref[0], cf_ref[0],
+                                cpf_ref[0], whf_t_ref, dhf_scr[:],
+                                dcf_scr[:], valid_f)
+    dhf_scr[:] = dh
+    dcf_scr[:] = dc
+    dgf_ref[0] = dg
+
+    valid_b = lens_ref[:] > step
+    dg, dh, dc = _dgates_update(dyb_ref[0], gb_ref[0], cb_ref[0],
+                                cpb_ref[0], whb_t_ref, dhb_scr[:],
+                                dcb_scr[:], valid_b)
+    dhb_scr[:] = dh
+    dcb_scr[:] = dc
+    dgb_ref[0] = dg
 
 
 def _time_spec(t_max: int, reverse: bool, block_shape):
@@ -196,6 +303,114 @@ def _shift_prev(seq, reverse):
     if reverse:
         return jnp.concatenate([seq[1:], jnp.zeros_like(seq[:1])], axis=0)
     return jnp.concatenate([jnp.zeros_like(seq[:1]), seq[:-1]], axis=0)
+
+
+def _bilstm_seq_fwd(xp_f, xp_b, w_h_f, w_h_b, lens, interpret=False):
+    t_max, b, g4 = xp_f.shape
+    h = g4 // 4
+    kern = functools.partial(_bifwd_kernel, t_max=t_max)
+    fw = functools.partial(_time_spec, t_max, False)
+    bw = functools.partial(_time_spec, t_max, True)
+    outs = pl.pallas_call(
+        kern,
+        grid=(t_max,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # lens
+            fw((1, b, g4)),                                   # xp_f
+            bw((1, b, g4)),                                   # xp_b
+            pl.BlockSpec((h, g4), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # w_h_f
+            pl.BlockSpec((h, g4), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # w_h_b
+        ],
+        out_specs=[fw((1, b, h)), fw((1, b, h)), fw((1, b, g4)),
+                   bw((1, b, h)), bw((1, b, h)), bw((1, b, g4))],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
+        interpret=interpret,
+    )(lens.astype(jnp.float32)[:, None], xp_f, xp_b, w_h_f, w_h_b)
+    return outs  # y_f, c_f, g_f, y_b, c_b, g_b
+
+
+def _bilstm_seq_bwd_dgates(dy_f, dy_b, g_f, c_f, cp_f, g_b, c_b, cp_b,
+                           w_h_f, w_h_b, lens, interpret=False):
+    t_max, b, h = dy_f.shape
+    g4 = 4 * h
+    kern = functools.partial(_bibwd_kernel, t_max=t_max)
+    # the forward direction's dgates walk reversed time; the backward
+    # direction's walk forward time
+    fw = functools.partial(_time_spec, t_max, True)
+    bw = functools.partial(_time_spec, t_max, False)
+    dg_f, dg_b = pl.pallas_call(
+        kern,
+        grid=(t_max,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # lens
+            fw((1, b, h)), fw((1, b, g4)), fw((1, b, h)), fw((1, b, h)),
+            bw((1, b, h)), bw((1, b, g4)), bw((1, b, h)), bw((1, b, h)),
+            pl.BlockSpec((g4, h), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # w_f^T
+            pl.BlockSpec((g4, h), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # w_b^T
+        ],
+        out_specs=[fw((1, b, g4)), bw((1, b, g4))],
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32),
+                   jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
+        interpret=interpret,
+    )(lens.astype(jnp.float32)[:, None],
+      dy_f, g_f, c_f, cp_f, dy_b, g_b, c_b, cp_b, w_h_f.T, w_h_b.T)
+    return dg_f, dg_b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def bilstm_sequence(xp_f, xp_b, w_h_f, w_h_b, lens, interpret=False):
+    """Fused bidirectional LSTM layer → (y_f, y_b), each [T, B, H].
+
+    Equivalent to lstm_sequence(xp_f, w_h_f, lens, reverse=False) and
+    lstm_sequence(xp_b, w_h_b, lens, reverse=True), but both directions
+    advance inside one sequential grid (halves the recursion passes)."""
+    y_f, _, _, y_b, _, _ = _bilstm_seq_fwd(xp_f, xp_b, w_h_f, w_h_b, lens,
+                                           interpret)
+    return y_f, y_b
+
+
+def _bilstm_fwd(xp_f, xp_b, w_h_f, w_h_b, lens, interpret):
+    y_f, c_f, g_f, y_b, c_b, g_b = _bilstm_seq_fwd(
+        xp_f, xp_b, w_h_f, w_h_b, lens, interpret)
+    return (y_f, y_b), (w_h_f, w_h_b, lens, y_f, c_f, g_f, y_b, c_b, g_b)
+
+
+def _bilstm_bwd(interpret, res, cot):
+    dy_f, dy_b = cot
+    w_h_f, w_h_b, lens, y_f, c_f, g_f, y_b, c_b, g_b = res
+    cp_f = _shift_prev(c_f, False)
+    cp_b = _shift_prev(c_b, True)
+    dg_f, dg_b = _bilstm_seq_bwd_dgates(
+        dy_f, dy_b, g_f, c_f, cp_f, g_b, c_b, cp_b, w_h_f, w_h_b, lens,
+        interpret)
+    t_max, b, h = y_f.shape
+    hp_f = _shift_prev(y_f, False)
+    hp_b = _shift_prev(y_b, True)
+    dw_f = jnp.dot(hp_f.reshape(t_max * b, h).astype(w_h_f.dtype).T,
+                   dg_f.reshape(t_max * b, 4 * h).astype(w_h_f.dtype),
+                   preferred_element_type=jnp.float32).astype(w_h_f.dtype)
+    dw_b = jnp.dot(hp_b.reshape(t_max * b, h).astype(w_h_b.dtype).T,
+                   dg_b.reshape(t_max * b, 4 * h).astype(w_h_b.dtype),
+                   preferred_element_type=jnp.float32).astype(w_h_b.dtype)
+    return dg_f, dg_b, dw_f, dw_b, None
+
+
+bilstm_sequence.defvjp(_bilstm_fwd, _bilstm_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
