@@ -127,7 +127,10 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
     float cutoff = GetCutoff(cur, opts, best, &cutoff_scratch);
 
     next.Clear();
-    float next_best = kInf;
+    // adaptive beam: tighten the insertion cutoff as better next-frame
+    // tokens appear (LatticeFasterDecoder's ProcessEmitting idiom) —
+    // without this, wide beams insert huge numbers of doomed tokens
+    float next_best = kInf, next_cutoff = kInf;
     for (int32_t s : cur.Active()) {
       const Token tok = cur.At(s);
       if (tok.cost > cutoff) continue;
@@ -139,17 +142,25 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
         if (col < 0 || col >= num_cols) continue;
         float acoustic = -opts.acoustic_scale * row[col];
         float nc = tok.cost + a.weight + acoustic;
+        if (nc >= next_cutoff) continue;
         Token& nt = next.Get(a.nextstate);
         if (nc < nt.cost) {
           nt.cost = nc;
           arena.push_back({tok.bp, a.ilabel, a.olabel});
           nt.bp = (int32_t)arena.size() - 1;
-          next_best = std::min(next_best, nc);
+          if (nc < next_best) {
+            next_best = nc;
+            next_cutoff = nc + opts.beam;
+          }
         }
       }
     }
     if (next.Size() == 0) return false;  // pruned everything
-    ProcessNonemitting(fst, next_best + opts.beam, &arena, &next, &queue);
+    // cap the epsilon closure by max_active too — eps fans (blank states,
+    // LM backoffs, determinization chains) must not expand past the
+    // survivor budget
+    float ne_cutoff = GetCutoff(next, opts, next_best, &cutoff_scratch);
+    ProcessNonemitting(fst, ne_cutoff, &arena, &next, &queue);
     std::swap(cur, next);
   }
 

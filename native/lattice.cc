@@ -148,7 +148,10 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
     float cutoff = LatCutoff(cur, b, opts, best);
 
     next.Clear();
-    float next_best = kInf;
+    // adaptive beam (ProcessEmitting idiom): links whose through-cost is
+    // already past best + beam can never survive the lattice-beam prune
+    // (lattice_beam <= beam), so don't record them
+    float next_best = kInf, next_cutoff = kInf;
     for (int32_t s : cur.Active()) {
       int32_t tid = cur.Get(s);
       float cost = b.tokens[tid].alpha;
@@ -161,6 +164,7 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
         if (col < 0 || col >= num_cols) continue;
         float acoustic = -opts.acoustic_scale * row[col];
         float nc = cost + a.weight + acoustic;
+        if (nc >= next_cutoff) continue;
         int32_t nt;
         if (!next.Has(a.nextstate)) {
           nt = b.NewToken((int32_t)t + 1);
@@ -172,12 +176,17 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
             LatLink{tid, nt, a.ilabel, a.olabel, a.weight, acoustic});
         if (nc < b.tokens[nt].alpha) {
           b.tokens[nt].alpha = nc;
-          next_best = std::min(next_best, nc);
+          if (nc < next_best) {
+            next_best = nc;
+            next_cutoff = nc + opts.beam;
+          }
         }
       }
     }
     if (next.Size() == 0) return false;
-    LatProcessNonemitting(fst, next_best + opts.beam, (int32_t)t + 1, &b,
+    // cap the epsilon closure by max_active as well
+    float ne_cutoff = LatCutoff(next, b, opts, next_best);
+    LatProcessNonemitting(fst, ne_cutoff, (int32_t)t + 1, &b,
                           &next, &queue);
     std::swap(cur, next);
   }
