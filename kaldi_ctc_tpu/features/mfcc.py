@@ -74,10 +74,14 @@ def compute_mfcc(
     wave: jnp.ndarray,
     opts: MfccOptions = MfccOptions(),
     dither_key: Optional[jax.Array] = None,
+    implementation: str = "auto",
 ) -> jnp.ndarray:
     """MFCCs for one waveform [num_samples] → [num_frames, num_ceps].
 
     Matches MfccComputer::Compute (feature-mfcc.cc:32-85).
+
+    implementation: "xla" | "pallas" (fused STFT→log-mel kernel, DCT as
+    one more matmul) | "auto" (pallas on TPU when applicable).
     """
     fo = opts.frame_opts
     window = jnp.asarray(feature_window(fo))
@@ -88,6 +92,31 @@ def compute_mfcc(
     dct = jnp.asarray(dct)
 
     frames = frame_signal(wave, fo)
+
+    if implementation == "auto":
+        implementation = ("pallas" if jax.default_backend() == "tpu"
+                          else "xla")
+    pallas_ok = opts.raw_energy or not opts.use_energy
+    if implementation in ("pallas", "pallas_interpret") and pallas_ok \
+            and frames.shape[0] > 0:
+        from kaldi_ctc_tpu.features.stft_pallas import log_mel_pallas
+        if fo.dither != 0.0 and dither_key is not None:
+            frames = frames + fo.dither * jax.random.normal(
+                dither_key, frames.shape, dtype=frames.dtype)
+        log_mel, raw_energy = log_mel_pallas(
+            frames, window, mel, fo.padded_window_size,
+            remove_dc=fo.remove_dc_offset, preemph=fo.preemph_coeff,
+            use_power=True, use_log=True,
+            interpret=implementation == "pallas_interpret")
+        feats = jnp.dot(log_mel, dct.T,
+                        precision=jax.lax.Precision.HIGHEST)
+        if opts.use_energy:
+            energy = raw_energy
+            if opts.energy_floor > 0.0:
+                energy = jnp.maximum(energy,
+                                     float(np.log(opts.energy_floor)))
+            feats = feats.at[:, 0].set(energy)
+        return feats
     need_raw = opts.use_energy and opts.raw_energy
     frames, raw_energy = process_frames(
         frames, fo, window, dither_key=dither_key, need_raw_energy=need_raw)
@@ -96,8 +125,12 @@ def compute_mfcc(
         tiny = jnp.finfo(jnp.float32).tiny
         raw_energy = jnp.log(jnp.maximum(jnp.sum(frames * frames, axis=1), tiny))
     eps = jnp.finfo(jnp.float32).eps
-    log_mel = jnp.log(jnp.maximum(power[:, :-1] @ mel.T, eps))
-    feats = log_mel @ dct.T
+    # full-precision matmuls: TPU's default bf16-pass matmul visibly
+    # quantizes log-mel values (~0.1 steps at typical magnitudes)
+    hi = jax.lax.Precision.HIGHEST
+    log_mel = jnp.log(jnp.maximum(
+        jnp.dot(power[:, :-1], mel.T, precision=hi), eps))
+    feats = jnp.dot(log_mel, dct.T, precision=hi)
     if opts.use_energy:
         energy = raw_energy
         if opts.energy_floor > 0.0:

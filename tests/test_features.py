@@ -245,3 +245,48 @@ def test_read_wave_pipe(tmp_path):
     piped, r2 = read_wave(f"cat {wav} |")
     assert r1 == r2 == rate
     np.testing.assert_array_equal(direct, piped)
+
+
+class TestPallasStft:
+    """Fused STFT→mel kernel vs the XLA reference path (the GPU-vs-CPU
+    parity idiom), in interpret mode on CPU."""
+
+    def test_fbank_parity(self):
+        from kaldi_ctc_tpu.features import FbankOptions, compute_fbank
+        rng = np.random.default_rng(0)
+        wave = jnp.asarray(
+            (rng.standard_normal(16000) * 1000).astype(np.float32))
+        for use_energy in (False, True):
+            for use_log in (True, False):
+                opts = FbankOptions(use_energy=use_energy,
+                                    use_log_fbank=use_log)
+                ref = np.asarray(compute_fbank(wave, opts,
+                                               implementation="xla"))
+                got = np.asarray(compute_fbank(
+                    wave, opts, implementation="pallas_interpret"))
+                np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_mfcc_parity(self):
+        from kaldi_ctc_tpu.features import MfccOptions, compute_mfcc
+        rng = np.random.default_rng(1)
+        wave = jnp.asarray(
+            (rng.standard_normal(8000) * 500).astype(np.float32))
+        for opts in (MfccOptions(), MfccOptions.hires()):
+            ref = np.asarray(compute_mfcc(wave, opts,
+                                          implementation="xla"))
+            got = np.asarray(compute_mfcc(
+                wave, opts, implementation="pallas_interpret"))
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_non_multiple_block_frames(self):
+        from kaldi_ctc_tpu.features import FbankOptions, compute_fbank
+        rng = np.random.default_rng(2)
+        # 23 frames: exercises the partial-block padding path
+        wave = jnp.asarray(
+            (rng.standard_normal(400 + 22 * 160) * 100).astype(np.float32))
+        opts = FbankOptions()
+        ref = np.asarray(compute_fbank(wave, opts, implementation="xla"))
+        got = np.asarray(compute_fbank(wave, opts,
+                                       implementation="pallas_interpret"))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
