@@ -215,9 +215,15 @@ def main(argv=None):
             source = ((k, determinize_lattice_pruned(lat))
                       for k, lat in read_lattice_text_ark(args.lattices))
         for key, clat in source:
-            mbr = MinimumBayesRisk(clat, do_mbr=not args.no_mbr,
-                                   acoustic_scale=args.acoustic_scale,
-                                   lm_scale=args.lm_scale)
+            try:
+                mbr = MinimumBayesRisk(clat, do_mbr=not args.no_mbr,
+                                       acoustic_scale=args.acoustic_scale,
+                                       lm_scale=args.lm_scale)
+            except ValueError as e:
+                # e.g. no successful path: warn and skip, keep the batch
+                # going (lattice-mbr-decode behavior)
+                log.warning("skipping %s: %s", key, e)
+                continue
             toks = [_sym(w, word_syms) for w in mbr.one_best]
             print(key, " ".join(toks), file=out_f)
             tot_risk += mbr.bayes_risk

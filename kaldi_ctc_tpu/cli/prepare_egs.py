@@ -239,7 +239,13 @@ def main(argv=None):
                         n_oov += 1
                         continue
                     if tree is not None:
-                        labels = labels_to_pdfs(labels, tree)
+                        try:
+                            labels = labels_to_pdfs(labels, tree)
+                        except ValueError:
+                            # unseen phone context in the tree: skip the
+                            # utterance (like the OOV path), don't abort
+                            n_oov += 1
+                            continue
                     if cmvn is not None:
                         spk = utt2spk.get(key, key) if utt2spk else key
                         if spk in cmvn:

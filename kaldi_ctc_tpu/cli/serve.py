@@ -191,17 +191,30 @@ class Engine:
         feats = self.feats_for(samples)
         if feats.shape[0] == 0:
             return {"labels": [], "num_frames": 0}
+        from kaldi_ctc_tpu.decoding.scores import acoustic_scores
         with self.lock:
-            logits = np.asarray(self._am_forward(
+            logits = self._am_forward(
                 self.params, jnp.asarray(feats[None]), self.cfg,
-                jnp.asarray([feats.shape[0]], np.int32)))[0]
-        scores = logits - _logsumexp(logits)
-        if self.priors is not None:
-            scores = scores - np.log(self.priors)[None, :]
-        scores = self.args.acoustic_scale * scores
+                jnp.asarray([feats.shape[0]], np.int32))
+            # canonical score prep (CtcDecodableAmNnet semantics): the
+            # blank threshold tests the SOFTMAX blank posterior, before
+            # priors/acoustic scale (decoding/scores.py, as decode_ctc)
+            sc, skip = acoustic_scores(
+                logits, priors=self.priors,
+                acoustic_scale=self.args.acoustic_scale,
+                blank_threshold=self.args.blank_threshold)
+            scores = np.asarray(sc)[0]
+            skip = np.asarray(skip)[0]
+            # unforced scores for the greedy labels (same formula as the
+            # streaming path, so /recognize == /stream exactly)
+            raw, _ = acoustic_scores(
+                logits, priors=self.priors,
+                acoustic_scale=self.args.acoustic_scale,
+                blank_threshold=1.0)
+            raw = np.asarray(raw)[0]
         out: dict = {"num_frames": int(feats.shape[0])}
         # greedy labels always
-        ids = np.argmax(scores, axis=-1)
+        ids = np.argmax(raw, axis=-1)
         labels = []
         last = 0
         for lab in ids:
@@ -211,8 +224,7 @@ class Engine:
         out["labels"] = labels
         if self.graph is not None:
             from kaldi_ctc_tpu.decoding.wfst import decode_best_path
-            keep = scores[np.exp(scores[:, 0]) <
-                          self.args.blank_threshold]
+            keep = scores[~skip]
             use = keep if keep.shape[0] else scores
             words, align, cost, final = decode_best_path(
                 self.graph, use, beam=self.args.beam)
@@ -236,21 +248,32 @@ class Engine:
             slot = self.free.pop(0)
             self.stream.reset_slot(slot)
             self.slots[slot] = {"buf": np.zeros(0, np.float32),
+                                "buf_off": 0,
                                 "frames_done": 0, "pending": np.zeros(
                                     (0, self.cfg.input_dim), np.float32)}
         return slot
 
     def _new_frames(self, st: dict) -> np.ndarray:
-        """Extract frames completed by the samples buffered so far."""
-        n = st["buf"].shape[0]
+        """Extract frames completed by the samples buffered so far.
+
+        `buf` holds only un-consumed samples; `buf_off` is the absolute
+        sample index of buf[0], so consumed audio is trimmed and memory
+        stays O(chunk) for arbitrarily long streams."""
+        n = st["buf_off"] + st["buf"].shape[0]
         total = 0 if n < self.win else 1 + (n - self.win) // self.shift
         k = total - st["frames_done"]
         if k <= 0:
             return np.zeros((0, self.cfg.input_dim), np.float32)
         start = st["frames_done"] * self.shift
         end = (st["frames_done"] + k - 1) * self.shift + self.win
-        f = self.feats_for(st["buf"][start:end])[:k]
+        f = self.feats_for(st["buf"][start - st["buf_off"]:
+                                     end - st["buf_off"]])[:k]
         st["frames_done"] += f.shape[0]
+        # drop samples no future frame can touch
+        next_start = st["frames_done"] * self.shift
+        if next_start > st["buf_off"]:
+            st["buf"] = st["buf"][next_start - st["buf_off"]:]
+            st["buf_off"] = next_start
         return f
 
     def stream_chunk(self, slot: int, samples: np.ndarray) -> List[int]:
@@ -290,11 +313,6 @@ class Engine:
         return out
 
 
-def _logsumexp(x):
-    m = x.max(axis=-1, keepdims=True)
-    return m + np.log(np.sum(np.exp(x - m), axis=-1, keepdims=True))
-
-
 def make_handler(engine: Engine):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -320,8 +338,13 @@ def make_handler(engine: Engine):
             body = self.rfile.read(n)
             try:
                 if self.path == "/recognize":
-                    pcm, _ = _pcm_from_body(body,
-                                            engine.args.sample_rate)
+                    pcm, rate = _pcm_from_body(body,
+                                               engine.args.sample_rate)
+                    if rate != engine.args.sample_rate:
+                        from kaldi_ctc_tpu.features.resample import (
+                            resample)
+                        pcm = resample(pcm, rate,
+                                       engine.args.sample_rate)
                     self._json(200, engine.recognize(pcm))
                     return
                 if self.path == "/stream/start":

@@ -51,9 +51,11 @@ def load_examples(
     """
     ali = {k: v for k, v in kaldi_io.SequentialIntVectorReader(ali_rspecifier)}
     if tid_to_pdf is not None:
+        # the map is itself 1-based-indexed: tid_to_pdf[tid] = pdf
+        # (TransitionModel.tid_to_pdf, utils/transition_model.py:71-78)
         tid_to_pdf = np.asarray(tid_to_pdf, np.int32)
-        ali = {k: tid_to_pdf[np.asarray(v, np.int64) - 1]
-               for k, v in ali.items()}  # transition-ids are 1-based
+        ali = {k: tid_to_pdf[np.asarray(v, np.int64)]
+               for k, v in ali.items()}
     cmvn = None
     if cmvn_rspecifier is not None:
         cmvn = kaldi_io.RandomAccessMatrixReader(cmvn_rspecifier)

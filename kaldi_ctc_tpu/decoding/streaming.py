@@ -45,6 +45,11 @@ class StreamingRecognizer:
                 "streaming requires a unidirectional model "
                 "(--bidirectional 0); a bidirectional stack needs the "
                 "whole utterance")
+        if cfg.splice_left or cfg.splice_right:
+            raise ValueError(
+                "streaming does not support input splicing (frame "
+                "context crosses chunk boundaries); train without "
+                "--splice-left/--splice-right for streaming serving")
         self._params = params
         self._cfg = cfg
         self._blank = blank
@@ -56,6 +61,12 @@ class StreamingRecognizer:
 
         def chunk_fn(params, x, states):
             # x: [T, 1, D] time-major single stream
+            if cfg.front_affine_dim:
+                h = jax.nn.relu(x @ params["front_w"]
+                                + params["front_b"])
+                rms = jnp.sqrt(jnp.mean(h * h, axis=-1, keepdims=True)
+                               + 1e-20)
+                x = h / rms
             y, new_states = rnn_forward_stream(
                 params["rnn"], x, cfg.rnn, states)
             t, b, h = y.shape
@@ -111,6 +122,11 @@ class BatchStreamingRecognizer:
     ):
         if cfg.bidirectional:
             raise ValueError("streaming requires a unidirectional model")
+        if cfg.splice_left or cfg.splice_right:
+            raise ValueError(
+                "streaming does not support input splicing (frame "
+                "context crosses chunk boundaries); train without "
+                "--splice-left/--splice-right for streaming serving")
         self._params = params
         self._cfg = cfg
         self._blank = blank
@@ -125,6 +141,13 @@ class BatchStreamingRecognizer:
 
         def chunk_fn(params, x, lens, states):
             # x: [T, B, D]; lens: [B] valid frames per slot this chunk
+            if cfg.front_affine_dim:
+                # FT front layer is frame-local, so it streams exactly
+                h = jax.nn.relu(x @ params["front_w"]
+                                + params["front_b"])
+                rms = jnp.sqrt(jnp.mean(h * h, axis=-1, keepdims=True)
+                               + 1e-20)
+                x = h / rms
             y, new_states = rnn_forward_stream(
                 params["rnn"], x, cfg.rnn, states, lens=lens)
             t, b, h = y.shape

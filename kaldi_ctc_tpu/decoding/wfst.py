@@ -66,7 +66,8 @@ def _load():
     lib.ctcn_add_self_loops.argtypes = [ctypes.c_void_p]
     lib.ctcn_fst_determinize_star.restype = ctypes.c_void_p
     lib.ctcn_fst_determinize_star.argtypes = [
-        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64]
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_int]
     for name in ("ctcn_fst_minimize", "ctcn_fst_push_special",
                  "ctcn_fst_connect"):
         getattr(lib, name).restype = ctypes.c_void_p
@@ -192,14 +193,19 @@ class NativeFst:
         label; run before make_ctc_graph when building from L ∘ G."""
         return NativeFst(self._lib.ctcn_add_self_loops(self._h))
 
-    def determinize_star(self, max_states: int = 0) -> "NativeFst":
+    def determinize_star(self, max_states: int = 0,
+                         allow_nonfunctional: bool = False) -> "NativeFst":
         """Subset determinization with input-epsilon removal
         (fstdeterminizestar, fstext/determinize-star.h semantics).
-        Raises RuntimeError if the input is not determinizable (use
-        lexicon disambiguation symbols).  max_states 0 = default cap."""
-        err = ctypes.create_string_buffer(512)
+        Raises RuntimeError if the input is not determinizable or not
+        functional (use lexicon disambiguation symbols; or pass
+        allow_nonfunctional to resolve same-input-same-weight output
+        conflicts toward the lexicographically smaller output).
+        max_states 0 = default cap."""
+        err = ctypes.create_string_buffer(1024)
         h = self._lib.ctcn_fst_determinize_star(self._h, err, len(err),
-                                                max_states)
+                                                max_states,
+                                                int(allow_nonfunctional))
         if not h:
             raise RuntimeError(err.value.decode()
                                or "determinize-star failed")

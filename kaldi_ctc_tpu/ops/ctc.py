@@ -270,7 +270,8 @@ def ctc_loss_and_grad(
     onehot = jax.nn.one_hot(ext.astype(jnp.int32), a_dim,
                             dtype=post.dtype)  # [B, S, A]
     label_post = jnp.einsum("bts,bsa->bta", post_bt, onehot,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
 
     feasible = (log_z > 0.5 * _NEG_INF)[:, None, None]
     valid_bt = jnp.moveaxis(valid_t, 0, 1)  # [B, T, 1]

@@ -72,11 +72,13 @@ void* ctcn_fst_compose(void* a, void* b) {
 // Returns nullptr on failure (non-determinizable / eps cycles) with the
 // message in err_buf.
 void* ctcn_fst_determinize_star(void* fst, char* err_buf, int err_len,
-                                int64_t max_states) {
+                                int64_t max_states,
+                                int allow_nonfunctional) {
   auto* out = new Fst();
   std::string err;
   if (!DeterminizeStar(*static_cast<Fst*>(fst), out, &err,
-                       max_states > 0 ? max_states : 20 * 1000 * 1000)) {
+                       max_states > 0 ? max_states : 20 * 1000 * 1000,
+                       allow_nonfunctional != 0)) {
     if (err_buf && err_len > 0) {
       std::strncpy(err_buf, err.c_str(), err_len - 1);
       err_buf[err_len - 1] = '\0';

@@ -122,7 +122,12 @@ struct SubsetKeyHash {
 }  // namespace
 
 bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
-                     int64_t max_states) {
+                     int64_t max_states, bool allow_nonfunctional) {
+  const char* kNonFunc =
+      "determinize-star: input is not functional (two paths with the "
+      "same input sequence and weight produce different outputs); add "
+      "lexicon disambiguation symbols, or allow_nonfunctional to keep "
+      "the lexicographically smaller output";
   MutableFst det;
   if (in.start < 0) {
     *out = det.ToCsr();
@@ -157,6 +162,10 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
         } else if (w2 < it->second.w) {
           take = true;
         } else if (w2 == it->second.w && str2 != it->second.str) {
+          if (!allow_nonfunctional) {
+            *cerr = kNonFunc;
+            return false;
+          }
           take = StringLess(repo, str2, it->second.str, &tmp_a, &tmp_b);
         } else {
           take = false;
@@ -358,6 +367,10 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
           } else if (w2 < it->second.w) {
             take = true;
           } else if (w2 == it->second.w && str2 != it->second.str) {
+            if (!allow_nonfunctional) {
+              *err = kNonFunc;
+              return false;
+            }
             take = StringLess(repo, str2, it->second.str, &tmp_a, &tmp_b);
           } else {
             take = false;

@@ -79,8 +79,13 @@ Fst Connect(const Fst& f);
 // Graph-building algorithms (determinize.cc) — the native
 // fstdeterminizestar / fstminimizeencoded / fstpushspecial / fstrmsymbols
 // chain utils/mkgraph.sh runs on LG (mkgraph.sh:92-98).
+// allow_nonfunctional: when two paths share input, weight, AND state but
+// differ in output, pick the lexicographically smaller output instead of
+// failing (fstdeterminizestar fails; graph building avoids the case via
+// lexicon disambiguation symbols).
 bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
-                     int64_t max_states = 20 * 1000 * 1000);
+                     int64_t max_states = 20 * 1000 * 1000,
+                     bool allow_nonfunctional = false);
 Fst MinimizeEncoded(const Fst& in);
 Fst PushSpecial(const Fst& in, int iterations = 200);
 void RemoveDisambigSymbols(MutableFst* fst, int32_t first_disambig);

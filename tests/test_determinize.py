@@ -164,7 +164,9 @@ class TestDeterminizeStar:
         rng = np.random.default_rng(0)
         for trial in range(25):
             f = random_fst(rng, acyclic=True)
-            d = f.determinize_star()
+            # random transducers on a coarse weight grid hit benign
+            # same-weight/different-output ties; resolve them
+            d = f.determinize_star(allow_nonfunctional=True)
             is_deterministic(d)
             assert_equivalent(f, d, rng)
 
@@ -197,7 +199,8 @@ class TestDeterminizeStar:
             try:
                 # random cyclic transducers may genuinely violate the
                 # twins property; only determinizable draws are checked
-                d = f.determinize_star(max_states=20000)
+                d = f.determinize_star(max_states=20000,
+                                       allow_nonfunctional=True)
             except RuntimeError:
                 continue
             ok += 1
@@ -217,11 +220,26 @@ class TestDeterminizeStar:
         weights = np.zeros(4, np.float32)
         finals = np.asarray([np.inf, np.inf, 0.0, np.inf], np.float32)
         f = NativeFst.from_arrays(0, 4, arcs, weights, finals)
-        d = f.determinize_star()
+        d = f.determinize_star(allow_nonfunctional=True)
         rng = np.random.default_rng(2)
         for s in ([1, 2], [1, 3], [1], [2]):
             assert string_score(*f.to_arrays(), s) == \
                 string_score(*d.to_arrays(), s)
+
+    def test_nonfunctional_raises_by_default(self):
+        # homophones without disambiguation symbols: same input, same
+        # weight, different outputs -> fstdeterminizestar-style error
+        arcs = np.asarray([
+            [0, 1, 10, 1],
+            [0, 1, 11, 1],
+        ], np.int32)
+        weights = np.zeros(2, np.float32)
+        finals = np.asarray([np.inf, 0.0], np.float32)
+        f = NativeFst.from_arrays(0, 2, arcs, weights, finals)
+        with pytest.raises(RuntimeError, match="not functional"):
+            f.determinize_star()
+        d = f.determinize_star(allow_nonfunctional=True)  # opt-in works
+        assert d.num_states > 0
 
     def test_nondeterminizable_raises(self):
         # twins-property violation: two sibling cycles on the same input

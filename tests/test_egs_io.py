@@ -152,18 +152,21 @@ def test_prepare_egs_transition_id_alignments(tmp_path):
     fark, aark = tmp_path / "f.ark", tmp_path / "a.ark"
     with kaldi_io.MatrixWriter(f"ark:{fark}") as fw, \
          kaldi_io.IntVectorWriter(f"ark:{aark}") as aw:
-        feats = np.zeros((9, 4), np.float32)
-        # phones 1,1,1 then 2,2,2 then 3,3,3 as transition-ids:
-        # [1,1,2, 3,3,4, 5,5,6]
-        aw["u1"] = np.asarray([1, 1, 2, 3, 3, 4, 5, 5, 6], np.int32)
-        fw["u1"] = feats
+        # phone p has tids (2p-1 self-loop, 2p forward).  Include
+        # SINGLE-FRAME phones (just the forward tid) so an off-by-one in
+        # the tid->pdf map cannot hide behind multi-frame spans.
+        # phones: 1 (4 frames), 2 (single frame: forward tid only),
+        # 3 (3 frames); 8 frames total so 2L+1 <= T holds
+        ali = np.asarray([1, 1, 1, 2, 4, 5, 5, 6], np.int32)
+        fw["u1"] = np.zeros((len(ali), 4), np.float32)
+        aw["u1"] = ali
     out = tmp_path / "egs.ark"
     prepare_egs.main(["get", "--feats", f"ark:{fark}",
                       "--ali", f"ark:{aark}", "--trans-model", str(mdl),
                       "--output", f"ark:{out}"])
     egs = list(SequentialEgsReader(f"ark:{out}"))
     assert len(egs) == 1
-    # pdfs 0,1,2 collapsed + shift 1 -> labels [1, 2, 3]
+    # pdfs 0,0,0,1,2,2 collapsed + shift 1 -> labels [1, 2, 3]
     assert list(egs[0].labels) == [1, 2, 3]
 
 
