@@ -26,9 +26,14 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    c = sub.add_parser("copy", help="read + rewrite a lattice archive")
+    c = sub.add_parser("copy", help="read + rewrite a lattice archive "
+                       "(text or Kaldi binary in; --binary selects the "
+                       "output format, so this is the lattice-copy "
+                       "format converter)")
     c.add_argument("--lattices", required=True)
     c.add_argument("--output", required=True)
+    c.add_argument("--binary", type=int, default=0,
+                   help="1: write a Kaldi binary archive")
 
     s = sub.add_parser("scale", help="scale graph/acoustic costs")
     s.add_argument("--lattices", required=True)
@@ -117,10 +122,14 @@ def parse_args(argv=None):
 
 def main(argv=None):
     from kaldi_ctc_tpu.decoding.det_lattice import (
-        determinize_lattice_pruned, read_compact_lattice_text_ark,
-        write_compact_lattice_text)
-    from kaldi_ctc_tpu.decoding.lattice import (
-        LatticeWriter, read_lattice_text_ark)
+        determinize_lattice_pruned, write_compact_lattice_text)
+    from kaldi_ctc_tpu.decoding.lattice import LatticeWriter
+    from kaldi_ctc_tpu.decoding.lattice_binary import (
+        BinaryLatticeWriter, read_compact_lattice_ark, read_lattice_ark)
+    # auto-detecting readers: Kaldi binary archives (lattice-copy's
+    # default output) and text archives both work everywhere
+    read_lattice_text_ark = read_lattice_ark
+    read_compact_lattice_text_ark = read_compact_lattice_ark
     from kaldi_ctc_tpu.utils import get_logger
 
     args = parse_args(argv)
@@ -142,7 +151,8 @@ def main(argv=None):
 
     if args.cmd == "copy":
         n = 0
-        with LatticeWriter(args.output) as w:
+        writer_cls = BinaryLatticeWriter if args.binary else LatticeWriter
+        with writer_cls(args.output) as w:
             for key, lat in read_lattice_text_ark(args.lattices):
                 w[key] = lat; n += 1
         log.info("copied %d lattices", n)

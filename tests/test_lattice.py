@@ -162,3 +162,95 @@ def test_lattice_through_ctc_graph():
     words, _, cost = lat.best_path()
     assert list(words) == list(words_bp)
     assert abs(cost - cost_bp) < 1e-3
+
+
+class TestBinaryLatticeIO:
+    """Kaldi binary lattice archive round-trips + auto-detection
+    (lat/kaldi-lattice.cc WriteLattice/ReadLattice binary path)."""
+
+    def _lat(self):
+        from kaldi_ctc_tpu.decoding.lattice import Lattice
+        import numpy as np
+        return Lattice(
+            start=0, num_states=3,
+            arc_from=np.asarray([0, 0, 1], np.int32),
+            arc_to=np.asarray([1, 2, 2], np.int32),
+            arc_ilabel=np.asarray([3, 4, 5], np.int32),
+            arc_olabel=np.asarray([7, 0, 8], np.int32),
+            arc_graph_cost=np.asarray([0.5, 1.25, 0.0], np.float32),
+            arc_acoustic_cost=np.asarray([2.0, 0.0, 3.5], np.float32),
+            final_cost=np.asarray([np.inf, np.inf, 0.75], np.float32))
+
+    def test_round_trip(self, tmp_path):
+        import numpy as np
+        from kaldi_ctc_tpu.decoding.lattice_binary import (
+            BinaryLatticeWriter, read_lattice_ark)
+        lat = self._lat()
+        path = str(tmp_path / "b.lats")
+        with BinaryLatticeWriter(path) as w:
+            w["u1"] = lat
+            w["u2"] = lat
+        got = list(read_lattice_ark(path))
+        assert [k for k, _ in got] == ["u1", "u2"]
+        back = got[0][1]
+        np.testing.assert_array_equal(back.arc_ilabel, lat.arc_ilabel)
+        np.testing.assert_array_equal(back.arc_olabel, lat.arc_olabel)
+        np.testing.assert_allclose(back.arc_graph_cost, lat.arc_graph_cost)
+        np.testing.assert_allclose(back.arc_acoustic_cost,
+                                   lat.arc_acoustic_cost)
+        np.testing.assert_allclose(back.final_cost, lat.final_cost)
+        w1, a1, c1 = lat.best_path()
+        w2, a2, c2 = back.best_path()
+        assert list(w1) == list(w2) and abs(c1 - c2) < 1e-5
+
+    def test_autodetect_text(self, tmp_path):
+        from kaldi_ctc_tpu.decoding.lattice import LatticeWriter
+        from kaldi_ctc_tpu.decoding.lattice_binary import read_lattice_ark
+        path = str(tmp_path / "t.lats")
+        with LatticeWriter(path) as w:
+            w["u1"] = self._lat()
+        got = list(read_lattice_ark(path))
+        assert got[0][0] == "u1"
+        assert got[0][1].num_arcs == 3
+
+    def test_compact_round_trip(self, tmp_path):
+        import numpy as np
+        from kaldi_ctc_tpu.decoding.det_lattice import CompactLattice
+        from kaldi_ctc_tpu.decoding.lattice_binary import (
+            BinaryCompactLatticeWriter, read_compact_lattice_ark)
+        INF = float("inf")
+        clat = CompactLattice(
+            start=0, num_states=2, arc_from=[0], arc_to=[1],
+            arc_word=[5], arc_graph_cost=[0.5], arc_acoustic_cost=[1.5],
+            arc_ilabels=[(2, 3, 3)], final_graph_cost=[INF, 0.25],
+            final_acoustic_cost=[INF, 0.125], final_ilabels=[(), (4,)])
+        path = str(tmp_path / "c.lats")
+        with BinaryCompactLatticeWriter(path) as w:
+            w["utt"] = clat
+        key, back = next(iter(read_compact_lattice_ark(path)))
+        assert key == "utt"
+        assert back.arc_word == [5]
+        assert back.arc_ilabels == [(2, 3, 3)]
+        assert back.final_ilabels[1] == (4,)
+        assert abs(back.final_graph_cost[1] - 0.25) < 1e-6
+        assert abs(back.final_acoustic_cost[1] - 0.125) < 1e-6
+
+    def test_cli_copy_binary_conversion(self, tmp_path):
+        from kaldi_ctc_tpu.cli import lattice_tool
+        from kaldi_ctc_tpu.decoding.lattice import LatticeWriter
+        from kaldi_ctc_tpu.decoding.lattice_binary import read_lattice_ark
+        text = str(tmp_path / "t.lats")
+        with LatticeWriter(text) as w:
+            w["u1"] = self._lat()
+        binary = str(tmp_path / "b.lats")
+        lattice_tool.main(["copy", "--lattices", text,
+                           "--output", binary, "--binary", "1"])
+        with open(binary, "rb") as f:
+            head = f.read(16)
+        assert head[:3] == b"u1 "
+        # binary archive feeds every other subcommand transparently
+        text2 = str(tmp_path / "t2.lats")
+        lattice_tool.main(["copy", "--lattices", binary,
+                           "--output", text2])
+        got = list(read_lattice_ark(text2))
+        assert got[0][0] == "u1" and got[0][1].num_arcs == 3
