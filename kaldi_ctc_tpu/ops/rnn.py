@@ -219,12 +219,13 @@ def rnn_forward(
     if impl == "auto":
         impl = ("pallas" if (cfg.mode in (RnnMode.LSTM, RnnMode.GRU)
                              and jax.default_backend() == "tpu") else "xla")
-    fuse_bi = (cfg.bidirectional and cfg.mode == RnnMode.LSTM
+    fuse_bi = (cfg.bidirectional
+               and cfg.mode in (RnnMode.LSTM, RnnMode.GRU)
                and impl == "pallas")
     for layer_params in params:
         dirs = layer_params["dirs"]
         if fuse_bi:
-            out = _run_bilstm_fused(out, input_lens, dirs, cfg)
+            out = _run_birnn_fused(out, input_lens, dirs, cfg)
         else:
             fwd = _run_direction(out, input_lens, dirs[0], cfg,
                                  reverse=False)
@@ -237,24 +238,29 @@ def rnn_forward(
     return out
 
 
-def _run_bilstm_fused(x, input_lens, dirs, cfg: RnnConfig) -> jnp.ndarray:
-    """Both BLSTM directions through one fused Pallas kernel pass, with
-    the two input projections merged into a single MXU matmul."""
-    from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_sequence
+def _run_birnn_fused(x, input_lens, dirs, cfg: RnnConfig) -> jnp.ndarray:
+    """Both B(LSTM|GRU) directions through one fused Pallas kernel pass,
+    with the two input projections merged into a single MXU matmul."""
+    if cfg.mode == RnnMode.LSTM:
+        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_sequence as bi_seq
+        gates = 4
+    else:
+        from kaldi_ctc_tpu.ops.gru_pallas import bigru_sequence as bi_seq
+        gates = 3
 
     t_max, b, _ = x.shape
     cd = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
-    g4 = 4 * cfg.hidden_dim
+    gd = gates * cfg.hidden_dim
     w_x = jnp.concatenate([dirs[0]["w_x"], dirs[1]["w_x"]], axis=1)
     bias = jnp.concatenate([dirs[0]["b"], dirs[1]["b"]])
     xp = (jnp.dot(x.reshape(t_max * b, -1).astype(cd), w_x.astype(cd),
                   preferred_element_type=jnp.float32)
-          + bias).reshape(t_max, b, 2 * g4)
+          + bias).reshape(t_max, b, 2 * gd)
     lens = (input_lens if input_lens is not None
             else jnp.full((b,), t_max, dtype=jnp.int32))
-    y_f, y_b = bilstm_sequence(xp[..., :g4], xp[..., g4:],
-                               dirs[0]["w_h"].astype(cd),
-                               dirs[1]["w_h"].astype(cd), lens)
+    y_f, y_b = bi_seq(xp[..., :gd], xp[..., gd:],
+                      dirs[0]["w_h"].astype(cd),
+                      dirs[1]["w_h"].astype(cd), lens)
     return jnp.concatenate([y_f, y_b], axis=-1)
 
 

@@ -93,3 +93,79 @@ def test_finite_difference_weight_grad():
         wm = w_h.at[i, j].add(-eps)
         fd = (float(loss(wp)) - float(loss(wm))) / (2 * eps)
         assert abs(fd - g[i, j]) < 5e-2 * max(abs(fd), 1.0), (fd, g[i, j])
+
+
+class TestFusedBidirectionalGru:
+    def _setup2(self, seed=7, B=6, T=10, H=12):
+        rng = np.random.default_rng(seed)
+        xp_f = jnp.asarray(
+            rng.standard_normal((T, B, 3 * H)).astype(np.float32))
+        xp_b = jnp.asarray(
+            rng.standard_normal((T, B, 3 * H)).astype(np.float32))
+        w_f = jnp.asarray(
+            (rng.standard_normal((H, 3 * H)) * 0.3).astype(np.float32))
+        w_b = jnp.asarray(
+            (rng.standard_normal((H, 3 * H)) * 0.3).astype(np.float32))
+        lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
+        return xp_f, xp_b, w_f, w_b, lens
+
+    def test_forward_matches_two_unidirectional(self):
+        from kaldi_ctc_tpu.ops.gru_pallas import bigru_sequence, gru_sequence
+        xp_f, xp_b, w_f, w_b, lens = self._setup2()
+        y_f, y_b = bigru_sequence(xp_f, xp_b, w_f, w_b, lens,
+                                  interpret=True)
+        ref_f = gru_sequence(xp_f, w_f, lens, False, True)
+        ref_b = gru_sequence(xp_b, w_b, lens, True, True)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(ref_f),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y_b), np.asarray(ref_b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradient_matches_two_unidirectional(self):
+        from kaldi_ctc_tpu.ops.gru_pallas import bigru_sequence, gru_sequence
+        xp_f, xp_b, w_f, w_b, lens = self._setup2(8)
+
+        def loss_fused(xf, xb, wf, wb):
+            y_f, y_b = bigru_sequence(xf, xb, wf, wb, lens, True)
+            return jnp.sum(y_f ** 2) + jnp.sum(jnp.cos(y_b))
+
+        def loss_split(xf, xb, wf, wb):
+            y_f = gru_sequence(xf, wf, lens, False, True)
+            y_b = gru_sequence(xb, wb, lens, True, True)
+            return jnp.sum(y_f ** 2) + jnp.sum(jnp.cos(y_b))
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+            xp_f, xp_b, w_f, w_b)
+        g2 = jax.grad(loss_split, argnums=(0, 1, 2, 3))(
+            xp_f, xp_b, w_f, w_b)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_rnn_forward_fused_bgru_matches_xla(self):
+        from kaldi_ctc_tpu.ops import gru_pallas
+        from kaldi_ctc_tpu.ops.rnn import (
+            RnnConfig, RnnMode, init_rnn_params, rnn_forward)
+
+        B, T, H, D = 5, 9, 8, 6
+        cfg = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
+                        mode=RnnMode.GRU, bidirectional=True,
+                        implementation="xla")
+        params = init_rnn_params(jax.random.PRNGKey(2), cfg)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+        lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
+        ref = rnn_forward(params, x, cfg, lens)
+        orig = gru_pallas.bigru_sequence
+        try:
+            gru_pallas.bigru_sequence = (
+                lambda xf, xb, wf, wb, l, interpret=False:
+                orig(xf, xb, wf, wb, l, True))
+            cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
+                              mode=RnnMode.GRU, bidirectional=True,
+                              implementation="pallas")
+            got = rnn_forward(params, x, cfg_p, lens)
+        finally:
+            gru_pallas.bigru_sequence = orig
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
