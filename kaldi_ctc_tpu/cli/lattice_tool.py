@@ -106,6 +106,25 @@ def parse_args(argv=None):
                     help="per-arc 'key from to ilabel olabel post' lines")
     po.add_argument("--min-post", type=float, default=0.0001)
 
+    pu = sub.add_parser(
+        "push", help="push CompactLattice strings/weights toward the "
+                     "start (lattice-push)")
+    pu.add_argument("--lattices", required=True,
+                    help="CompactLattice archive")
+    pu.add_argument("--output", required=True)
+    pu.add_argument("--push-strings", type=int, default=1)
+    pu.add_argument("--push-weights", type=int, default=1)
+
+    mi = sub.add_parser(
+        "minimize", help="merge suffix-equivalent CompactLattice states "
+                         "(lattice-minimize; pushes first by default)")
+    mi.add_argument("--lattices", required=True,
+                    help="CompactLattice archive (determinized)")
+    mi.add_argument("--output", required=True)
+    mi.add_argument("--delta", type=float, default=1.0 / 1024.0)
+    mi.add_argument("--no-push", action="store_true",
+                    help="skip the string/weight pushing prepass")
+
     lr = sub.add_parser(
         "lmrescore", help="add/subtract scaled ARPA LM scores "
                           "(lattice-lmrescore; use --lm-scale -1 with the "
@@ -298,6 +317,36 @@ def main(argv=None):
         if args.output:
             out_f.close()
         log.info("wrote arc posteriors for %d lattices", n)
+
+    elif args.cmd == "push":
+        from kaldi_ctc_tpu.decoding.lattice_ops import (
+            push_compact_lattice_strings, push_compact_lattice_weights)
+        n = 0
+        with open(args.output, "w") as f:
+            for key, clat in read_compact_lattice_text_ark(args.lattices):
+                if args.push_strings:
+                    clat = push_compact_lattice_strings(clat)
+                if args.push_weights:
+                    clat = push_compact_lattice_weights(clat)
+                write_compact_lattice_text(f, key, clat)
+                n += 1
+        log.info("pushed %d lattices", n)
+
+    elif args.cmd == "minimize":
+        from kaldi_ctc_tpu.decoding.lattice_ops import \
+            minimize_compact_lattice
+        n = 0
+        states_in = states_out = 0
+        with open(args.output, "w") as f:
+            for key, clat in read_compact_lattice_text_ark(args.lattices):
+                out = minimize_compact_lattice(clat, delta=args.delta,
+                                               push=not args.no_push)
+                states_in += clat.num_states
+                states_out += out.num_states
+                write_compact_lattice_text(f, key, out)
+                n += 1
+        log.info("minimized %d lattices (%d -> %d states)", n, states_in,
+                 states_out)
 
     elif args.cmd == "lmrescore":
         from kaldi_ctc_tpu.decoding.rescore import lmrescore_compact
