@@ -106,6 +106,27 @@ def parse_args(argv=None):
                     help="per-arc 'key from to ilabel olabel post' lines")
     po.add_argument("--min-post", type=float, default=0.0001)
 
+    aw = sub.add_parser(
+        "align-words", help="re-partition CompactLattice arcs onto word "
+                            "boundaries (lattice-align-words-lexicon)")
+    aw.add_argument("--lattices", required=True,
+                    help="CompactLattice archive")
+    aw.add_argument("--output", required=True)
+    aw.add_argument("--lexicon", required=True,
+                    help="'word phone...' pronunciation lexicon")
+    aw.add_argument("--words", required=True, help="words.txt symbol table")
+    aw.add_argument("--phones", required=True,
+                    help="phones.txt symbol table")
+    aw.add_argument("--trans-model", default=None,
+                    help="Kaldi TransitionModel (.mdl); omit for native "
+                         "unit graphs (graph label = phone+1)")
+    aw.add_argument("--silence-label", type=int, default=0,
+                    help="word id for inter-word blank stretches")
+    aw.add_argument("--partial-word-label", type=int, default=0,
+                    help="word id for forced-out partial words")
+    aw.add_argument("--output-error-lats", type=int, default=1,
+                    help="1: pass unalignable lattices through unchanged")
+
     pu = sub.add_parser(
         "push", help="push CompactLattice strings/weights toward the "
                      "start (lattice-push)")
@@ -317,6 +338,58 @@ def main(argv=None):
         if args.output:
             out_f.close()
         log.info("wrote arc posteriors for %d lattices", n)
+
+    elif args.cmd == "align-words":
+        from kaldi_ctc_tpu.decoding.word_align import (
+            AlignError, word_align_lattice_lexicon)
+        from kaldi_ctc_tpu.lm.lexicon import parse_lexicon
+
+        def _read_syms(path):
+            syms = {}
+            with open(path) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        syms[parts[0]] = int(parts[1])
+            return syms
+
+        word_ids = _read_syms(args.words)
+        phone_ids = _read_syms(args.phones)
+        prons = {}
+        for word, phones in parse_lexicon(args.lexicon):
+            if word not in word_ids:
+                continue
+            try:
+                pron = tuple(phone_ids[p] for p in phones)
+            except KeyError as e:
+                log.warning("lexicon phone %s not in phones.txt; "
+                            "skipping a pron of %s", e, word)
+                continue
+            prons.setdefault(word_ids[word], []).append(pron)
+        tid_phone = tid_selfloop = None
+        if args.trans_model:
+            from kaldi_ctc_tpu.utils.transition_model import \
+                read_transition_model
+            tm = read_transition_model(args.trans_model)
+            tid_phone = tm.tid_to_phone()
+            tid_selfloop = tm.tid_is_self_loop()
+        n = n_err = 0
+        with open(args.output, "w") as f:
+            for key, clat in read_compact_lattice_text_ark(args.lattices):
+                try:
+                    out = word_align_lattice_lexicon(
+                        clat, prons, tid_phone, tid_selfloop,
+                        silence_label=args.silence_label,
+                        partial_word_label=args.partial_word_label)
+                    n += 1
+                except AlignError as e:
+                    log.warning("could not align %s: %s", key, e)
+                    n_err += 1
+                    if not args.output_error_lats:
+                        continue
+                    out = clat
+                write_compact_lattice_text(f, key, out)
+        log.info("word-aligned %d lattices, errors on %d", n, n_err)
 
     elif args.cmd == "push":
         from kaldi_ctc_tpu.decoding.lattice_ops import (

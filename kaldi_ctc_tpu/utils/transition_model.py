@@ -46,8 +46,8 @@ def _read_int_vector_body(f) -> np.ndarray:
 class TransitionModel:
     phones: np.ndarray                    # [P]
     phone2idx: np.ndarray                 # phone -> topology entry index
-    # per entry: list of (pdf_class, num_transitions)
-    entries: List[List[Tuple[int, int]]]
+    # per entry: list of (pdf_class, [(dest_state, prob), ...])
+    entries: List[List[Tuple[int, List[Tuple[int, float]]]]]
     triples: np.ndarray                   # [N, 3] (phone, hmm_state, pdf)
     log_probs: np.ndarray                 # [num_tids + 1]
 
@@ -65,7 +65,7 @@ class TransitionModel:
         counts = []
         for phone, hmm_state, _pdf in self.triples:
             entry = self.entries[self.phone2idx[phone]]
-            counts.append(entry[hmm_state][1])
+            counts.append(len(entry[hmm_state][1]))
         return np.concatenate([[0], np.cumsum(counts)])
 
     def tid_to_pdf(self) -> np.ndarray:
@@ -85,6 +85,18 @@ class TransitionModel:
             out[int(bounds[i]) + 1: int(bounds[i + 1]) + 1] = phone
         return out
 
+    def tid_is_self_loop(self) -> np.ndarray:
+        """Bool array m with m[tid] true iff the tid's topology transition
+        returns to its own HMM state (TransitionModel::IsSelfLoop)."""
+        bounds = self._tid_bounds()
+        n = int(bounds[-1])
+        out = np.zeros(n + 1, dtype=bool)
+        for i, (phone, hmm_state, _pdf) in enumerate(self.triples):
+            trans = self.entries[self.phone2idx[phone]][hmm_state][1]
+            for j, (dest, _prob) in enumerate(trans):
+                out[int(bounds[i]) + 1 + j] = (dest == hmm_state)
+        return out
+
 
 def _read_topology(f) -> Tuple[np.ndarray, np.ndarray, List[List[Tuple[int, int]]]]:
     tok = _read_token(f)
@@ -100,10 +112,12 @@ def _read_topology(f) -> Tuple[np.ndarray, np.ndarray, List[List[Tuple[int, int]
         for _ in range(entry_len):
             pdf_class = _read_basic_int32(f)
             num_trans = _read_basic_int32(f)
+            trans = []
             for _ in range(num_trans):
-                _read_basic_int32(f)   # destination state
-                _read_basic_float(f)   # probability
-            states.append((pdf_class, num_trans))
+                dest = _read_basic_int32(f)
+                prob = _read_basic_float(f)
+                trans.append((dest, prob))
+            states.append((pdf_class, trans))
         entries.append(states)
     tok = _read_token(f)
     if tok != "</Topology>":
