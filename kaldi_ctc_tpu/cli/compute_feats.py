@@ -1,8 +1,10 @@
 """Feature extraction driver (compute-mfcc-feats / compute-fbank-feats).
 
-Reads wav.scp (path or `cmd ... |` pipe entries are NOT yet supported —
-plain paths only), computes MFCC or fbank on device, writes a Kaldi
-feature archive (+scp), optionally compressed like the reference recipes.
+Reads wav.scp (plain paths or `cmd ... |` shell-pipe entries), computes
+MFCC or fbank on device, writes a Kaldi feature archive (+scp),
+optionally compressed like the reference recipes.  With --segments the
+recordings are cut into utterances first (extract-segments:
+'utt reco start-sec end-sec', end -1 = till the end).
 """
 
 from __future__ import annotations
@@ -15,6 +17,11 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wav-scp", required=True)
+    p.add_argument("--segments", default=None,
+                   help="extract-segments file: 'utt reco start end' "
+                        "(seconds; end -1 = recording end)")
+    p.add_argument("--min-segment-length", type=float, default=0.1,
+                   help="skip segments shorter than this (seconds)")
     p.add_argument("--type", choices=["mfcc", "fbank", "pitch"],
                    default="mfcc",
                    help="pitch = compute-kaldi-pitch-feats | "
@@ -85,12 +92,45 @@ def main(argv=None):
 
     from kaldi_ctc_tpu.features.resample import speed_perturb
 
-    n = 0
-    with MatrixWriter(args.out, compress=bool(args.compress)) as w:
+    segments = None
+    if args.segments:
+        # reco -> [(utt, start_sec, end_sec)], preserving file order
+        segments = {}
+        with open(args.segments) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 4:
+                    continue
+                utt, reco, start, end = parts
+                segments.setdefault(reco, []).append(
+                    (utt, float(start), float(end)))
+
+    def _utterances():
+        """Yield (utt_key, samples, rate): whole recordings, or slices
+        per the segments file (one read per recording)."""
+        n_short = 0
         for key, path in SequentialTextReader(args.wav_scp):
             samples, rate = read_wave(path.strip())
+            if segments is None:
+                yield key, samples[0], rate
+                continue
+            for utt, start, end in segments.get(key, ()):
+                b = int(round(start * rate))
+                e = (samples.shape[1] if end < 0
+                     else min(int(round(end * rate)), samples.shape[1]))
+                if e - b < args.min_segment_length * rate:
+                    n_short += 1
+                    continue
+                yield utt, samples[0, b:e], rate
+        if n_short:
+            log.warning("skipped %d segments shorter than %.2fs",
+                        n_short, args.min_segment_length)
+
+    n = 0
+    with MatrixWriter(args.out, compress=bool(args.compress)) as w:
+        for key, utt_samples, rate in _utterances():
             for factor in factors:
-                wave_np = speed_perturb(samples[0], rate, factor)
+                wave_np = speed_perturb(utt_samples, rate, factor)
                 wave = jnp.asarray(wave_np)
                 out_key = (key if factor == 1.0
                            else f"sp{factor:g}-{key}")

@@ -65,6 +65,21 @@ def parse_args(argv=None):
                         "onto every frame instead of stored separately)")
     g.add_argument("--cmvn", default=None)
     g.add_argument("--utt2spk", default=None)
+    g.add_argument("--add-deltas", type=int, default=0,
+                   help="append delta features of this order (the "
+                        "get_egs2.sh raw-feature route's add-deltas)")
+    g.add_argument("--delta-window", type=int, default=2)
+    g.add_argument("--splice-left", type=int, default=0,
+                   help="splice this many left context frames before "
+                        "--transform (the LDA route's splice-feats)")
+    g.add_argument("--splice-right", type=int, default=0)
+    g.add_argument("--transform", default=None,
+                   help="global LDA/MLLT matrix file (Kaldi matrix, "
+                        "linear [R,D] or affine [R,D+1]; transform-feats)")
+    g.add_argument("--transforms", default=None,
+                   help="per-speaker fMLLR transform rspecifier "
+                        "(speaker keys via --utt2spk; transform-feats "
+                        "--utt2spk)")
     g.add_argument("--output", required=True,
                    help="wspecifier template (JOB expands when splitting)")
     g.add_argument("--num-archives", type=int, default=1)
@@ -159,16 +174,54 @@ def main(argv=None):
         n_oov = 0
 
         import dataclasses as _dc
+        import numpy as _np2
+
+        lda_mat = None
+        if args.transform:
+            from kaldi_ctc_tpu.utils.kaldi_io import read_matrix
+            lda_mat = read_matrix(args.transform)
+        spk_trans = None
+        if args.transforms:
+            from kaldi_ctc_tpu.utils.kaldi_io import (
+                RandomAccessMatrixReader, SequentialMatrixReader)
+            if args.transforms.startswith("scp:"):
+                spk_trans = RandomAccessMatrixReader(args.transforms)
+            else:
+                # transform archives are tiny (one matrix per speaker):
+                # load ark: specifiers eagerly for random access
+                spk_trans = dict(SequentialMatrixReader(args.transforms))
 
         def apply_spk_info(eg):
+            # feature pipeline after CMVN, in get_egs2.sh order:
+            # deltas | splice | LDA | per-speaker fMLLR | spk_info
+            feats = eg.feats
+            if args.add_deltas > 0:
+                from kaldi_ctc_tpu.features.functions import add_deltas
+                feats = _np2.asarray(add_deltas(
+                    feats, order=args.add_deltas,
+                    window=args.delta_window))
+            if args.splice_left or args.splice_right:
+                from kaldi_ctc_tpu.features.functions import splice_frames
+                feats = _np2.asarray(splice_frames(
+                    feats, args.splice_left, args.splice_right))
+            if lda_mat is not None:
+                from kaldi_ctc_tpu.features.transform import apply_transform
+                feats = apply_transform(feats, lda_mat)
+            if spk_trans is not None:
+                from kaldi_ctc_tpu.features.transform import apply_transform
+                spk = utt2spk.get(eg.key, eg.key) if utt2spk else eg.key
+                if spk in spk_trans:
+                    feats = apply_transform(feats, spk_trans[spk])
             # spk_info: utterance-mean of the trailing const dims,
             # broadcast back onto every frame
             n = args.const_feat_dim
-            if n <= 0:
+            if n > 0:
+                feats = feats.copy() if feats is eg.feats else feats
+                feats[:, -n:] = feats[:, -n:].mean(axis=0, keepdims=True)
+            if feats is eg.feats:
                 return eg
-            feats = eg.feats.copy()
-            feats[:, -n:] = feats[:, -n:].mean(axis=0, keepdims=True)
-            return _dc.replace(eg, feats=feats)
+            return _dc.replace(eg,
+                               feats=_np2.asarray(feats, _np2.float32))
 
         if args.ali:
             tid_map = None
