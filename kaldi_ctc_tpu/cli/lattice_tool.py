@@ -152,7 +152,11 @@ def parse_args(argv=None):
                           "old LM to subtract, +1 with the new to add)")
     lr.add_argument("--lattices", required=True,
                     help="CompactLattice archive")
-    lr.add_argument("--arpa", required=True)
+    lr.add_argument("--arpa", default=None)
+    lr.add_argument("--const-arpa", default=None,
+                    help="compiled const-ARPA .npz (lm_tool "
+                         "compile-const) instead of --arpa "
+                         "(lattice-lmrescore-const-arpa)")
     lr.add_argument("--words", required=True, help="words.txt symbol table")
     lr.add_argument("--lm-scale", type=float, default=1.0)
     lr.add_argument("--output", required=True)
@@ -423,8 +427,15 @@ def main(argv=None):
 
     elif args.cmd == "lmrescore":
         from kaldi_ctc_tpu.decoding.rescore import lmrescore_compact
-        from kaldi_ctc_tpu.lm import parse_arpa
-        lm = parse_arpa(args.arpa)
+        if args.const_arpa:
+            from kaldi_ctc_tpu.lm.const_arpa import ConstArpaLm
+            lm = ConstArpaLm.load(args.const_arpa)
+        elif args.arpa:
+            from kaldi_ctc_tpu.lm import parse_arpa
+            lm = parse_arpa(args.arpa)
+        else:
+            log.error("lmrescore needs --arpa or --const-arpa")
+            sys.exit(1)
         syms = _read_word_syms(args.words) or {}
         n = 0
         with open(args.output, "w") as f:

@@ -29,9 +29,17 @@ def parse_args(argv=None):
                         "<output>.words.txt when --words not given)")
 
     pp = sub.add_parser("perplexity", help="score text with the LM")
-    pp.add_argument("--arpa", required=True)
+    pp.add_argument("--arpa", default=None)
+    pp.add_argument("--const-arpa", default=None,
+                    help="compiled const-ARPA .npz instead of --arpa")
     pp.add_argument("--text", required=True,
                     help="utt-keyed transcript table")
+
+    cc = sub.add_parser("compile-const",
+                        help="ARPA -> const-ARPA flat-trie .npz "
+                             "(arpa-to-const-arpa)")
+    cc.add_argument("--arpa", required=True)
+    cc.add_argument("--output", required=True, help=".npz path")
     return p.parse_args(argv)
 
 
@@ -43,8 +51,13 @@ def main(argv=None):
 
     args = parse_args(argv)
     log = get_logger("lm_tool")
-    lm = parse_arpa(args.arpa)
-    log.info("ARPA order %d, counts %s", lm.order, lm.counts)
+    if getattr(args, "const_arpa", None):
+        from kaldi_ctc_tpu.lm.const_arpa import ConstArpaLm
+        lm = ConstArpaLm.load(args.const_arpa)
+        log.info("const-ARPA order %d, %d words", lm.order, len(lm.vocab))
+    else:
+        lm = parse_arpa(args.arpa)
+        log.info("ARPA order %d, counts %s", lm.order, lm.counts)
 
     if args.cmd == "arpa-to-fst":
         from kaldi_ctc_tpu.decoding.wfst import NativeFst
@@ -82,6 +95,13 @@ def main(argv=None):
         ppl = 10.0 ** (-tot_logp / max(tot_words, 1))
         print(json.dumps({"num_utts": n_utts, "num_words": tot_words,
                           "log10prob": tot_logp, "perplexity": ppl}))
+
+    elif args.cmd == "compile-const":
+        from kaldi_ctc_tpu.lm.const_arpa import compile_const_arpa
+        const = compile_const_arpa(lm)
+        const.save(args.output)
+        log.info("compiled const-ARPA: order %d, %d words -> %s",
+                 const.order, len(const.vocab), args.output)
 
 
 if __name__ == "__main__":

@@ -44,7 +44,7 @@ def lmrescore_compact(
         nh = (hist + (word,))[-(lm.order - 1):] if lm.order > 1 else ()
         # shorten to a history the LM actually has (arpa_to_fst_arrays'
         # next-history rule) so the state space stays bounded
-        while nh and nh not in lm.ngrams:
+        while nh and not lm.has_ngram(nh):
             nh = nh[1:]
         return nh
 
@@ -80,7 +80,7 @@ def lmrescore_compact(
         stack.append(key)
         return sid
 
-    start_hist = (bos,) if lm.order > 1 and (bos,) in lm.ngrams else ()
+    start_hist = (bos,) if lm.order > 1 and lm.has_ngram((bos,)) else ()
     out.start = get_state(clat.start, start_hist)
     while stack:
         s, hist = stack.pop()

@@ -33,6 +33,9 @@ class ArpaLm:
     ngrams: Dict[Tuple[str, ...], Tuple[float, float]]
     counts: List[int]
 
+    def has_ngram(self, words: Tuple[str, ...]) -> bool:
+        return tuple(words) in self.ngrams
+
     def logprob(self, word: str, history: Tuple[str, ...]) -> float:
         """log10 P(word | history) with standard backoff recursion."""
         history = tuple(history)[-(self.order - 1):] if self.order > 1 \
