@@ -116,10 +116,18 @@ def main(argv=None):
 
     n = 0
     if args.cmd == "paste":
+        import itertools
         readers = [kaldi_io.SequentialMatrixReader(r) for r in args.feats]
         with kaldi_io.MatrixWriter(args.output,
                                    compress=bool(args.compress)) as w:
-            for rows in zip(*readers):
+            for rows in itertools.zip_longest(*readers):
+                if any(r is None for r in rows):
+                    # a stream ran out early: that is data loss, not a
+                    # normal end (paste-feats errors on missing keys)
+                    log.error("input streams have different lengths "
+                              "(first short stream at utterance %s)",
+                              next(r[0] for r in rows if r is not None))
+                    sys.exit(1)
                 keys = [k for k, _m in rows]
                 if len(set(keys)) != 1:
                     log.error("key mismatch across streams: %s", keys)

@@ -55,9 +55,13 @@ def main(argv=None):
         from kaldi_ctc_tpu.lm.const_arpa import ConstArpaLm
         lm = ConstArpaLm.load(args.const_arpa)
         log.info("const-ARPA order %d, %d words", lm.order, len(lm.vocab))
-    else:
+    elif args.arpa:
         lm = parse_arpa(args.arpa)
         log.info("ARPA order %d, counts %s", lm.order, lm.counts)
+    else:
+        import sys
+        log.error("%s needs --arpa or --const-arpa", args.cmd)
+        sys.exit(1)
 
     if args.cmd == "arpa-to-fst":
         from kaldi_ctc_tpu.decoding.wfst import NativeFst

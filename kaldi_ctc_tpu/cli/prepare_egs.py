@@ -212,6 +212,12 @@ def main(argv=None):
                 spk = utt2spk.get(eg.key, eg.key) if utt2spk else eg.key
                 if spk in spk_trans:
                     feats = apply_transform(feats, spk_trans[spk])
+                else:
+                    # mixing transformed and raw features silently would
+                    # corrupt training — make every miss visible
+                    log.warning("no fMLLR transform for speaker %s "
+                                "(utterance %s): left untransformed",
+                                spk, eg.key)
             # spk_info: utterance-mean of the trailing const dims,
             # broadcast back onto every frame
             n = args.const_feat_dim

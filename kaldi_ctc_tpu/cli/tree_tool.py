@@ -91,12 +91,13 @@ def main(argv=None):
     log = get_logger("tree_tool")
 
     if args.cmd == "acc-stats":
-        tid_phone = None
+        tid_phone = tid_selfloop = None
         if args.trans_model:
             from kaldi_ctc_tpu.utils.transition_model import \
                 read_transition_model
-            tid_phone = read_transition_model(args.trans_model) \
-                .tid_to_phone()
+            tm = read_transition_model(args.trans_model)
+            tid_phone = tm.tid_to_phone()
+            tid_selfloop = tm.tid_is_self_loop()
         ci = [int(x) for x in args.ci_phones.split(":") if x]
         ali = dict(kaldi_io.SequentialIntVectorReader(args.ali))
 
@@ -107,16 +108,23 @@ def main(argv=None):
                     n_miss += 1
                     continue
                 phones = np.asarray(ali[key])
+                starts = None
                 if tid_phone is not None:
+                    # a non-self-loop tid re-enters its phone: adjacent
+                    # instances of the same phone stay distinct segments
+                    starts = ~tid_selfloop[phones]
                     phones = tid_phone[phones]
                 if args.subsample > 1:
                     phones = phones[::args.subsample]
+                    if starts is not None:
+                        starts = starts[::args.subsample]
                 if len(phones) != feats.shape[0]:
                     log.warning("length mismatch for %s (%d frames, %d "
                                 "alignment): skipped", key,
                                 feats.shape[0], len(phones))
                     continue
-                yield feats, phones
+                yield (feats, phones) if starts is None \
+                    else (feats, phones, starts)
             if n_miss:
                 log.warning("%d utterances had no alignment", n_miss)
 

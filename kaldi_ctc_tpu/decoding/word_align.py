@@ -103,6 +103,9 @@ def word_align_lattice_lexicon(
     Raises AlignError if some path cannot be segmented (wrong lexicon,
     malformed strings) or the expansion exceeds ``max_states``.
     """
+    if (tid_phone is None) != (tid_selfloop is None):
+        raise ValueError("tid_phone and tid_selfloop must be given "
+                         "together (both from the same TransitionModel)")
     n_in = clat.num_states
     in_adj: List[List[int]] = [[] for _ in range(n_in)]
     for i in range(clat.num_arcs):
@@ -188,6 +191,11 @@ def word_align_lattice_lexicon(
             item_key = (lat_s, labels, words, round(g, 6), round(a, 6))
             if item_key in seen:
                 continue
+            if len(seen) > max_states:
+                # cap the closure too: a pron that stays a compatible
+                # prefix forever enumerates weighted paths, not states
+                raise AlignError("alignment closure exceeded max_states "
+                                 "(mismatched lexicon/model?)")
             seen.add(item_key)
             emits, consume = step(lat_s, labels, words)
             for (w, consumed, labels2, words2) in emits:

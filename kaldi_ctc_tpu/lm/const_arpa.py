@@ -24,15 +24,16 @@ from kaldi_ctc_tpu.lm.arpa import ArpaLm
 
 __all__ = ["ConstArpaLm", "compile_const_arpa"]
 
-_NO_PROB = np.float32(1.0)   # positive = "structural node, no explicit prob"
+_NO_PROB = np.float32(np.nan)   # "structural node, no explicit prob"
 
 
 class ConstArpaLm:
     """Flat-array n-gram trie with backoff scoring.
 
     Per level n (1-based): ``words[n]`` (last word id, sorted within the
-    parent's span), ``logp[n]`` (log10 prob, +1 = none), ``bo[n]``
-    (log10 backoff), ``lo[n]``/``hi[n]`` (children span in level n+1).
+    parent's span), ``logp[n]`` (log10 prob, NaN = structural node with
+    no explicit probability), ``bo[n]`` (log10 backoff),
+    ``lo[n]``/``hi[n]`` (children span in level n+1).
     """
 
     def __init__(self, order: int, vocab: List[str],
@@ -46,7 +47,7 @@ class ConstArpaLm:
         if u is not None:
             idx = self._find_child(0, u, level=0,
                                    span=(0, len(levels[0]["words"])))
-            if idx >= 0 and levels[0]["logp"][idx] <= 0:
+            if idx >= 0 and not math.isnan(float(levels[0]["logp"][idx])):
                 self._unk_logp = float(levels[0]["logp"][idx])
 
     # -- lookup ----------------------------------------------------------
@@ -78,7 +79,11 @@ class ConstArpaLm:
         ids = tuple(self.word_id.get(w, -1) for w in words)
         if -1 in ids or not ids:
             return False
-        return self._lookup(ids)[1] >= 0
+        level, idx = self._lookup(ids)
+        if idx < 0:
+            return False
+        # structural nodes (added for missing prefixes) are not n-grams
+        return not math.isnan(float(self._levels[level]["logp"][idx]))
 
     def logprob(self, word: str, history: Tuple[str, ...]) -> float:
         """log10 P(word | history), ArpaLm.logprob-compatible."""
@@ -96,12 +101,12 @@ class ConstArpaLm:
                 level, idx = self._lookup(hist + (wid,))
                 if idx >= 0:
                     lp = float(self._levels[level]["logp"][idx])
-                    if lp <= 0:
+                    if not math.isnan(lp):
                         return total_bo + lp
             if not hist:
                 if self._unk_logp is not None:
                     return total_bo + self._unk_logp
-                return -99.0
+                return total_bo - 99.0
             hlevel, hidx = self._lookup(hist)
             if hidx >= 0:
                 total_bo += float(self._levels[hlevel]["bo"][hidx])
@@ -114,7 +119,10 @@ class ConstArpaLm:
         for n, lv in enumerate(self._levels):
             for k, arr in lv.items():
                 data[f"l{n}_{k}"] = arr
-        np.savez_compressed(path, **data)
+        # write through a handle so numpy cannot append '.npz' and
+        # break the save(path)/load(path) round trip
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **data)
 
     @classmethod
     def load(cls, path: str) -> "ConstArpaLm":

@@ -74,29 +74,38 @@ TreeStats = Dict[Event, GaussStats]
 
 
 def acc_tree_stats(
-        utterances: Iterable[Tuple[np.ndarray, np.ndarray]],
+        utterances: Iterable[Tuple],
         N: int = 3, P: int = 1,
         ci_phones: Sequence[int] = (),
         pdf_classes: Optional[Dict[int, int]] = None) -> TreeStats:
     """Accumulate per-event stats from (features [T, D], per-frame phone
-    alignment [T]) pairs.
+    alignment [T][, instance-start flags [T]]) tuples.
 
     Phone windows span phone *segments* (a run of identical phones is
-    one instance); context-independent phones get zeroed context so they
-    can never be split on it.  ``pdf_classes`` optionally maps a phone
-    to its number of pdf-classes — frames of a segment are spread evenly
-    over the classes (1-state CTC topologies have exactly one).
+    one instance, unless the optional per-frame ``starts`` flags mark a
+    re-entry — transition-id alignments distinguish adjacent instances
+    of the same phone by their non-self-loop entry tid); context-
+    independent phones get zeroed context so they can never be split on
+    it.  ``pdf_classes`` optionally maps a phone to its number of
+    pdf-classes — frames of a segment are spread evenly over the
+    classes (1-state CTC topologies have exactly one).
     """
     ci = frozenset(int(p) for p in ci_phones)
     stats: TreeStats = {}
-    for feats, phones in utterances:
+    for utt in utterances:
+        feats, phones = utt[0], utt[1]
+        starts = utt[2] if len(utt) > 2 else None
         feats = np.asarray(feats, np.float64)
         phones = np.asarray(phones).ravel()
         if feats.shape[0] != phones.shape[0]:
             raise ValueError("features/alignment length mismatch")
+        if len(phones) == 0:
+            continue
         # segment the alignment into phone instances
         bounds = [0] + [i for i in range(1, len(phones))
-                        if phones[i] != phones[i - 1]] + [len(phones)]
+                        if phones[i] != phones[i - 1]
+                        or (starts is not None and starts[i])] \
+            + [len(phones)]
         seg_phones = [int(phones[b]) for b in bounds[:-1]]
         for si in range(len(seg_phones)):
             c = seg_phones[si]
@@ -139,13 +148,16 @@ def sum_tree_stats(parts: Iterable[TreeStats]) -> TreeStats:
 def save_tree_stats(path: str, stats: TreeStats) -> None:
     events = sorted(stats)
     keys = np.array([[kv for kv in ev] for ev in events], np.int32)
-    np.savez_compressed(
-        path, keys=keys,
-        count=np.array([stats[e].count for e in events]),
-        sum=np.stack([stats[e].sum for e in events])
-        if events else np.zeros((0, 0)),
-        sumsq=np.stack([stats[e].sumsq for e in events])
-        if events else np.zeros((0, 0)))
+    # write through a handle so numpy cannot append '.npz' and break
+    # the save(path)/load(path) round trip
+    with open(path, "wb") as f:
+        np.savez_compressed(
+            f, keys=keys,
+            count=np.array([stats[e].count for e in events]),
+            sum=np.stack([stats[e].sum for e in events])
+            if events else np.zeros((0, 0)),
+            sumsq=np.stack([stats[e].sumsq for e in events])
+            if events else np.zeros((0, 0)))
 
 
 def load_tree_stats(path: str) -> TreeStats:

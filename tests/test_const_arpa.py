@@ -143,3 +143,57 @@ def test_lmrescore_const_matches_plain(tmp_path):
     assert (tmp_path / "a.lats").read_text() == \
         (tmp_path / "c.lats").read_text()
     assert (tmp_path / "a.lats").read_text() != ""
+
+
+ARPA_NOUNK = """\
+\\data\\
+ngram 1=4
+ngram 2=2
+ngram 3=1
+
+\\1-grams:
+-0.9 <s> -0.4
+-0.7 </s>
+-0.5 a -0.3
+-0.6 b -0.2
+
+\\2-grams:
+-0.3 a b -0.15
+-0.4 b </s>
+
+\\3-grams:
+-0.2 b a b
+
+\\end\\
+"""
+
+
+def test_no_unk_floor_includes_backoff():
+    # OOV with history: the accumulated backoff must ride on the -99
+    # floor exactly like ArpaLm
+    lm, const = _both(ARPA_NOUNK)
+    for h in ((), ("a",), ("a", "b"), ("zzz",)):
+        want = lm.logprob("zzz", h)
+        got = const.logprob("zzz", h)
+        assert abs(want - got) < 1e-5, (h, want, got)
+
+
+def test_structural_nodes_are_not_ngrams():
+    # the 3-gram 'b a b' has no explicit 'b a' bigram: the compiler adds
+    # a structural node to descend through, but has_ngram must not
+    # report it (ArpaLm parity), while the 3-gram still scores
+    lm, const = _both(ARPA_NOUNK)
+    assert not lm.has_ngram(("b", "a"))
+    assert not const.has_ngram(("b", "a"))
+    assert const.has_ngram(("b", "a", "b"))
+    assert abs(const.logprob("b", ("b", "a")) -
+               lm.logprob("b", ("b", "a"))) < 1e-5
+
+
+def test_save_path_without_npz_suffix(tmp_path):
+    _lm, const = _both(ARPA3)
+    p = str(tmp_path / "lm.bin")       # no .npz suffix
+    const.save(p)
+    back = ConstArpaLm.load(p)
+    assert abs(back.logprob("b", ("a",)) -
+               const.logprob("b", ("a",))) < 1e-6

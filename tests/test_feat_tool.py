@@ -122,3 +122,18 @@ def test_transform_and_apply_cmvn(tmp_path):
     allframes = np.concatenate([out["u0"], out["u1"]])
     np.testing.assert_allclose(allframes.mean(0), 0.0, atol=1e-4)
     np.testing.assert_allclose(allframes.std(0), 1.0, atol=1e-3)
+
+
+def test_paste_unequal_streams_errors(tmp_path):
+    import pytest
+    rng = np.random.default_rng(3)
+    a = {f"u{i}": rng.standard_normal((5, 2)).astype(np.float32)
+         for i in range(3)}
+    b = {f"u{i}": rng.standard_normal((5, 2)).astype(np.float32)
+         for i in range(2)}        # one utterance short
+    _write(tmp_path, "a.ark", a)
+    _write(tmp_path, "b.ark", b)
+    with pytest.raises(SystemExit):
+        feat_tool.main(["paste", "--feats", f"ark:{tmp_path}/a.ark",
+                        "--feats", f"ark:{tmp_path}/b.ark",
+                        "--output", f"ark:{tmp_path}/p.ark"])

@@ -184,3 +184,21 @@ def test_tree_tool_cli_chain(tmp_path):
     # 'go' = a b: phone a before b vs 'hi' = a c: a before c -> the
     # context-split pdfs differ in the label sequences
     assert egs["u0"].labels[0] != egs["u1"].labels[0]
+
+
+def test_acc_stats_instance_starts_and_empty_utt():
+    rng = np.random.default_rng(6)
+    f = rng.standard_normal((4, 2)).astype(np.float32)
+    phones = np.array([1, 1, 1, 1], np.int32)
+    # starts mark a re-entry at frame 2: two instances of phone 1
+    starts = np.array([True, False, True, False])
+    stats = acc_tree_stats([(f, phones, starts),
+                            (np.zeros((0, 2), np.float32),
+                             np.zeros(0, np.int32))])
+    evs = set(stats)
+    # first instance sees phone 1 on its right, second on its left
+    assert ((-1, 0), (0, 0), (1, 1), (2, 1)) in evs
+    assert ((-1, 0), (0, 1), (1, 1), (2, 0)) in evs
+    # without starts the whole run is one instance with zero context
+    stats2 = acc_tree_stats([(f, phones)])
+    assert set(stats2) == {((-1, 0), (0, 0), (1, 1), (2, 0))}

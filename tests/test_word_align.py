@@ -212,3 +212,10 @@ def test_cli_align_words(tmp_path):
             for i in range(out.num_arcs)}
     assert segs[10] == (3, 3, 4)
     assert segs[11] == (5, 5)
+
+
+def test_tid_args_must_come_together():
+    clat = _clat([(0, 1, 10, 0.0, 0.0, (3,))], {1: (0.0, 0.0, ())})
+    with pytest.raises(ValueError):
+        word_align_lattice_lexicon(clat, PRONS,
+                                   tid_phone=np.zeros(4, np.int32))
