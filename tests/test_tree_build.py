@@ -202,3 +202,35 @@ def test_acc_stats_instance_starts_and_empty_utt():
     # without starts the whole run is one instance with zero context
     stats2 = acc_tree_stats([(f, phones)])
     assert set(stats2) == {((-1, 0), (0, 0), (1, 1), (2, 0))}
+
+
+def test_built_tree_drives_make_tlg(tmp_path):
+    """The natively-built tree plugs into graph_tool make-tlg --tree:
+    the context-dependent TLG builds and its non-blank ilabels are
+    exactly the tree's pdfs + 1 (CTC shift)."""
+    from kaldi_ctc_tpu.cli import graph_tool
+    from kaldi_ctc_tpu.decoding.wfst import NativeFst
+    from kaldi_ctc_tpu.utils.tree import write_tree
+
+    rng = np.random.default_rng(7)
+    stats = acc_tree_stats(_utts(rng, 40))
+    qs = cluster_phones(stats, [[1], [2], [3]])
+    tree = build_tree(stats, qs, [(True, True, [p]) for p in (1, 2, 3)],
+                      max_leaves=4)
+    write_tree(f"{tmp_path}/tree", tree)
+    (tmp_path / "lexicon.txt").write_text("go a b\nhi a c\nb b\n")
+    (tmp_path / "phones.txt").write_text("a 1\nb 2\nc 3\n")
+    (tmp_path / "lm.arpa").write_text(
+        "\\data\\\nngram 1=5\n\n\\1-grams:\n-0.9 <s>\n-0.7 </s>\n"
+        "-0.5 go\n-0.6 hi\n-0.8 b\n\n\\end\\\n")
+    tlg = f"{tmp_path}/TLG.fst"
+    graph_tool.main(["make-tlg", "--lexicon", f"{tmp_path}/lexicon.txt",
+                     "--arpa", f"{tmp_path}/lm.arpa",
+                     "--phones", f"{tmp_path}/phones.txt",
+                     "--tree", f"{tmp_path}/tree", "--output", tlg])
+    fst = NativeFst.load(tlg)
+    _start, arcs, _w, _f = fst.to_arrays()
+    ilabels = set(int(x) for x in arcs[:, 1]) - {0, 1}   # eps, blank
+    # CTC graph labels are pdf+2 (pdf+1 column, +1 shift)
+    assert ilabels
+    assert max(ilabels) <= tree.num_pdfs + 1
