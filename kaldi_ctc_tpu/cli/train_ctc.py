@@ -172,8 +172,23 @@ def main(argv=None):
     input_dim = examples[0].feats.shape[1]
     log.info("loaded %d utterances, input dim %d", len(examples), input_dim)
 
+    # --minibatch-size is the GLOBAL batch (reference semantics: lr*sum
+    # over that many utterances).  Each process assembles only its shard
+    # of the per-step global array, so its pipeline batches 1/n_proc of
+    # the global size.
+    n_proc = _jax_mod.process_count()
+    if args.minibatch_size % n_proc:
+        log.error("--minibatch-size %d not divisible by the %d processes",
+                  args.minibatch_size, n_proc)
+        sys.exit(1)
+    host_mb = args.minibatch_size // n_proc
+    if n_proc > 1 and len(examples) < host_mb:
+        log.error("only %d utterances per host for a per-host batch of "
+                  "%d: reduce --minibatch-size", len(examples), host_mb)
+        sys.exit(1)
+
     pipe = EgsPipeline(
-        examples, minibatch_size=args.minibatch_size,
+        examples, minibatch_size=host_mb,
         max_allow_frames=args.max_allow_frames,
         frame_subsampling_factor=args.frame_subsampling_factor,
         seed=args.seed, fixed_shape=fixed_shape)
@@ -183,11 +198,21 @@ def main(argv=None):
         valid_examples = list(load_examples(args.valid_feats, args.valid_ali,
                                             cmvn_rspecifier=args.cmvn,
                                             utt2spk=utt2spk))
+        valid_fixed = None
+        if n_proc > 1:
+            # same cross-host contract as training: equal shards, equal
+            # step counts, one fixed global shape
+            valid_examples = valid_examples[
+                :(len(valid_examples) // n_proc) * n_proc]
+            valid_fixed = (
+                max((e.num_frames for e in valid_examples), default=1),
+                max((e.num_labels for e in valid_examples), default=1))
+            valid_examples = host_shard(valid_examples)
         valid_pipe = EgsPipeline(
-            valid_examples, minibatch_size=args.minibatch_size,
+            valid_examples, minibatch_size=host_mb,
             max_allow_frames=args.max_allow_frames,
             frame_subsampling_factor=args.frame_subsampling_factor,
-            seed=args.seed + 1000)
+            seed=args.seed + 1000, fixed_shape=valid_fixed)
 
     grow = args.add_layers_period > 0 and args.start_layers < args.num_layers
     start_layers = args.start_layers if grow else args.num_layers
@@ -215,8 +240,8 @@ def main(argv=None):
     cfg = build_cfg(start_layers)
     write_cfg(cfg)
 
-    # rough decay horizon: one batch ≈ minibatch utterances
-    steps_per_epoch = max(len(examples) // args.minibatch_size, 1)
+    # rough decay horizon: one step consumes host_mb utterances per host
+    steps_per_epoch = max(len(examples) // host_mb, 1)
     num_steps = steps_per_epoch * args.epochs
     # objective_scale stays 1.0: the loss is summed over the GLOBAL batch
     # (args.minibatch_size utterances), so semantics match the reference's
