@@ -14,9 +14,19 @@ fetched, so per-dispatch/transfer overhead of remote backends does not
 pollute the measurement.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+--scaling: the SURVEY §5.8 scaling harness — weak-scaling DP over the
+local device mesh (global batch = 48 × n_devices, batch dim sharded over
+the 'data' axis), reporting per-chip throughput at 1 device and at all
+devices plus the parallel efficiency.  `--cpu 8` forces a virtual
+8-device CPU mesh (the axon plugin ignores JAX_PLATFORMS, so this is a
+flag) to validate the DP path without a pod:
+  python bench.py --scaling --tiny --cpu 8
+On real multi-chip hardware plain `--scaling` measures ICI scaling.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -31,27 +41,34 @@ STEPS_PER_CALL = 5
 TIMED_CALLS = 4
 
 
-def main():
+def _measure(devices, batch_per_chip=BATCH, tiny=False):
+    """→ audio-s/s/chip with DP over the given devices."""
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_cfg
     from kaldi_ctc_tpu.models import init_am_params
+    from kaldi_ctc_tpu.parallel.mesh import data_sharding, make_mesh
     from kaldi_ctc_tpu.training import (
         TrainOptions, build_train_step, init_train_state)
 
-    cfg = _flagship_cfg()
+    cfg = _flagship_cfg(tiny=tiny)
+    n_dev = len(devices)
+    b = batch_per_chip * n_dev
+    frames = 48 if tiny else FRAMES
+    lmax = 8 if tiny else 70
     rng = np.random.default_rng(0)
-    lmax = 70
-    batch = {
-        "feats": jnp.asarray(
-            rng.standard_normal((BATCH, FRAMES, cfg.input_dim)).astype(
-                np.float32)),
-        "labels": jnp.asarray(
-            rng.integers(1, cfg.num_targets, (BATCH, lmax)).astype(np.int32)),
-        "input_lens": jnp.full((BATCH,), FRAMES, jnp.int32),
-        "label_lens": jnp.full((BATCH,), lmax, jnp.int32),
+    batch_np = {
+        "feats": rng.standard_normal((b, frames, cfg.input_dim)).astype(
+            np.float32),
+        "labels": rng.integers(1, cfg.num_targets, (b, lmax)).astype(
+            np.int32),
+        "input_lens": np.full((b,), frames, np.int32),
+        "label_lens": np.full((b,), lmax, np.int32),
     }
+    mesh = make_mesh(devices=list(devices))
+    sh = data_sharding(mesh)
+    batch = {k: jax.device_put(v, sh) for k, v in batch_np.items()}
 
     step_fn = build_train_step(cfg, TrainOptions())
 
@@ -60,28 +77,61 @@ def main():
         def body(s, _):
             s2, m = step_fn(s, batch)
             return s2, m["loss_total"]
-        state, losses = jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
+        state, losses = jax.lax.scan(body, state, None,
+                                     length=STEPS_PER_CALL)
         return state, losses[-1]
 
     params = init_am_params(jax.random.PRNGKey(0), cfg)
     state = init_train_state(params)
+    # replicate params over the mesh so DP shards only the batch
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    state = jax.device_put(state, rep)
 
-    # warmup (compile) — scalar fetch forces real completion
-    state, loss = run_k(state, batch)
+    state, loss = run_k(state, batch)   # warmup (compile)
     _ = float(loss)
-
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
         state, loss = run_k(state, batch)
-        _ = float(loss)  # sync point; scalar transfer is negligible
+        _ = float(loss)                 # sync point
     elapsed = time.perf_counter() - t0
 
     n_steps = STEPS_PER_CALL * TIMED_CALLS
-    audio_s_per_step = BATCH * FRAMES * SECONDS_PER_FRAME
-    audio_s_per_s = audio_s_per_step * n_steps / elapsed
-    n_chips = len(jax.devices())
-    per_chip = audio_s_per_s / n_chips
+    audio_s_per_step = b * frames * SECONDS_PER_FRAME
+    return audio_s_per_step * n_steps / elapsed / n_dev
 
+
+def main():
+    if "--cpu" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--cpu") + 1])
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n)
+    import jax
+
+    if "--scaling" in sys.argv:
+        tiny = "--tiny" in sys.argv
+        devs = jax.devices()
+        one = _measure(devs[:1], tiny=tiny)
+        print(json.dumps({
+            "metric": "train_throughput_audio_seconds_per_second_per_chip",
+            "value": round(one, 2), "unit": "audio-s/s/chip",
+            "devices": 1,
+            "vs_baseline": round(one / BASELINE_AUDIO_S_PER_S_PER_CHIP,
+                                 3)}))
+        if len(devs) > 1:
+            full = _measure(devs, tiny=tiny)
+            print(json.dumps({
+                "metric":
+                    "train_throughput_audio_seconds_per_second_per_chip",
+                "value": round(full, 2), "unit": "audio-s/s/chip",
+                "devices": len(devs),
+                "scaling_efficiency": round(full / one, 3),
+                "vs_baseline": round(
+                    full / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3)}))
+        return
+
+    per_chip = _measure(jax.devices()[:1])
     print(json.dumps({
         "metric": "train_throughput_audio_seconds_per_second_per_chip",
         "value": round(per_chip, 2),
