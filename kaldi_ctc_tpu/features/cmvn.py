@@ -36,6 +36,10 @@ def apply_cmvn(
     count = stats[0, d]
     if count <= 0:
         raise ValueError("CMVN stats have zero count")
+    if norm_vars and not norm_means:
+        # dividing by sqrt(E[x^2]) is not a variance normalization;
+        # Kaldi rejects the combination too (apply-cmvn)
+        raise ValueError("cannot normalize variance but not mean")
     mean = stats[0, :d] / count
     if not norm_means:
         mean = np.zeros_like(mean)

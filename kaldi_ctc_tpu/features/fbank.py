@@ -91,9 +91,10 @@ def compute_fbank(
         frames, fo, window, dither_key=dither_key, need_raw_energy=need_raw)
     power = padded_power_spectrum(frames, fo)
     if opts.use_energy and not opts.raw_energy:
-        tiny = jnp.finfo(jnp.float32).tiny
+        # Kaldi floors energy at float epsilon, not denormal-min
+        eps = jnp.finfo(jnp.float32).eps
         raw_energy = jnp.log(
-            jnp.maximum(jnp.sum(frames * frames, axis=1), tiny))
+            jnp.maximum(jnp.sum(frames * frames, axis=1), eps))
     if not opts.use_power:
         power = jnp.sqrt(power)
     # bins are defined over fft bins [0, padded/2); drop the Nyquist bin

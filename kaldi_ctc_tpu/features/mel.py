@@ -37,17 +37,26 @@ def inverse_mel_scale(mel):
 
 
 def _vtln_warp_freq(vtln_low, vtln_high, low_freq, high_freq, warp, freq):
-    """VtlnWarpFreq (mel-computations.cc): piecewise-linear frequency warp."""
+    """VtlnWarpFreq (mel-computations.cc): piecewise-linear frequency warp.
+
+    The central segment maps freq -> freq/warp; the breakpoints l and h
+    are chosen in the UNWARPED domain (l = vtln_low*max(1,warp),
+    h = vtln_high*min(1,warp)) so that both the input knees [l, h] and
+    their images [l/warp, h/warp] stay inside [low_freq, high_freq],
+    keeping the warp continuous and monotonic for any warp factor.
+    """
     if freq < low_freq or freq > high_freq:
         return freq
+    l = vtln_low * max(1.0, warp)
+    h = vtln_high * min(1.0, warp)
     scale = 1.0 / warp
-    Fl = scale * vtln_low
-    Fh = scale * vtln_high
-    scale_left = (Fl - low_freq) / (vtln_low - low_freq)
-    scale_right = (high_freq - Fh) / (high_freq - vtln_high)
-    if freq < Fl:
+    Fl = scale * l
+    Fh = scale * h
+    scale_left = (Fl - low_freq) / (l - low_freq)
+    scale_right = (high_freq - Fh) / (high_freq - h)
+    if freq < l:
         return low_freq + scale_left * (freq - low_freq)
-    if freq < Fh:
+    if freq < h:
         return scale * freq
     return high_freq + scale_right * (freq - high_freq)
 

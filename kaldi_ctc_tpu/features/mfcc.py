@@ -122,8 +122,9 @@ def compute_mfcc(
         frames, fo, window, dither_key=dither_key, need_raw_energy=need_raw)
     power = padded_power_spectrum(frames, fo)
     if opts.use_energy and not opts.raw_energy:
-        tiny = jnp.finfo(jnp.float32).tiny
-        raw_energy = jnp.log(jnp.maximum(jnp.sum(frames * frames, axis=1), tiny))
+        # Kaldi floors energy at float epsilon, not denormal-min
+        raw_energy = jnp.log(jnp.maximum(
+            jnp.sum(frames * frames, axis=1), jnp.finfo(jnp.float32).eps))
     eps = jnp.finfo(jnp.float32).eps
     # full-precision matmuls: TPU's default bf16-pass matmul visibly
     # quantizes log-mel values (~0.1 steps at typical magnitudes)

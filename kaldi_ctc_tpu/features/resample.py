@@ -20,8 +20,15 @@ __all__ = ["resample", "speed_perturb"]
 @lru_cache(maxsize=32)
 def _polyphase_filters(up: int, down: int, zeros: int = 16,
                        rolloff: float = 0.945) -> np.ndarray:
-    """Hann-windowed sinc filters [up, taps] for rate up/down."""
-    cutoff = rolloff * 0.5 / max(up, down)
+    """Hann-windowed sinc filters [up, taps] for rate up/down.
+
+    The filter taps sit on the INPUT sample grid (direct-form gather in
+    resample(), not zero-stuffing), so the anti-alias cutoff is
+    expressed in input-sample units — rolloff × half the narrower of
+    the two bandwidths — and the DC gain is 1 (no `up` compensation,
+    which only applies to zero-stuffed formulations).
+    """
+    cutoff = rolloff * 0.5 * min(1.0, up / down)
     half_width = int(math.ceil(zeros / (2 * cutoff)))
     taps = 2 * half_width + 1
     out = np.zeros((up, taps), dtype=np.float64)
@@ -34,7 +41,7 @@ def _polyphase_filters(up: int, down: int, zeros: int = 16,
         sinc = np.sinc(x)
         window = 0.5 * (1 + np.cos(np.pi * n / half_width))
         window[np.abs(n) > half_width] = 0.0
-        out[phase] = 2 * cutoff * sinc * window * up
+        out[phase] = 2 * cutoff * sinc * window
     return out.astype(np.float32)
 
 

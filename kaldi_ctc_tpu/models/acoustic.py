@@ -146,12 +146,20 @@ def am_forward(
     """
     x = jnp.swapaxes(feats, 0, 1)  # [T, B, D]
     if cfg.splice_left or cfg.splice_right:
-        # SpliceComponent with edge clamping: concat frames t-L..t+R
+        # SpliceComponent with edge clamping: concat frames t-L..t+R.
+        # Clamp at each utterance's true last frame (input_lens), not the
+        # batch-padded T-1, so the tail context matches exact-length
+        # inference instead of splicing in pad frames.
         parts = []
         t = x.shape[0]
+        last = (jnp.full((1,), t - 1, jnp.int32) if input_lens is None
+                else jnp.maximum(input_lens - 1, 0))  # [B] or [1]
         for off in range(-cfg.splice_left, cfg.splice_right + 1):
-            idx = jnp.clip(jnp.arange(t) + off, 0, t - 1)
-            parts.append(x[idx])
+            idx = jnp.minimum(
+                jnp.maximum(jnp.arange(t)[:, None] + off, 0),
+                last[None, :])                       # [T, B]
+            parts.append(jnp.take_along_axis(
+                x, idx[..., None], axis=0))
         x = jnp.concatenate(parts, axis=-1)
     if cfg.front_affine_dim:
         # FT front layer: Affine + ReLU + renormalize to unit RMS

@@ -28,7 +28,10 @@ def save_inference_artifact(path: str, params: Any, cfg,
         json.dumps(cfg.to_dict()).encode(), dtype=np.uint8)
     if priors is not None:
         arrays["__priors__"] = np.asarray(priors, np.float32)
-    np.savez(path, **arrays)
+    # write through a handle so numpy cannot append '.npz' and leave the
+    # artifact at a different path than the one we log and later load
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_inference_artifact(path: str) -> Tuple[Any, "AmConfig",

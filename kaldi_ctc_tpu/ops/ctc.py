@@ -49,13 +49,13 @@ def extend_labels(labels: jnp.ndarray, blank: int = 0) -> jnp.ndarray:
 
 def _transition_masks(ext: jnp.ndarray, blank: int) -> jnp.ndarray:
     """Mask [B, S] of states allowed to take the s-2 (skip) transition."""
-    s2 = jnp.concatenate(
-        [jnp.full(ext.shape[:1] + (2,), -1, dtype=ext.dtype), ext[:, :-2]],
-        axis=1)
+    # pad-then-slice stays [B, S] even when S < 2 (empty label batches)
+    s2 = jnp.pad(ext, ((0, 0), (2, 0)),
+                 constant_values=-1)[:, :ext.shape[1]]
     return (ext != blank) & (ext != s2)
 
 
-def _forward_alphas(log_probs, ext, skip_ok, input_lens):
+def _forward_alphas(log_probs, ext, skip_ok, input_lens, lp_ext=None):
     """Run the alpha recursion.
 
     Args:
@@ -63,16 +63,19 @@ def _forward_alphas(log_probs, ext, skip_ok, input_lens):
       ext: [B, S] extended labels.
       skip_ok: [B, S] skip-transition mask.
       input_lens: [B].
+      lp_ext: optional pre-gathered [T, B, S] extended-label log-probs
+        (callers that already materialized it avoid a second gather).
     Returns:
       (alphas [T, B, S], log_z [B]) — log_z = total log-likelihood.
     """
     b, t_max, _ = log_probs.shape
     s_max = ext.shape[1]
 
-    # per-frame label log-probs, gathered once: [T, B, S]
-    lp_ext = jnp.take_along_axis(
-        log_probs, ext[:, None, :].astype(jnp.int32), axis=2)
-    lp_ext = jnp.moveaxis(lp_ext, 1, 0)
+    if lp_ext is None:
+        # per-frame label log-probs, gathered once: [T, B, S]
+        lp_ext = jnp.take_along_axis(
+            log_probs, ext[:, None, :].astype(jnp.int32), axis=2)
+        lp_ext = jnp.moveaxis(lp_ext, 1, 0)
 
     alpha0 = jnp.full((b, s_max), _NEG_INF)
     alpha0 = alpha0.at[:, 0].set(lp_ext[0, :, 0])
@@ -80,12 +83,13 @@ def _forward_alphas(log_probs, ext, skip_ok, input_lens):
         alpha0 = alpha0.at[:, 1].set(lp_ext[0, :, 1])
 
     def shift1(x):
-        return jnp.concatenate(
-            [jnp.full((b, 1), _NEG_INF), x[:, :-1]], axis=1)
+        # pad-then-slice stays shape-correct even when S < shift
+        return jnp.pad(x, ((0, 0), (1, 0)),
+                       constant_values=_NEG_INF)[:, :x.shape[1]]
 
     def shift2(x):
-        return jnp.concatenate(
-            [jnp.full((b, 2), _NEG_INF), x[:, :-2]], axis=1)
+        return jnp.pad(x, ((0, 0), (2, 0)),
+                       constant_values=_NEG_INF)[:, :x.shape[1]]
 
     def step(alpha, inputs):
         lp_t, t = inputs
@@ -137,10 +141,12 @@ def _backward_betas(lp_ext_t, ext, skip_down, input_lens, label_lens):
         return init
 
     def shift_up1(x):
-        return jnp.concatenate([x[:, 1:], jnp.full((b, 1), _NEG_INF)], axis=1)
+        return jnp.pad(x, ((0, 0), (0, 1)),
+                       constant_values=_NEG_INF)[:, 1:]
 
     def shift_up2(x):
-        return jnp.concatenate([x[:, 2:], jnp.full((b, 2), _NEG_INF)], axis=1)
+        return jnp.pad(x, ((0, 0), (0, 2)),
+                       constant_values=_NEG_INF)[:, 2:]
 
     beta_init = jnp.full((b, s_max), _NEG_INF)
 
@@ -229,7 +235,8 @@ def ctc_loss_and_grad(
     skip_ok = _transition_masks(ext, blank)
     # skip_down[s]: transition s -> s+2 allowed == skip_ok at s+2
     skip_down = jnp.concatenate(
-        [skip_ok[:, 2:], jnp.zeros((b, 2), dtype=bool)], axis=1)
+        [skip_ok[:, 2:], jnp.zeros((b, 2), dtype=bool)],
+        axis=1)[:, :skip_ok.shape[1]]
 
     lp_ext = jnp.take_along_axis(
         log_probs, ext[:, None, :].astype(jnp.int32), axis=2)
@@ -246,7 +253,8 @@ def ctc_loss_and_grad(
             interpret=interp)
         log_z = _log_z(alphas[-1], label_lens)
     else:
-        alphas, final = _forward_alphas(log_probs, ext, skip_ok, input_lens)
+        alphas, final = _forward_alphas(log_probs, ext, skip_ok, input_lens,
+                                        lp_ext=lp_ext_t)
         log_z = _log_z(final, label_lens)
         betas = _backward_betas(lp_ext_t, ext, skip_down, input_lens,
                                 label_lens)

@@ -36,6 +36,9 @@ def _shift_right(x, k):
 def _shift_left(x, k):
     # pltpu.roll requires non-negative shifts; left-shift by k is a
     # circular right-roll by S-k with the wrapped tail masked off
+    if k >= x.shape[1]:
+        # everything shifts out (S=1 extended width, i.e. empty labels)
+        return jnp.full_like(x, _NEG_INF)
     rolled = pltpu.roll(x, x.shape[1] - k, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(col < x.shape[1] - k, rolled, _NEG_INF)

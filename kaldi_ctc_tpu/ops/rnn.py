@@ -320,6 +320,9 @@ def rnn_forward_stream(
                 if v is not None:
                     h_new = jnp.where(v, h_new, h)
                     c_new = jnp.where(v, c_new, c)
+                    # invalid frames produce no output (the documented
+                    # contract), only a carried state
+                    return (h_new, c_new), jnp.where(v, h_new, 0.0)
                 return (h_new, c_new), h_new
         elif cfg.mode == RnnMode.GRU:
             def step(h, inp):
@@ -327,6 +330,7 @@ def rnn_forward_stream(
                 h_new = _gru_cell(h, xp, w_h, h_dim)
                 if v is not None:
                     h_new = jnp.where(v, h_new, h)
+                    return h_new, jnp.where(v, h_new, 0.0)
                 return h_new, h_new
         else:
             act = jax.nn.relu if cfg.mode == RnnMode.RELU else jnp.tanh
@@ -335,6 +339,7 @@ def rnn_forward_stream(
                 h_new = _elementwise_cell(h, xp, w_h, act)
                 if v is not None:
                     h_new = jnp.where(v, h_new, h)
+                    return h_new, jnp.where(v, h_new, 0.0)
                 return h_new, h_new
         xs = (x_proj, valid)
         st_new, ys = jax.lax.scan(step, st, xs)

@@ -3,8 +3,8 @@
 Replaces the reference's one-file-per-iteration ``$x.mdl`` checkpoints
 (``ctcbin/nnet2-ctc-train-simple.cc:100-104``) and the retention rule
 "keep every 100th and the last few" (``steps/ctc/train.sh:450-452,527-535``).
-Uses orbax when available, with a numpy .npz fallback so checkpoints never
-block on optional dependencies.
+Checkpoints are dependency-free numpy .npz files (one directory per step
+with arrays + a JSON meta sidecar) — trivially portable and inspectable.
 """
 
 from __future__ import annotations

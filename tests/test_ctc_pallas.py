@@ -50,3 +50,26 @@ def test_pallas_infeasible_and_short_utts():
     np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_x),
                                rtol=1e-4, atol=1e-5)
     assert float(loss_p[0]) == 0.0
+
+
+def test_empty_label_batch_interpret():
+    """All-empty transcripts give extended width S=1; the skip shift must
+    not request a negative pltpu.roll (regression)."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_ctc_tpu.ops.ctc import ctc_loss_and_grad
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((2, 6, 5)).astype(np.float32))
+    labels = jnp.zeros((2, 0), jnp.int32)
+    input_lens = jnp.array([6, 4], jnp.int32)
+    label_lens = jnp.zeros((2,), jnp.int32)
+    loss_p, grad_p = ctc_loss_and_grad(
+        logits, labels, input_lens, label_lens,
+        implementation="pallas_interpret")
+    loss_x, grad_x = ctc_loss_and_grad(
+        logits, labels, input_lens, label_lens, implementation="xla")
+    np.testing.assert_allclose(np.asarray(loss_p), np.asarray(loss_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_x),
+                               rtol=1e-4, atol=1e-4)

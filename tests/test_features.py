@@ -290,3 +290,56 @@ class TestPallasStft:
                                        implementation="pallas_interpret"))
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_vtln_warp_matches_kaldi_formula():
+    """VtlnWarpFreq parity: continuous, monotonic, in-range (regression:
+    breakpoints were compared in the warped domain)."""
+    from kaldi_ctc_tpu.features.mel import _vtln_warp_freq
+
+    def kaldi(vl, vh, lo, hi, warp, f):
+        if f < lo or f > hi:
+            return f
+        l = vl * max(1.0, warp)
+        h = vh * min(1.0, warp)
+        scale = 1.0 / warp
+        Fl, Fh = scale * l, scale * h
+        if f < l:
+            return lo + (Fl - lo) / (l - lo) * (f - lo)
+        if f < h:
+            return scale * f
+        return hi + (hi - Fh) / (hi - h) * (f - hi)
+
+    for warp in (0.8, 0.9, 1.0, 1.1, 1.25):
+        prev = -1.0
+        for f in np.linspace(0.0, 8000.0, 801):
+            got = _vtln_warp_freq(100, 7500, 20, 8000, warp, float(f))
+            want = kaldi(100, 7500, 20, 8000, warp, float(f))
+            assert abs(got - want) < 1e-9
+            if 20 <= f <= 8000:
+                assert 20 - 1e-9 <= got <= 8000 + 1e-9
+                assert got >= prev - 1e-9
+                prev = got
+
+
+def test_nonraw_energy_floor_is_eps():
+    """Digital silence floors at log(eps) like Kaldi, not log(tiny)."""
+    import jax.numpy as jnp
+    from kaldi_ctc_tpu.features import FbankOptions, compute_fbank
+    from kaldi_ctc_tpu.features.fbank import FrameOptions
+    opts = FbankOptions(
+        frame_opts=FrameOptions(dither=0.0),
+        use_energy=True, raw_energy=False)
+    wave = jnp.zeros(4000, jnp.float32)
+    feats = np.asarray(compute_fbank(wave, opts))
+    # energy is the first column in Kaldi fbank layout
+    assert feats[:, 0].min() > -20.0, feats[:, 0].min()
+
+
+def test_cmvn_rejects_vars_without_means():
+    import pytest
+    from kaldi_ctc_tpu.features.cmvn import acc_cmvn_stats, apply_cmvn
+    x = np.random.default_rng(0).standard_normal((10, 4)).astype(np.float32)
+    stats = acc_cmvn_stats(x)
+    with pytest.raises(ValueError):
+        apply_cmvn(x, stats, norm_means=False, norm_vars=True)

@@ -81,3 +81,25 @@ def test_compute_feats_speed_perturb(tmp_path):
     # slower audio (factor 0.9) has more frames; faster has fewer
     assert feats["sp0.9-utt1"].shape[0] > feats["utt1"].shape[0]
     assert feats["sp1.1-utt1"].shape[0] < feats["utt1"].shape[0]
+
+
+def test_upsampling_amplitude_and_dc_gain():
+    """up>1 paths: amplitude preserved, DC gain exactly 1 (regression:
+    the polyphase filters applied the zero-stuffing gain and cutoff to a
+    direct-form gather, making up>1 outputs up-times too loud and
+    lowpassed at 1/up of the band)."""
+    from kaldi_ctc_tpu.features.resample import resample, speed_perturb
+    rate = 16000
+    t = np.arange(rate)
+    tone = np.sin(2 * np.pi * 1000 * t / rate).astype(np.float32)
+    for f in (0.9, 1.1):
+        out = speed_perturb(tone, rate, f)
+        rms = float(np.sqrt((out[200:-200] ** 2).mean()))
+        assert abs(rms - 0.7071) < 0.01, (f, rms)
+    const = np.ones(rate, np.float32)
+    dc = float(speed_perturb(const, rate, 0.9)[500:1500].mean())
+    assert abs(dc - 1.0) < 1e-3
+    up = resample(np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)
+                  .astype(np.float32), 8000, 16000)
+    rms = float(np.sqrt((up[200:-200] ** 2).mean()))
+    assert abs(rms - 0.7071) < 0.01

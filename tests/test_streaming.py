@@ -136,3 +136,24 @@ def test_batch_streaming_matches_single():
         pos1 += take
         batch_rec.process(block, valid)
     assert batch_rec.finalize(1) == singles[0]
+
+
+def test_stream_forward_masks_outputs():
+    """Frames past lens[b] produce zero output (documented contract)."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_ctc_tpu.ops.rnn import (
+        RnnConfig, RnnMode, init_rnn_params, init_stream_state,
+        rnn_forward_stream)
+    cfg = RnnConfig(input_dim=4, hidden_dim=6, num_layers=2,
+                    mode=RnnMode.LSTM, bidirectional=False)
+    params = init_rnn_params(jax.random.PRNGKey(0), cfg)
+    states = init_stream_state(cfg, batch=3)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((5, 3, 4)).astype(np.float32))
+    lens = jnp.array([5, 2, 0], jnp.int32)
+    y, _ = rnn_forward_stream(params, x, cfg, states, lens=lens)
+    y = np.asarray(y)
+    assert np.abs(y[2:, 1]).max() == 0.0
+    assert np.abs(y[:, 2]).max() == 0.0
+    assert np.abs(y[:, 0]).max() > 0.0
