@@ -38,11 +38,12 @@ def make_buckets(
 
 
 def bucket_length(n: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket >= n (or the largest bucket if n exceeds all)."""
+    """Smallest bucket >= n; lengths past the menu pad to themselves
+    (exact shape — rare recompile beats an undersized allocation)."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    return int(n)
 
 
 def pad_batch(
@@ -104,10 +105,16 @@ def batch_by_length(
         return
     window = sort_window if sort_window > 0 else len(egs)
     batches: List[List[CtcExample]] = []
+    leftover: List[CtcExample] = []
     for start in range(0, len(egs), window):
-        chunk = sorted(egs[start:start + window], key=lambda e: e.num_frames)
-        for i in range(0, len(chunk) - minibatch_size + 1, minibatch_size):
+        # window remainders carry over so only the final < minibatch tail
+        # of the whole epoch is dropped (not the longest of every window)
+        chunk = sorted(leftover + egs[start:start + window],
+                       key=lambda e: e.num_frames)
+        n_full = (len(chunk) // minibatch_size) * minibatch_size
+        for i in range(0, n_full, minibatch_size):
             batches.append(chunk[i:i + minibatch_size])
+        leftover = chunk[n_full:]
     if rng is not None:
         rng.shuffle(batches)
     for group in batches:

@@ -240,7 +240,6 @@ def determinize_lattice(lat: Lattice, det_beam: float = 10.0,
                 if cur is None or g + a < cur[1] + cur[2]:
                     best_per[v] = (v, g, a, il)
             elems = list(best_per.values())
-            min_tot = min(g + a for _, g, a, _ in elems)
             strings = [il for _, _, _, il in elems]
             prefix = strings[0]
             for s_ in strings[1:]:
@@ -342,6 +341,10 @@ def read_compact_lattice_text_ark(
                 frm, to, w = int(parts[0]), int(parts[1]), int(parts[2])
                 g, a, ils = _parse_clat_weight(parts[3])
                 arcs.append((frm, to, w, g, a, ils))
+            elif len(parts) == 3:
+                # weightless arc line (OpenFst text: implicit One weight)
+                arcs.append((int(parts[0]), int(parts[1]), int(parts[2]),
+                             0.0, 0.0, ()))
             elif len(parts) >= 2:
                 s = int(parts[0])
                 g, a, ils = _parse_clat_weight(parts[1])

@@ -416,8 +416,13 @@ def read_lattice_text_ark(path: str) -> Iterator[Tuple[str, Lattice]]:
                 s = int(parts[0])
                 gc = 0.0
                 if len(parts) >= 2:
+                    # LatticeWeight final "g,a": Lattice keeps one final
+                    # cost, so fold both components in (same convention
+                    # as the binary reader; our own writer emits a=0)
                     comps = parts[1].split(",")
                     gc = float(comps[0]) if comps[0] else 0.0
+                    if len(comps) > 1 and comps[1]:
+                        gc += float(comps[1])
                 finals[s] = gc
         if key is not None:
             yield key, _assemble(arcs, finals)

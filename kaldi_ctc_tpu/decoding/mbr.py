@@ -115,11 +115,33 @@ class MinimumBayesRisk:
         state_times = state_times + [max_time]
         n += 1
 
+        # drop non-coaccessible dead-ends first: with them gone every
+        # other state has a path to the superfinal, so any topological
+        # order necessarily puts the superfinal last (the recursions
+        # below index it as node N)
+        coacc = [False] * n
+        coacc[superfinal] = True
+        back: List[List[int]] = [[] for _ in range(n)]
+        for (f, t, _w, _ll) in arcs:
+            back[t].append(f)
+        stack = [superfinal]
+        while stack:
+            s = stack.pop()
+            for f in back[s]:
+                if not coacc[f]:
+                    coacc[f] = True
+                    stack.append(f)
+        if not coacc[clat.start]:
+            raise ValueError("no path from start to a final state")
+        arcs = [a for a in arcs if coacc[a[0]] and coacc[a[1]]]
+
         # topological order (lattices are DAGs)
         order = self._topo_order(n, clat.start, arcs)
         rank = {s: i + 1 for i, s in enumerate(order)}  # 1-based nodes
         if rank.get(clat.start) != 1:
             raise ValueError("start state must sort first")
+        if rank.get(superfinal) != len(order):
+            raise ValueError("superfinal state must sort last")
         self._N = len(order)
         self._state_times = [0.0] * (self._N + 1)
         for s, r_ in rank.items():

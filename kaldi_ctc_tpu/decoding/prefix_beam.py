@@ -22,6 +22,7 @@ __all__ = ["prefix_beam_search"]
 
 _NEG_INF = -1e30
 _HASH_MULT = jnp.uint32(1000003)
+_HASH_MULT2 = jnp.uint32(2654435761)  # independent channel: 64-bit key
 
 
 def _logaddexp(a, b):
@@ -52,11 +53,12 @@ def prefix_beam_search(
     plen = jnp.zeros((b, w), jnp.int32)
     last = jnp.full((b, w), -1, jnp.int32)
     hashes = jnp.zeros((b, w), jnp.uint32)
+    hashes2 = jnp.zeros((b, w), jnp.uint32)
     p_b = jnp.full((b, w), _NEG_INF).at[:, 0].set(0.0)
     p_nb = jnp.full((b, w), _NEG_INF)
 
     def step(state, inputs):
-        prefixes, plen, last, hashes, p_b, p_nb = state
+        prefixes, plen, last, hashes, hashes2, p_b, p_nb = state
         lp_t, t = inputs  # [B, A], scalar
 
         # top-k non-blank tokens per batch element
@@ -108,14 +110,23 @@ def prefix_beam_search(
             app_tok >= 0,
             src_hash * _HASH_MULT + app_tok.astype(jnp.uint32) + jnp.uint32(1),
             src_hash)
+        src_hash2 = jnp.take_along_axis(hashes2, src_beam, 1)
+        new_hash2 = jnp.where(
+            app_tok >= 0,
+            src_hash2 * _HASH_MULT2 + app_tok.astype(jnp.uint32)
+            + jnp.uint32(1),
+            src_hash2)
         new_last = jnp.where(app_tok >= 0, app_tok,
                              jnp.take_along_axis(last, src_beam, 1))
 
-        # merge duplicate prefixes: same (hash, len, last) → same prefix
-        key = (new_hash, new_len, new_last)
+        # merge duplicate prefixes: same (hash64, len, last) → same
+        # prefix (two independent 32-bit rolling hashes make collisions
+        # ~2^-64 — negligible even over very long streams)
+        key = (new_hash, new_hash2, new_len, new_last)
         eq = ((key[0][:, :, None] == key[0][:, None, :])
               & (key[1][:, :, None] == key[1][:, None, :])
-              & (key[2][:, :, None] == key[2][:, None, :]))   # [B, P, P]
+              & (key[2][:, :, None] == key[2][:, None, :])
+              & (key[3][:, :, None] == key[3][:, None, :]))   # [B, P, P]
 
         def seg_lse(scores):
             # logsumexp of scores over each equality class
@@ -143,6 +154,7 @@ def prefix_beam_search(
         new_p_nb = sel(merged_pnb)
         nb_len = sel(new_len)
         nb_hash = sel(new_hash)
+        nb_hash2 = sel(new_hash2)
         nb_last = sel(new_last)
 
         # rebuild prefixes: gather source rows, append token where present
@@ -161,6 +173,7 @@ def prefix_beam_search(
             jnp.where(active, nb_len, plen),
             jnp.where(active, nb_last, last),
             jnp.where(active, nb_hash, hashes),
+            jnp.where(active, nb_hash2, hashes2),
             jnp.where(active, new_p_b, p_b),
             jnp.where(active, new_p_nb, p_nb),
         )
@@ -168,8 +181,9 @@ def prefix_beam_search(
 
     lp_seq = jnp.moveaxis(log_probs, 1, 0)  # [T, B, A]
     ts = jnp.arange(t_max)
-    (prefixes, plen, last, hashes, p_b, p_nb), _ = jax.lax.scan(
-        step, (prefixes, plen, last, hashes, p_b, p_nb), (lp_seq, ts))
+    (prefixes, plen, last, hashes, hashes2, p_b, p_nb), _ = jax.lax.scan(
+        step, (prefixes, plen, last, hashes, hashes2, p_b, p_nb),
+        (lp_seq, ts))
 
     final = _logaddexp(p_b, p_nb)  # [B, W]
     best = jnp.argmax(final, axis=1)  # [B]

@@ -27,8 +27,9 @@ _lib = None
 def ensure_built() -> str:
     """Build the shared library if missing/stale; return its path."""
     srcs = [os.path.join(_NATIVE_DIR, n)
-            for n in ("fst.cc", "decoder.cc", "lattice.cc", "api.cc",
-                      "fst.h", "decoder.h", "lattice.h")]
+            for n in ("fst.cc", "determinize.cc", "decoder.cc",
+                      "lattice.cc", "api.cc",
+                      "fst.h", "decoder.h", "lattice.h", "Makefile")]
     if (not os.path.exists(_LIB_PATH)
             or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
                    for s in srcs if os.path.exists(s))):

@@ -65,16 +65,31 @@ class TokenStore {
 
 float GetCutoff(TokenStore& toks, const DecodeOptions& opts,
                 float best_cost, std::vector<float>* scratch) {
+  // LatticeFasterDecoder::GetCutoff semantics: the beam sets the cutoff,
+  // max_active tightens it when too many tokens survive, and min_active
+  // widens it (up to everything) when too few would.
   float beam_cutoff = best_cost + opts.beam;
-  if (opts.max_active <= 0 ||
-      (int64_t)toks.Size() <= (int64_t)opts.max_active)
-    return beam_cutoff;
-  scratch->clear();
-  for (int32_t s : toks.Active()) scratch->push_back(toks.At(s).cost);
-  std::nth_element(scratch->begin(),
-                   scratch->begin() + opts.max_active - 1, scratch->end());
-  float active_cutoff = (*scratch)[opts.max_active - 1];
-  return std::min(beam_cutoff, active_cutoff);
+  int64_t size = (int64_t)toks.Size();
+  if (opts.max_active > 0 && size > (int64_t)opts.max_active) {
+    scratch->clear();
+    for (int32_t s : toks.Active()) scratch->push_back(toks.At(s).cost);
+    std::nth_element(scratch->begin(),
+                     scratch->begin() + opts.max_active - 1,
+                     scratch->end());
+    float max_active_cutoff = (*scratch)[opts.max_active - 1];
+    if (max_active_cutoff < beam_cutoff) return max_active_cutoff;
+  }
+  if (opts.min_active > 0) {
+    if (size <= (int64_t)opts.min_active) return kInf;  // keep them all
+    scratch->clear();
+    for (int32_t s : toks.Active()) scratch->push_back(toks.At(s).cost);
+    std::nth_element(scratch->begin(),
+                     scratch->begin() + opts.min_active - 1,
+                     scratch->end());
+    float min_active_cutoff = (*scratch)[opts.min_active - 1];
+    if (min_active_cutoff > beam_cutoff) return min_active_cutoff;
+  }
+  return beam_cutoff;
 }
 
 void ProcessNonemitting(const Fst& fst, float cutoff,

@@ -4,6 +4,8 @@
 #include <cmath>
 #include <deque>
 #include <limits>
+#include <set>
+#include <tuple>
 #include <unordered_set>
 #include <vector>
 
@@ -257,14 +259,14 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
     if (final_cost[i] != kInf) out->final_cost[remap[i]] = final_cost[i];
   }
   // epsilon relaxation can record the same link more than once; dedup
-  std::unordered_set<uint64_t> seen;
+  // on the exact (from, to, olabel) triple (a lossy arithmetic hash
+  // could collide and silently drop a genuine competitor arc)
+  std::set<std::tuple<int32_t, int32_t, int32_t>> seen;
   for (const auto& l : b.links) {
     if (remap[l.from] < 0 || remap[l.to] < 0) continue;
     if (l.ilabel == 0) {
-      uint64_t key = ((uint64_t)(uint32_t)remap[l.from] << 32) |
-                     (uint32_t)remap[l.to];
-      key = key * 1000003u + (uint32_t)l.olabel;
-      if (!seen.insert(key).second) continue;
+      if (!seen.emplace(remap[l.from], remap[l.to], l.olabel).second)
+        continue;
     }
     float through = alpha[l.from] + l.graph_cost + l.acoustic_cost +
                     beta[l.to];

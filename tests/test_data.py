@@ -54,7 +54,8 @@ def test_buckets():
     assert b[0] == 32 and b[-1] == 2048
     assert bucket_length(33, b) == 40
     assert bucket_length(32, b) == 32
-    assert bucket_length(99999, b) == 2048
+    # beyond the menu: exact pad (never an undersized allocation)
+    assert bucket_length(99999, b) == 99999
 
 
 def test_pad_batch_edge_replication():
@@ -214,3 +215,25 @@ def test_pipeline_fixed_shape():
     assert shapes == {(4, 32, 4)}
     label_shapes = {b["labels"].shape for b in pipe.epoch(0)}
     assert label_shapes == {(4, 5)}
+
+
+def test_batch_by_length_carries_window_remainders():
+    """Window remainders roll into the next window: only the final
+    < minibatch tail of the epoch is dropped (regression: each window
+    silently dropped its longest examples)."""
+    egs = [CtcExample(f"u{i}", np.zeros((10 + i, 4), np.float32),
+                      np.ones(2, np.int32))
+           for i in range(26)]
+    batches = list(batch_by_length(egs, minibatch_size=4, sort_window=10))
+    seen = {k for b in batches for k in b["keys"]}
+    assert len(batches) == 6               # 24 of 26 batched
+    assert len(seen) == 24
+    # the two dropped are a tail, not two-per-window
+    assert sum(1 for i in range(26) if f"u{i}" not in seen) == 2
+
+
+def test_pad_batch_beyond_bucket_menu():
+    egs = [CtcExample("long", np.ones((100, 3), np.float32),
+                      np.asarray([1], np.int32))]
+    out = pad_batch(egs, frame_buckets=[16, 32], label_buckets=[4])
+    assert out["feats"].shape == (1, 100, 3)   # exact pad, no crash

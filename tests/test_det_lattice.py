@@ -167,3 +167,16 @@ def test_pruned_wrapper_backoff():
     assert list(w0) == list(w1)
     assert list(a0) == list(a1)
     assert abs(c0 - c1) < 1e-3
+
+
+def test_compact_text_reader_weightless_arc(tmp_path):
+    """'from to word' (implicit One weight) is an arc, not a final."""
+    p = tmp_path / "c.lats"
+    p.write_text("utt1\n0 1 42\n1\n\n")
+    (key, lat), = list(read_compact_lattice_text_ark(str(p)))
+    assert key == "utt1"
+    assert lat.num_arcs == 1
+    assert lat.arc_word[0] == 42
+    assert lat.arc_graph_cost[0] == 0.0
+    assert math.isinf(lat.final_graph_cost[0])
+    assert lat.final_graph_cost[1] == 0.0

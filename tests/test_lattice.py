@@ -254,3 +254,13 @@ class TestBinaryLatticeIO:
                            "--output", text2])
         got = list(read_lattice_ark(text2))
         assert got[0][0] == "u1" and got[0][1].num_arcs == 3
+
+
+def test_text_reader_final_acoustic_component(tmp_path):
+    """Kaldi final weights 'g,a' fold both components into final_cost
+    (same convention as the binary reader)."""
+    from kaldi_ctc_tpu.decoding.lattice import read_lattice_text_ark
+    p = tmp_path / "l.lats"
+    p.write_text("utt1\n0\t1\t2\t3\t0.5,0.25\n1\t2.5,1.2\n\n")
+    (key, lat), = list(read_lattice_text_ark(str(p)))
+    assert abs(float(lat.final_cost[1]) - 3.7) < 1e-6
