@@ -86,7 +86,7 @@ def main(argv=None):
         utt2spk = None
         if args.utt2spk:
             utt2spk = dict(SequentialTextReader(args.utt2spk))
-        cmvn = (kaldi_io.RandomAccessMatrixReader(args.cmvn)
+        cmvn = (kaldi_io.open_random_access_matrices(args.cmvn)
                 if args.cmvn else None)
         examples = []
         for key, feats in kaldi_io.SequentialMatrixReader(args.feats):

@@ -138,8 +138,12 @@ def main(argv=None):
                     feats = compute_and_process_pitch(wave_np,
                                                       seed=args.seed)
                 else:
+                    # stable per-utterance key: Python's hash() is
+                    # salted per process and would make dither
+                    # irreproducible across runs/jobs
+                    import zlib
                     key_rng = (jax.random.PRNGKey(
-                        args.seed + hash(out_key) % (2 ** 31))
+                        args.seed + zlib.crc32(out_key.encode()))
                         if args.dither > 0 else None)
                     feats = np.asarray(compute(wave, opts,
                                                dither_key=key_rng))

@@ -89,7 +89,8 @@ def main(argv=None):
     from kaldi_ctc_tpu.utils import get_logger
     from kaldi_ctc_tpu.utils.edit_distance import edit_distance
     from kaldi_ctc_tpu.utils.kaldi_io import (
-        RandomAccessMatrixReader, SequentialMatrixReader, SequentialTextReader)
+        SequentialMatrixReader, SequentialTextReader,
+        open_random_access_matrices)
 
     args = parse_args(argv)
     log = get_logger("decode_ctc")
@@ -122,7 +123,7 @@ def main(argv=None):
         log.error("need --dir or --model"); sys.exit(1)
 
     utt2spk = dict(SequentialTextReader(args.utt2spk)) if args.utt2spk else None
-    cmvn = RandomAccessMatrixReader(args.cmvn) if args.cmvn else None
+    cmvn = open_random_access_matrices(args.cmvn) if args.cmvn else None
 
     @jax.jit
     def forward(params, feats, lens):
@@ -149,12 +150,8 @@ def main(argv=None):
                 ctc_ilabel_map, read_transition_model)
             ilabel_map = ctc_ilabel_map(read_transition_model(args.trans_model))
         if args.words:
-            word_syms = {}
-            with open(args.words) as f:
-                for line in f:
-                    parts = line.split()
-                    if len(parts) >= 2:
-                        word_syms[int(parts[1])] = parts[0]
+            from kaldi_ctc_tpu.utils.kaldi_io import read_symbol_table
+            word_syms = read_symbol_table(args.words)
 
     # batch utterances to bucketed shapes
     egs = []

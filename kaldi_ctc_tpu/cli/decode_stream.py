@@ -48,7 +48,8 @@ def main(argv=None):
     from kaldi_ctc_tpu.utils import get_logger
     from kaldi_ctc_tpu.utils.edit_distance import edit_distance
     from kaldi_ctc_tpu.utils.kaldi_io import (
-        RandomAccessMatrixReader, SequentialMatrixReader, SequentialTextReader)
+        SequentialMatrixReader, SequentialTextReader,
+        open_random_access_matrices)
 
     args = parse_args(argv)
     log = get_logger("decode_stream")
@@ -77,7 +78,7 @@ def main(argv=None):
 
     utt2spk = (dict(SequentialTextReader(args.utt2spk))
                if args.utt2spk else None)
-    cmvn = RandomAccessMatrixReader(args.cmvn) if args.cmvn else None
+    cmvn = open_random_access_matrices(args.cmvn) if args.cmvn else None
 
     rec = StreamingRecognizer(params, cfg, priors=priors,
                               acoustic_scale=args.acoustic_scale)

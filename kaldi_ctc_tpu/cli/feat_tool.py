@@ -102,10 +102,7 @@ def main(argv=None):
     args = parse_args(argv)
     log = get_logger("feat_tool")
 
-    def _rand_access(rspec):
-        if rspec.startswith("scp:"):
-            return kaldi_io.RandomAccessMatrixReader(rspec)
-        return dict(kaldi_io.SequentialMatrixReader(rspec))
+    _rand_access = kaldi_io.open_random_access_matrices
 
     if args.cmd == "to-dim":
         for _key, mat in kaldi_io.SequentialMatrixReader(args.feats):

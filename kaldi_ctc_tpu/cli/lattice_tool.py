@@ -179,16 +179,10 @@ def main(argv=None):
     args = parse_args(argv)
     log = get_logger("lattice_tool")
 
+    from kaldi_ctc_tpu.utils.kaldi_io import read_symbol_table
+
     def _read_word_syms(path):
-        if not path:
-            return None
-        syms = {}
-        with open(path) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) >= 2:
-                    syms[int(parts[1])] = parts[0]
-        return syms
+        return read_symbol_table(path) if path else None
 
     def _sym(w, syms):
         return syms.get(int(w), str(int(w))) if syms else str(int(w))
@@ -223,14 +217,7 @@ def main(argv=None):
                  states_out)
 
     elif args.cmd == "best-path":
-        word_syms = None
-        if args.words:
-            word_syms = {}
-            with open(args.words) as f:
-                for line in f:
-                    parts = line.split()
-                    if len(parts) >= 2:
-                        word_syms[int(parts[1])] = parts[0]
+        word_syms = _read_word_syms(args.words)
         reader = (read_compact_lattice_text_ark if args.compact
                   else read_lattice_text_ark)
         out_f = open(args.output, "w") if args.output else sys.stdout
@@ -348,17 +335,8 @@ def main(argv=None):
             AlignError, word_align_lattice_lexicon)
         from kaldi_ctc_tpu.lm.lexicon import parse_lexicon
 
-        def _read_syms(path):
-            syms = {}
-            with open(path) as f:
-                for line in f:
-                    parts = line.split()
-                    if len(parts) >= 2:
-                        syms[parts[0]] = int(parts[1])
-            return syms
-
-        word_ids = _read_syms(args.words)
-        phone_ids = _read_syms(args.phones)
+        word_ids = read_symbol_table(args.words, invert=True)
+        phone_ids = read_symbol_table(args.phones, invert=True)
         prons = {}
         for word, phones in parse_lexicon(args.lexicon):
             if word not in word_ids:

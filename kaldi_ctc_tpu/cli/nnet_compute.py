@@ -44,7 +44,8 @@ def main(argv=None):
     from kaldi_ctc_tpu.models import AmConfig, am_forward, init_am_params
     from kaldi_ctc_tpu.utils import get_logger, kaldi_io
     from kaldi_ctc_tpu.utils.kaldi_io import (
-        RandomAccessMatrixReader, SequentialMatrixReader, SequentialTextReader)
+        SequentialMatrixReader, SequentialTextReader,
+        open_random_access_matrices)
 
     args = parse_args(argv)
     log = get_logger("nnet_compute")
@@ -67,7 +68,7 @@ def main(argv=None):
 
     utt2spk = (dict(SequentialTextReader(args.utt2spk))
                if args.utt2spk else None)
-    cmvn = RandomAccessMatrixReader(args.cmvn) if args.cmvn else None
+    cmvn = open_random_access_matrices(args.cmvn) if args.cmvn else None
 
     @jax.jit
     def forward(feats, lens):

@@ -182,14 +182,9 @@ def main(argv=None):
             lda_mat = read_matrix(args.transform)
         spk_trans = None
         if args.transforms:
-            from kaldi_ctc_tpu.utils.kaldi_io import (
-                RandomAccessMatrixReader, SequentialMatrixReader)
-            if args.transforms.startswith("scp:"):
-                spk_trans = RandomAccessMatrixReader(args.transforms)
-            else:
-                # transform archives are tiny (one matrix per speaker):
-                # load ark: specifiers eagerly for random access
-                spk_trans = dict(SequentialMatrixReader(args.transforms))
+            from kaldi_ctc_tpu.utils.kaldi_io import \
+                open_random_access_matrices
+            spk_trans = open_random_access_matrices(args.transforms)
 
         def apply_spk_info(eg):
             # feature pipeline after CMVN, in get_egs2.sh order:
@@ -278,7 +273,7 @@ def main(argv=None):
                                 phone_to_id[p] = len(phone_to_id) + 1
             texts = {k: v.split()
                      for k, v in SequentialTextReader(args.text)}
-            cmvn = (kaldi_io.RandomAccessMatrixReader(args.cmvn)
+            cmvn = (kaldi_io.open_random_access_matrices(args.cmvn)
                     if args.cmvn else None)
             tree = None
             if args.tree:

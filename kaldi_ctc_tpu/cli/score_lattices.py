@@ -53,12 +53,8 @@ def main(argv=None):
 
     word_syms = None
     if args.words:
-        word_syms = {}
-        with open(args.words) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) >= 2:
-                    word_syms[int(parts[1])] = parts[0]
+        from kaldi_ctc_tpu.utils.kaldi_io import read_symbol_table
+        word_syms = read_symbol_table(args.words)
 
     reader = (read_compact_lattice_text_ark if args.compact
               else read_lattice_text_ark)

@@ -147,15 +147,12 @@ class Engine:
             from kaldi_ctc_tpu.decoding.wfst import NativeFst
             self.graph = NativeFst.load(args.graph)
             if args.words:
-                self.word_syms = {}
-                with open(args.words) as f:
-                    for line in f:
-                        parts = line.split()
-                        if len(parts) >= 2:
-                            self.word_syms[int(parts[1])] = parts[0]
+                from kaldi_ctc_tpu.utils.kaldi_io import \
+                    read_symbol_table
+                self.word_syms = read_symbol_table(args.words)
 
         self._am_forward = am_forward
-        self.lock = threading.Lock()
+        self.lock = threading.RLock()
 
         # streaming (only for unidirectional models)
         self.stream = None
@@ -277,11 +274,16 @@ class Engine:
         return f
 
     def stream_chunk(self, slot: int, samples: np.ndarray) -> List[int]:
-        st = self.slots[slot]
-        st["buf"] = np.concatenate([st["buf"], samples])
-        st["pending"] = np.concatenate([st["pending"],
-                                        self._new_frames(st)])
-        return self._drain(slot)
+        # ThreadingHTTPServer handles requests concurrently: the slot
+        # buffers and the shared batched recognizer state must not be
+        # touched outside the engine lock (the lock is reentrant, so
+        # _drain's own acquisition nests)
+        with self.lock:
+            st = self.slots[slot]
+            st["buf"] = np.concatenate([st["buf"], samples])
+            st["pending"] = np.concatenate([st["pending"],
+                                            self._new_frames(st)])
+            return self._drain(slot)
 
     def _drain(self, slot: int, flush: bool = False) -> List[int]:
         """Feed complete chunk_frames ticks (all-slot batched)."""
@@ -304,13 +306,12 @@ class Engine:
         return new
 
     def stream_end(self, slot: int) -> dict:
-        new = self._drain(slot, flush=True)
-        labels = self.stream.finalize(slot)
         with self.lock:
+            new = self._drain(slot, flush=True)
+            labels = self.stream.finalize(slot)
             del self.slots[slot]
             self.free.append(slot)
-        out = {"labels": labels, "new": new}
-        return out
+        return {"labels": labels, "new": new}
 
 
 def make_handler(engine: Engine):

@@ -116,7 +116,10 @@ def main(argv=None):
     if args.profile:
         profiling.enable()
     log = get_logger("train_ctc")
-    metrics_log = MetricsLogger(os.path.join(args.dir, "metrics.jsonl"))
+    # only the primary writes metrics.jsonl: every process appending to
+    # the same file would duplicate each record n_proc times
+    metrics_log = MetricsLogger(
+        os.path.join(args.dir, "metrics.jsonl") if is_primary() else None)
 
     utt2spk = None
     if args.utt2spk:

@@ -58,7 +58,7 @@ def load_examples(
                for k, v in ali.items()}
     cmvn = None
     if cmvn_rspecifier is not None:
-        cmvn = kaldi_io.RandomAccessMatrixReader(cmvn_rspecifier)
+        cmvn = kaldi_io.open_random_access_matrices(cmvn_rspecifier)
     for key, feats in kaldi_io.SequentialMatrixReader(feats_rspecifier):
         if key not in ali:
             continue

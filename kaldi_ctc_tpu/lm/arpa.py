@@ -174,7 +174,12 @@ def arpa_to_fst_arrays(
             while nh and nh not in lm.ngrams:
                 nh = nh[1:]
             t = get_state(nh)
-            wid = word_to_id.setdefault(w, len(word_to_id))
+            if w not in word_to_id:
+                # next-free id: caller tables may be sparse, and
+                # len() would collide with an existing id
+                word_to_id[w] = max(word_to_id.values(),
+                                    default=-1) + 1
+            wid = word_to_id[w]
             arcs.append([s, wid, wid, t])
             weights.append(cost)
         # backoff (epsilon) arc for this n-gram viewed as a history —

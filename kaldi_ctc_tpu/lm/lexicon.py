@@ -114,10 +114,16 @@ def lexicon_to_fst_arrays(
         arcs.append([loop, phone_to_id[sil_phone], 0, loop])
         weights.append(sil_cost)
     for word, phones in lexicon:
-        wid = word_to_id.setdefault(word, len(word_to_id))
+        if word not in word_to_id:
+            word_to_id[word] = max(word_to_id.values(),
+                                   default=-1) + 1
+        wid = word_to_id[word]
         cur = loop
         for i, p in enumerate(phones):
-            pid = phone_to_id.setdefault(p, len(phone_to_id) + 1)
+            if p not in phone_to_id:
+                phone_to_id[p] = max(phone_to_id.values(),
+                                     default=0) + 1
+            pid = phone_to_id[p]
             last = i == len(phones) - 1
             nxt = loop if last else n_states
             if not last:

@@ -37,7 +37,9 @@ def make_mesh(
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
     if data * model != n:
-        devices = devices[: data * model]
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices but "
+            f"{n} are available — pass data=-1 to use all of them")
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

@@ -63,10 +63,10 @@ def _read_token(f) -> str:
             if chars:
                 break
             raise EOFError("EOF while reading token")
-        if c == b" ":
+        if c in b" \t\n\r":
             if chars:
                 break
-            continue  # skip leading spaces
+            continue  # skip leading whitespace (text records end with \n)
         chars.append(c)
     return b"".join(chars).decode("utf-8")
 
@@ -369,7 +369,47 @@ class _Specifier:
         return open(t, "rb"), None
 
 
-def _iter_ark(f, reader) -> Iterator[Tuple[str, object]]:
+class _PushbackStream:
+    """Byte stream with unread support (text records need the 2-byte
+    binary-marker probe pushed back before parsing, and pipes are not
+    seekable)."""
+
+    def __init__(self, f):
+        self._f = f
+        self._buf = b""
+
+    def unread(self, data: bytes) -> None:
+        self._buf = data + self._buf
+
+    def read(self, n: int) -> bytes:
+        if self._buf:
+            out, self._buf = self._buf[:n], self._buf[n:]
+            if len(out) < n:
+                out += self._f.read(n - len(out))
+            return out
+        return self._f.read(n)
+
+    def readline(self) -> bytes:
+        if self._buf:
+            i = self._buf.find(b"\n")
+            if i >= 0:
+                out, self._buf = self._buf[:i + 1], self._buf[i + 1:]
+                return out
+            out, self._buf = self._buf, b""
+            return out + self._f.readline()
+        return self._f.readline()
+
+
+def _read_text_int_vector(f) -> np.ndarray:
+    """Text int-vector record: the rest of the line."""
+    line = f.readline().decode("utf-8")
+    return np.asarray([int(x) for x in line.split()], dtype=np.int32)
+
+
+def _iter_ark(f, reader, text_reader=None) -> Iterator[Tuple[str, object]]:
+    f = _PushbackStream(f)
+    if text_reader is None:
+        text_reader = _read_text_matrix
     while True:
         try:
             key = _read_token(f)
@@ -379,9 +419,11 @@ def _iter_ark(f, reader) -> Iterator[Tuple[str, object]]:
         if marker == _BINARY_MARKER:
             yield key, reader(f)
         else:
-            # text record: push marker back, read to end of line
-            line = marker + f.readline()
-            yield key, line.decode("utf-8").strip()
+            # text record ('ark,t:' archives): parse with the type's
+            # text form (matrices span lines up to ']', int vectors end
+            # at the newline)
+            f.unread(marker)
+            yield key, text_reader(f)
 
 
 def _iter_scp(path) -> Iterator[Tuple[str, str]]:
@@ -417,9 +459,10 @@ def _read_at(rxfilename: str, reader):
 class SequentialReader:
     """Iterate (key, object) over an rspecifier. Object reader pluggable."""
 
-    def __init__(self, rspecifier: str, value_reader):
+    def __init__(self, rspecifier: str, value_reader, text_reader=None):
         self.spec = _Specifier(rspecifier)
         self._value_reader = value_reader
+        self._text_reader = text_reader
         self._proc = None
 
     def __iter__(self) -> Iterator[Tuple[str, object]]:
@@ -429,7 +472,8 @@ class SequentialReader:
         else:
             f, self._proc = self.spec.open_read()
             try:
-                yield from _iter_ark(f, self._value_reader)
+                yield from _iter_ark(f, self._value_reader,
+                                     self._text_reader)
             finally:
                 f.close()
                 if self._proc is not None:
@@ -443,11 +487,13 @@ class SequentialReader:
 
 
 def SequentialMatrixReader(rspecifier: str) -> SequentialReader:
-    return SequentialReader(rspecifier, _read_binary_object)
+    return SequentialReader(rspecifier, _read_binary_object,
+                            _read_text_matrix)
 
 
 def SequentialIntVectorReader(rspecifier: str) -> SequentialReader:
-    return SequentialReader(rspecifier, _read_binary_int_vector)
+    return SequentialReader(rspecifier, _read_binary_int_vector,
+                            _read_text_int_vector)
 
 
 class SequentialTextReader:
@@ -488,18 +534,46 @@ def RandomAccessMatrixReader(rspecifier: str) -> _RandomAccessReader:
     return _RandomAccessReader(rspecifier, _read_binary_object)
 
 
+def open_random_access_matrices(rspecifier: str):
+    """Random-access matrices from either specifier form: ``scp:`` is
+    lazy (seek per key); ``ark:`` archives are loaded eagerly into a
+    dict (the common small-table case: CMVN stats, fMLLR transforms)."""
+    if rspecifier.startswith("scp"):
+        return RandomAccessMatrixReader(rspecifier)
+    return dict(SequentialMatrixReader(rspecifier))
+
+
+def read_symbol_table(path: str, invert: bool = False):
+    """OpenFst symbol table ('symbol id' per line) → {id: symbol}
+    (or {symbol: id} with invert=True)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                if invert:
+                    out[parts[0]] = int(parts[1])
+                else:
+                    out[int(parts[1])] = parts[0]
+    return out
+
+
 def RandomAccessIntVectorReader(rspecifier: str) -> _RandomAccessReader:
     return _RandomAccessReader(rspecifier, _read_binary_int_vector)
 
 
 class _Writer:
-    """Table writer for a wspecifier (``ark:``, ``ark,scp:ark,scp``)."""
+    """Table writer for a wspecifier (``ark:``, ``ark,t:``,
+    ``ark,scp:ark,scp``)."""
 
-    def __init__(self, wspecifier: str, write_fn):
+    def __init__(self, wspecifier: str, write_fn, text_write_fn=None):
         self.spec = _Specifier(wspecifier)
         if self.spec.kind != "ark":
             raise ValueError("Writers require an ark: target")
+        if self.spec.text and text_write_fn is None:
+            raise ValueError("this writer has no text form (',t')")
         self._write_fn = write_fn
+        self._text_write_fn = text_write_fn
         if self.spec.target == "-":
             self._f = os.fdopen(os.dup(1), "wb")
         else:
@@ -511,8 +585,11 @@ class _Writer:
     def write(self, key: str, value) -> None:
         self._f.write(key.encode("utf-8") + b" ")
         offset = self._f.tell()
-        self._f.write(_BINARY_MARKER)
-        self._write_fn(self._f, value)
+        if self.spec.text:
+            self._text_write_fn(self._f, value)
+        else:
+            self._f.write(_BINARY_MARKER)
+            self._write_fn(self._f, value)
         if self._scp is not None:
             self._scp.write(f"{key} {self._abs_path}:{offset}\n")
 
@@ -532,11 +609,26 @@ class _Writer:
         return False
 
 
+def _write_text_matrix(f, mat) -> None:
+    mat = np.asarray(mat)
+    f.write(b" [\n")
+    for row in mat:
+        f.write(("  " + " ".join(f"{x:.6g}" for x in row) + "\n")
+                .encode("utf-8"))
+    f.write(b"]\n")
+
+
+def _write_text_int_vector(f, vec) -> None:
+    f.write((" ".join(str(int(x)) for x in np.asarray(vec)) + "\n")
+            .encode("utf-8"))
+
+
 def MatrixWriter(wspecifier: str, compress: bool = False) -> _Writer:
     def _w(f, mat):
         _write_binary_matrix(f, mat, compress=compress)
-    return _Writer(wspecifier, _w)
+    return _Writer(wspecifier, _w, _write_text_matrix)
 
 
 def IntVectorWriter(wspecifier: str) -> _Writer:
-    return _Writer(wspecifier, _write_binary_int_vector)
+    return _Writer(wspecifier, _write_binary_int_vector,
+                   _write_text_int_vector)

@@ -45,5 +45,10 @@ def expand_config_args(argv: Optional[List[str]]) -> List[str]:
                 if not line:
                     continue
                 expanded.extend(shlex.split(line))
-    # config tokens first so explicit command-line flags override them
-    return expanded + out
+    # config tokens go first so explicit command-line flags override
+    # them — but AFTER any leading positionals (subcommand names), or
+    # argparse would reject the unknown optionals before the subcommand
+    n_pos = 0
+    while n_pos < len(out) and not out[n_pos].startswith("-"):
+        n_pos += 1
+    return out[:n_pos] + expanded + out[n_pos:]

@@ -237,3 +237,15 @@ def test_pad_batch_beyond_bucket_menu():
                       np.asarray([1], np.int32))]
     out = pad_batch(egs, frame_buckets=[16, 32], label_buckets=[4])
     assert out["feats"].shape == (1, 100, 3)   # exact pad, no crash
+
+
+def test_expand_config_args_with_subcommand(tmp_path):
+    """Config tokens insert after leading positionals so subparser CLIs
+    accept --config (regression: they were prepended before the
+    subcommand and argparse rejected them)."""
+    from kaldi_ctc_tpu.utils.options import expand_config_args
+    cfg = tmp_path / "o.conf"
+    cfg.write_text("--acoustic-scale=0.1\n")
+    out = expand_config_args(
+        ["scale", "--config", str(cfg), "--lattices", "x"])
+    assert out == ["scale", "--acoustic-scale=0.1", "--lattices", "x"]

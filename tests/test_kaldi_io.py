@@ -122,3 +122,61 @@ def test_edit_distance():
         np.array([[1, 3, 0], [4, 5, 6]]), np.array([2, 3]))
     assert list(d) == [1, 1]
     assert list(L) == [3, 2]
+
+
+def test_text_archive_read_write_roundtrip(tmp_path):
+    """ark,t: writes real text records and the readers parse them
+    (regression: ',t' was ignored on write and text reads returned raw
+    strings / swallowed the next record)."""
+    rng = np.random.default_rng(0)
+    mats = {"u1": rng.standard_normal((3, 4)).astype(np.float32),
+            "u2": rng.standard_normal((2, 4)).astype(np.float32)}
+    p = tmp_path / "feats.txt"
+    with kio.MatrixWriter(f"ark,t:{p}") as w:
+        for k, m in mats.items():
+            w[k] = m
+    txt = p.read_text()
+    assert "[" in txt and "\x00" not in txt
+    back = dict(kio.SequentialMatrixReader(f"ark,t:{p}"))
+    assert set(back) == {"u1", "u2"}
+    for k in mats:
+        np.testing.assert_allclose(back[k], mats[k], atol=1e-5)
+
+    # int vectors incl. the 1-char-value record that used to swallow
+    # the following record
+    vecs = {"a": np.array([7], np.int32),
+            "b": np.array([1, 2, 3], np.int32),
+            "c": np.array([], np.int32)}
+    p2 = tmp_path / "ali.txt"
+    with kio.IntVectorWriter(f"ark,t:{p2}") as w:
+        for k, v in vecs.items():
+            w[k] = v
+    back = dict(kio.SequentialIntVectorReader(f"ark:{p2}"))
+    assert set(back) == {"a", "b", "c"}
+    for k in vecs:
+        np.testing.assert_array_equal(back[k], vecs[k])
+
+
+def test_kaldi_style_text_alignment_archive(tmp_path):
+    """A hand-written Kaldi text alignment archive parses to int arrays."""
+    p = tmp_path / "ali.txt"
+    p.write_text("utt1 1 2 3\nutt2 4\nutt3 5 6\n")
+    back = dict(kio.SequentialIntVectorReader(f"ark:{p}"))
+    assert set(back) == {"utt1", "utt2", "utt3"}
+    np.testing.assert_array_equal(back["utt2"], [4])
+    np.testing.assert_array_equal(back["utt3"], [5, 6])
+
+
+def test_open_random_access_and_symbols(tmp_path):
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((4, 2)).astype(np.float32)
+    with kio.MatrixWriter(f"ark:{tmp_path}/x.ark") as w:
+        w["k1"] = m
+    ra = kio.open_random_access_matrices(f"ark:{tmp_path}/x.ark")
+    assert "k1" in ra
+    np.testing.assert_allclose(ra["k1"], m, atol=1e-6)
+    (tmp_path / "words.txt").write_text("<eps> 0\nhello 1\nworld 2\n")
+    syms = kio.read_symbol_table(f"{tmp_path}/words.txt")
+    assert syms == {0: "<eps>", 1: "hello", 2: "world"}
+    inv = kio.read_symbol_table(f"{tmp_path}/words.txt", invert=True)
+    assert inv["world"] == 2

@@ -138,3 +138,16 @@ def test_cli_roundtrip(tmp_path):
     out = _json.loads(buf.getvalue())
     assert out["num_utts"] == 2
     assert out["log10prob"] == pytest.approx(-0.9 + -1.9)
+
+
+def test_sparse_symbol_table_no_id_collision():
+    """Caller tables with sparse ids must not hand a new word an
+    existing id (regression: len() allocation collided)."""
+    import io as _io
+    lm = parse_arpa(_io.StringIO(ARPA))
+    table = {"<eps>": 0, "a": 5}   # sparse: len()=2 would collide later
+    start, n, arcs, w, finals, out_table = arpa_to_fst_arrays(lm, table)
+    ids = list(out_table.values())
+    assert len(ids) == len(set(ids)), out_table
+    assert out_table["a"] == 5
+    assert out_table["b"] == 6     # next free, not len(table)
