@@ -46,7 +46,9 @@ def parse_args(argv=None):
     ss = sub.add_parser("subsample", help="subsample-feats --n")
     io_args(ss)
     ss.add_argument("--n", type=int, required=True,
-                    help="keep every n-th frame")
+                    help="keep every n-th frame; negative repeats each "
+                         "frame |n| times (featbin/subsample-feats.cc:37-55,"
+                         " the online-ivector expansion direction)")
     ss.add_argument("--offset", type=int, default=0)
 
     sp_ = sub.add_parser("splice", help="splice-feats")
@@ -147,6 +149,11 @@ def main(argv=None):
         if args.cmd == "copy":
             return mat
         if args.cmd == "subsample":
+            if args.n < 0:
+                if args.offset != 0:
+                    log.error("--offset cannot be used with negative n")
+                    sys.exit(1)
+                return np.repeat(mat, -args.n, axis=0)
             return mat[args.offset::args.n]
         if args.cmd == "splice":
             from kaldi_ctc_tpu.features.functions import splice_frames

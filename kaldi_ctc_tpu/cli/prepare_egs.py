@@ -56,6 +56,15 @@ def parse_args(argv=None):
                    help="ContextDependency tree: flat-start labels become "
                         "tree pdfs+1 (context-dependent targets) instead "
                         "of phone ids")
+    g.add_argument("--online-ivectors", default=None,
+                   help="per-utterance online-ivector matrix table (one "
+                        "row per --ivector-period frames): rows are "
+                        "repeated to frame rate and pasted onto the "
+                        "features, and --const-feat-dim is set to the "
+                        "ivector dim (get_egs2.sh:200-211)")
+    g.add_argument("--ivector-period", type=int, default=10,
+                   help="frames per online-ivector row (the paste "
+                        "length tolerance, get_egs2.sh:205-207)")
     g.add_argument("--const-feat-dim", type=int, default=0,
                    help="treat the last N feature dims as constant "
                         "speaker info (appended ivectors): replace them "
@@ -185,10 +194,36 @@ def main(argv=None):
             from kaldi_ctc_tpu.utils.kaldi_io import \
                 open_random_access_matrices
             spk_trans = open_random_access_matrices(args.transforms)
+        ivectors = None
+        if args.online_ivectors:
+            from kaldi_ctc_tpu.utils.kaldi_io import \
+                open_random_access_matrices
+            ivectors = open_random_access_matrices(args.online_ivectors)
+            if args.const_feat_dim:
+                raise SystemExit("--const-feat-dim is set automatically "
+                                 "from --online-ivectors; don't pass both")
+
+        def paste_ivectors(key, feats):
+            """subsample-feats --n=-P | paste-feats --length-tolerance=P
+            (get_egs2.sh:206): repeat each ivector row P times, trim
+            both streams to the shorter if within tolerance."""
+            if key not in ivectors:
+                log.warning("no online ivectors for %s: skipped", key)
+                return None
+            iv = _np2.repeat(_np2.asarray(ivectors[key], _np2.float32),
+                             args.ivector_period, axis=0)
+            t = min(len(feats), len(iv))
+            if max(len(feats), len(iv)) - t > args.ivector_period:
+                log.warning("ivector/feature length mismatch for %s "
+                            "(%d vs %d frames, tolerance %d): skipped",
+                            key, len(feats), len(iv), args.ivector_period)
+                return None
+            return _np2.concatenate([feats[:t], iv[:t]], axis=1)
 
         def apply_spk_info(eg):
             # feature pipeline after CMVN, in get_egs2.sh order:
-            # deltas | splice | LDA | per-speaker fMLLR | spk_info
+            # deltas | splice | LDA | per-speaker fMLLR | ivectors |
+            # spk_info; returns None when the utterance must be skipped
             feats = eg.feats
             if args.add_deltas > 0:
                 from kaldi_ctc_tpu.features.functions import add_deltas
@@ -213,9 +248,14 @@ def main(argv=None):
                     log.warning("no fMLLR transform for speaker %s "
                                 "(utterance %s): left untransformed",
                                 spk, eg.key)
+            n = args.const_feat_dim
+            if ivectors is not None:
+                feats = paste_ivectors(eg.key, feats)
+                if feats is None:
+                    return None
+                n = _np2.asarray(ivectors[eg.key]).shape[1]
             # spk_info: utterance-mean of the trailing const dims,
             # broadcast back onto every frame
-            n = args.const_feat_dim
             if n > 0:
                 feats = feats.copy() if feats is eg.feats else feats
                 feats[:, -n:] = feats[:, -n:].mean(axis=0, keepdims=True)
@@ -238,12 +278,16 @@ def main(argv=None):
                                         cmvn_rspecifier=args.cmvn,
                                         utt2spk=utt2spk,
                                         tid_to_pdf=tid_map):
-                    if not example_ok(
+                    # pipeline first, filters second (get_egs2.sh order:
+                    # the feats string — incl. ivector paste trimming —
+                    # runs before nnet-ctc-get-egs's 2L+1/639 checks)
+                    eg = apply_spk_info(eg)
+                    if eg is None or not example_ok(
                             eg, args.max_allow_frames,
                             max_label_length=args.max_label_length):
                         n_skip += 1
                         continue
-                    yield apply_spk_info(eg)
+                    yield eg
         elif args.text and args.lexicon:
             # flat-start: labels from transcripts via the lexicon (no
             # GMM bootstrap; CTC only needs label order)
@@ -305,14 +349,14 @@ def main(argv=None):
                         if spk in cmvn:
                             feats = _np.asarray(
                                 apply_cmvn(feats, cmvn[spk]))
-                    eg = CtcExample(key, _np.asarray(feats, _np.float32),
-                                    labels)
-                    if not example_ok(
+                    eg = apply_spk_info(CtcExample(
+                        key, _np.asarray(feats, _np.float32), labels))
+                    if eg is None or not example_ok(
                             eg, args.max_allow_frames,
                             max_label_length=args.max_label_length):
                         n_skip += 1
                         continue
-                    yield apply_spk_info(eg)
+                    yield eg
         else:
             log.error("get needs --ali or both --text and --lexicon")
             import sys

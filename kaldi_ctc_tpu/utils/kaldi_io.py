@@ -350,6 +350,10 @@ class _Specifier:
             raise ValueError(f"Bad specifier {spec!r}: need ark: or scp:")
         self.kind = self.kinds[0]
         self.text = "t" in opts
+        # 'ark,bg:' — decode records on a background thread so the
+        # consumer overlaps compute with table reading
+        # (util/kaldi-table.h:44-124 background-prefetch option)
+        self.background = "bg" in opts
         self.target = rest
         # ark,scp:ark_path,scp_path writer form
         self.scp_target: Optional[str] = None
@@ -456,6 +460,48 @@ def _read_at(rxfilename: str, reader):
         return reader(f)
 
 
+def _iter_background(make_iter, buffer_records: int = 8):
+    """Run an iterator on a daemon thread, yielding through a bounded
+    queue ('ark,bg:' semantics: the table is read and decoded while the
+    consumer computes). Exceptions re-raise in the consumer; abandoning
+    the generator stops the producer at its next put."""
+    import queue as _queue
+    import threading as _threading
+
+    q = _queue.Queue(maxsize=buffer_records)
+    stop = _threading.Event()
+    _END, _ERR = object(), object()
+
+    def produce():
+        try:
+            for item in make_iter():
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put((_END, None))
+        except BaseException as e:  # propagate to consumer
+            q.put((_ERR, e))
+
+    t = _threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 and \
+                    item[0] in (_END, _ERR):
+                if item[0] is _ERR:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 class SequentialReader:
     """Iterate (key, object) over an rspecifier. Object reader pluggable."""
 
@@ -466,6 +512,12 @@ class SequentialReader:
         self._proc = None
 
     def __iter__(self) -> Iterator[Tuple[str, object]]:
+        if self.spec.background:
+            yield from _iter_background(self._iter_foreground)
+        else:
+            yield from self._iter_foreground()
+
+    def _iter_foreground(self) -> Iterator[Tuple[str, object]]:
         if self.spec.kind == "scp":
             for key, rx in _iter_scp(self.spec.target):
                 yield key, _read_at(rx, self._value_reader)

@@ -196,3 +196,46 @@ def test_prepare_egs_const_feat_dim(tmp_path):
     want_mean = feats[:, 4:].mean(axis=0)
     for t in range(10):
         np.testing.assert_allclose(got[t, 4:], want_mean, rtol=1e-5)
+
+
+def test_prepare_egs_online_ivectors(tmp_path):
+    """--online-ivectors: rows repeated to frame rate (subsample-feats
+    --n=-P), pasted with length tolerance P, and treated as the const
+    spk_info dims (get_egs2.sh:200-211)."""
+    import numpy as np
+
+    from kaldi_ctc_tpu.cli import prepare_egs
+    from kaldi_ctc_tpu.data.egs_io import SequentialEgsReader
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    fark, aark, iark = (tmp_path / n for n in
+                        ("f.ark", "a.ark", "iv.ark"))
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((11, 4)).astype(np.float32)   # 11 frames
+    iv = rng.standard_normal((3, 2)).astype(np.float32)       # period 5
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as fw, \
+         kaldi_io.MatrixWriter(f"ark:{iark}") as iw, \
+         kaldi_io.IntVectorWriter(f"ark:{aark}") as aw:
+        fw["u1"] = feats
+        iw["u1"] = iv
+        aw["u1"] = np.asarray([1, 2], np.int32)
+        # u2 has no ivectors: skipped with a warning, not an abort
+        fw["u2"] = feats
+        aw["u2"] = np.asarray([1], np.int32)
+    out = tmp_path / "egs.ark"
+    prepare_egs.main(["get", "--feats", f"ark:{fark}",
+                      "--ali", f"ark:{aark}",
+                      "--online-ivectors", f"ark:{iark}",
+                      "--ivector-period", "5",
+                      "--compress", "0", "--output", f"ark:{out}"])
+    egs = list(SequentialEgsReader(f"ark:{out}"))
+    assert [e.key for e in egs] == ["u1"]
+    got = egs[0].feats
+    # expanded ivectors: 3 rows x 5 = 15 frames, trimmed to 11 (tol 5)
+    assert got.shape == (11, 6)
+    np.testing.assert_allclose(got[:, :4], feats, rtol=1e-5)
+    expanded = np.repeat(iv, 5, axis=0)[:11]
+    # const spk_info pass replaces them by their utterance mean
+    want_mean = expanded.mean(axis=0)
+    for t in range(11):
+        np.testing.assert_allclose(got[t, 4:], want_mean, rtol=1e-4)

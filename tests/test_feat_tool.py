@@ -137,3 +137,22 @@ def test_paste_unequal_streams_errors(tmp_path):
         feat_tool.main(["paste", "--feats", f"ark:{tmp_path}/a.ark",
                         "--feats", f"ark:{tmp_path}/b.ark",
                         "--output", f"ark:{tmp_path}/p.ark"])
+
+
+def test_subsample_negative_repeats_frames(tmp_path):
+    """subsample-feats --n=-P repeats each frame P times
+    (featbin/subsample-feats.cc:37-55)."""
+    rng = np.random.default_rng(4)
+    mats = {"u0": rng.standard_normal((3, 2)).astype(np.float32)}
+    _write(tmp_path, "in.ark", mats)
+    feat_tool.main(["subsample", "--feats", f"ark:{tmp_path}/in.ark",
+                    "--n", "-3", "--output", f"ark:{tmp_path}/r.ark"])
+    out = _read(tmp_path, "r.ark")
+    np.testing.assert_array_equal(out["u0"],
+                                  np.repeat(mats["u0"], 3, axis=0))
+
+    import pytest
+    with pytest.raises(SystemExit):
+        feat_tool.main(["subsample", "--feats", f"ark:{tmp_path}/in.ark",
+                        "--n", "-3", "--offset", "1",
+                        "--output", f"ark:{tmp_path}/x.ark"])

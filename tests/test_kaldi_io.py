@@ -180,3 +180,32 @@ def test_open_random_access_and_symbols(tmp_path):
     assert syms == {0: "<eps>", 1: "hello", 2: "world"}
     inv = kio.read_symbol_table(f"{tmp_path}/words.txt", invert=True)
     assert inv["world"] == 2
+
+
+def test_background_prefetch_specifier(tmp_path):
+    """'ark,bg:' decodes records on a background thread
+    (util/kaldi-table.h:44-124) — same records, same order."""
+    rng = np.random.default_rng(7)
+    mats = {f"u{i}": rng.standard_normal((4, 3)).astype(np.float32)
+            for i in range(20)}
+    path = tmp_path / "m.ark"
+    with kio.MatrixWriter(f"ark:{path}") as w:
+        for k, v in mats.items():
+            w[k] = v
+    fg = list(kio.SequentialMatrixReader(f"ark:{path}"))
+    bg = list(kio.SequentialMatrixReader(f"ark,bg:{path}"))
+    assert [k for k, _ in bg] == [k for k, _ in fg]
+    for (_, a), (_, b) in zip(fg, bg):
+        np.testing.assert_array_equal(a, b)
+
+    # abandoning the iterator must not hang (producer stops on its own)
+    it = iter(kio.SequentialMatrixReader(f"ark,bg:{path}"))
+    next(it)
+    it.close()
+
+    # errors on the producer thread surface to the consumer
+    bad = tmp_path / "bad.ark"
+    bad.write_bytes(b"u0 \x00B\xff\xff garbage")
+    import pytest
+    with pytest.raises(Exception):
+        list(kio.SequentialMatrixReader(f"ark,bg:{bad}"))
