@@ -10,6 +10,11 @@ Two modes, mirroring ``nnet2bin/nnet-adjust-priors.cc:93-137`` as used by
   (``nnet-adjust-priors.cc:92,133-137``); prints the reference's
   diagnostics (largest absolute difference, K-L divergence from old to
   new, ``nnet-adjust-priors.cc:49-66``).
+- label-count mode (``--ali``): count CTC labels from alignments with one
+  blank interleaved per label — the ``copy-int-vector | awk gsub(" ",
+  " 0 ") | analyze-counts`` route of ``steps/ctc/train.sh:495-503``.
+  Frame-level alignments are collapsed (``ali-to-pdf --shift=1
+  --unique``) first; pass ``--trans-model`` for transition-id inputs.
 
 The prior vector is written to ``<dir>/priors.npy``; decode_ctc and
 compute_prob pick it up automatically.
@@ -40,6 +45,13 @@ def parse_args(argv=None):
                    help="if nonzero: priors = ones, prior[blank] = const")
     p.add_argument("--feats", default=None,
                    help="feats rspecifier for posterior mode")
+    p.add_argument("--ali", default=None,
+                   help="alignment rspecifier for label-count mode")
+    p.add_argument("--trans-model", default=None,
+                   help="map --ali transition-ids to pdfs first")
+    p.add_argument("--raw-labels", type=int, default=0,
+                   help="treat --ali values as already-collapsed CTC "
+                        "labels (no collapse/shift)")
     p.add_argument("--cmvn", default=None)
     p.add_argument("--utt2spk", default=None)
     p.add_argument("--prior-floor", type=float, default=1.0e-15)
@@ -74,6 +86,38 @@ def main(argv=None):
     if args.google_prior_const:
         priors = np.ones(cfg.num_targets, np.float32)
         priors[0] = args.google_prior_const
+    elif args.ali:
+        from kaldi_ctc_tpu.data.egs import collapse_alignment
+        from kaldi_ctc_tpu.utils.kaldi_io import SequentialIntVectorReader
+
+        tid_map = None
+        if args.trans_model:
+            from kaldi_ctc_tpu.utils.transition_model import (
+                read_transition_model)
+            tid_map = read_transition_model(args.trans_model).tid_to_pdf()
+            tid_map = np.asarray(tid_map, np.int32)
+        counts = np.zeros(cfg.num_targets, np.float64)
+        n_utts = 0
+        for _key, ali in SequentialIntVectorReader(args.ali):
+            labels = np.asarray(ali, np.int32)
+            if tid_map is not None:
+                labels = tid_map[labels.astype(np.int64)]
+            if not args.raw_labels:
+                labels = collapse_alignment(labels)
+            if labels.size == 0:
+                continue
+            counts += np.bincount(labels, minlength=cfg.num_targets)[
+                :cfg.num_targets]
+            # the awk gsub inserts one blank per original space — one
+            # per label (train.sh:498)
+            counts[0] += labels.size
+            n_utts += 1
+        if n_utts == 0:
+            log.error("no alignments loaded"); sys.exit(1)
+        log.info("label counts over %d utterances, %d tokens",
+                 n_utts, int(counts.sum()))
+        priors = (counts / counts.sum()).astype(np.float32)
+        priors = np.maximum(priors, args.prior_floor)
     else:
         if not args.feats:
             log.error("posterior mode requires --feats"); sys.exit(1)
@@ -135,13 +179,17 @@ def main(argv=None):
         log.info("averaged posteriors over %d frames", n_frames)
         priors = (acc / acc.sum()).astype(np.float32)
         priors = np.maximum(priors, args.prior_floor)
-        if old is not None and old.shape == priors.shape:
-            d = np.abs(priors - old / old.sum())
-            i = int(d.argmax())
-            log.info("largest absolute difference: pdf %d, %.6f -> %.6f",
-                     i, old[i] / old.sum(), priors[i])
-            log.info("K-L divergence from old to new: %.6f",
-                     kl_divergence(old, priors))
+
+    # reference diagnostics for any data-estimated priors
+    # (nnet-adjust-priors.cc:49-66)
+    if not args.google_prior_const and old is not None \
+            and old.shape == priors.shape:
+        d = np.abs(priors - old / old.sum())
+        i = int(d.argmax())
+        log.info("largest absolute difference: pdf %d, %.6f -> %.6f",
+                 i, old[i] / old.sum(), priors[i])
+        log.info("K-L divergence from old to new: %.6f",
+                 kl_divergence(old, priors))
 
     np.save(priors_path, priors)
     log.info("wrote %s", priors_path)

@@ -36,6 +36,16 @@ def parse_args(argv=None):
     d = sub.add_parser("to-dim", help="feat-to-dim: print the dim")
     d.add_argument("--feats", required=True)
 
+    tl = sub.add_parser("to-len", help="feat-to-len: 'key num-frames' "
+                                       "per utterance")
+    tl.add_argument("--feats", required=True)
+
+    ci = sub.add_parser("copy-ints", help="copy-int-vector (format "
+                                          "conversion, e.g. ark -> ark,t)")
+    ci.add_argument("--feats", required=True,
+                    help="int-vector rspecifier (alignments)")
+    ci.add_argument("--output", required=True, help="wspecifier")
+
     pa = sub.add_parser("paste", help="paste-feats: append dims of "
                                       "several streams per utterance")
     io_args(pa, multi_in=True)
@@ -112,6 +122,20 @@ def main(argv=None):
             return
         log.error("empty archive")
         sys.exit(1)
+
+    if args.cmd == "to-len":
+        for key, mat in kaldi_io.SequentialMatrixReader(args.feats):
+            print(key, mat.shape[0])
+        return
+
+    if args.cmd == "copy-ints":
+        n = 0
+        with kaldi_io.IntVectorWriter(args.output) as w:
+            for key, vec in kaldi_io.SequentialIntVectorReader(args.feats):
+                w[key] = vec
+                n += 1
+        log.info("copied %d int vectors", n)
+        return
 
     n = 0
     if args.cmd == "paste":

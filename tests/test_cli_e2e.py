@@ -212,6 +212,18 @@ def test_cli_adjust_priors(tmp_path):
     assert pri.shape == (NUM_TARGETS,)
     assert abs(pri.sum() - 1.0) < 1e-3
     assert np.all(pri > 0)
+    # label-count mode (train.sh:495-503): counts of collapsed+shifted
+    # labels plus one blank per label, normalized
+    adjust_priors.main(["--dir", exp, "--ali", f"ark:{aark}"])
+    pri = np.load(os.path.join(exp, "priors.npy"))
+    from kaldi_ctc_tpu.data.egs import collapse_alignment
+    from kaldi_ctc_tpu.utils.kaldi_io import SequentialIntVectorReader
+    counts = np.zeros(NUM_TARGETS)
+    for _k, ali in SequentialIntVectorReader(f"ark:{aark}"):
+        lab = collapse_alignment(np.asarray(ali))
+        counts += np.bincount(lab, minlength=NUM_TARGETS)
+        counts[0] += lab.size
+    np.testing.assert_allclose(pri, counts / counts.sum(), rtol=1e-5)
     # decode picks the priors file up without error
     from kaldi_ctc_tpu.cli import decode_ctc
     import io, contextlib

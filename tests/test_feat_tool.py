@@ -156,3 +156,30 @@ def test_subsample_negative_repeats_frames(tmp_path):
         feat_tool.main(["subsample", "--feats", f"ark:{tmp_path}/in.ark",
                         "--n", "-3", "--offset", "1",
                         "--output", f"ark:{tmp_path}/x.ark"])
+
+
+def test_to_len_and_copy_ints(tmp_path, capsys):
+    """feat-to-len and copy-int-vector analogues (get_egs2.sh:150,
+    train.sh:498)."""
+    rng = np.random.default_rng(5)
+    mats = {"u0": rng.standard_normal((7, 2)).astype(np.float32),
+            "u1": rng.standard_normal((3, 2)).astype(np.float32)}
+    _write(tmp_path, "in.ark", mats)
+    feat_tool.main(["to-len", "--feats", f"ark:{tmp_path}/in.ark"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["u0 7", "u1 3"]
+
+    from kaldi_ctc_tpu.utils import kaldi_io
+    with kaldi_io.IntVectorWriter(f"ark:{tmp_path}/a.ark") as w:
+        w["u0"] = np.asarray([1, 2, 3], np.int32)
+        w["u1"] = np.asarray([4], np.int32)
+    # binary -> text -> binary round trip through copy-ints
+    feat_tool.main(["copy-ints", "--feats", f"ark:{tmp_path}/a.ark",
+                    "--output", f"ark,t:{tmp_path}/a_t.ark"])
+    txt = (tmp_path / "a_t.ark").read_text()
+    assert "u0 1 2 3" in txt
+    feat_tool.main(["copy-ints", "--feats", f"ark,t:{tmp_path}/a_t.ark",
+                    "--output", f"ark:{tmp_path}/a2.ark"])
+    out2 = dict(kaldi_io.SequentialIntVectorReader(f"ark:{tmp_path}/a2.ark"))
+    np.testing.assert_array_equal(out2["u0"], [1, 2, 3])
+    np.testing.assert_array_equal(out2["u1"], [4])
