@@ -157,9 +157,10 @@ def main(argv=None):
         @jax.jit
         def post_sum(feats, lens):
             logits = am_forward(params, feats, cfg, input_lens=lens)
+            out_lens = cfg.output_lens(lens)
             post = jax.nn.softmax(logits, axis=-1)
             valid = (jnp.arange(logits.shape[1])[None, :]
-                     < lens[:, None])[..., None]
+                     < out_lens[:, None])[..., None]
             return jnp.sum(jnp.where(valid, post, 0.0), axis=(0, 1))
 
         # decode-style batching: length-sorted groups, short tail kept

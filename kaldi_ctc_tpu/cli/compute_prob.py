@@ -73,7 +73,8 @@ def main(argv=None):
                         frame_subsample(e.feats,
                                         args.frame_subsampling_factor),
                         e.labels)
-        if example_ok(eg, args.max_allow_frames):
+        if example_ok(eg, args.max_allow_frames,
+                      time_stride=cfg.time_stride):
             examples.append(eg)
         else:
             n_skip += 1

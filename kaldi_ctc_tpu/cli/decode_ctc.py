@@ -175,12 +175,14 @@ def main(argv=None):
         lens = jnp.asarray(batch["input_lens"])
         with profiling.profiler.track("am_forward"):
             scores, skip = forward(model_params, feats, lens)
+        # conv time stride: score rows per utterance (identity without)
+        score_lens = np.asarray(cfg.output_lens(batch["input_lens"]))
         if args.method == "wfst":
             scores_np = np.asarray(scores)
             skip_np = np.asarray(skip)
             todo = []     # (key, rows) with blank-threshold frames dropped
             for j, e in enumerate(group):
-                t = int(batch["input_lens"][j])
+                t = int(score_lens[j])
                 # drop blank-threshold frames exactly like the reference
                 # (ctc-decodable-am-nnet.cc:54-69)
                 rows = scores_np[j, :t][~skip_np[j, :t]]
@@ -226,11 +228,12 @@ def main(argv=None):
                 for (key, _), (words, _, _, ok) in zip(todo, results):
                     emit(key, words if ok else [])
         else:
+            slens = jnp.asarray(score_lens)
             if args.method == "greedy":
-                labels, out_lens = greedy_decode(scores, lens)
+                labels, out_lens = greedy_decode(scores, slens)
             else:
                 labels, out_lens, _ = prefix_beam_search(
-                    scores, lens, beam=args.beam, prune_k=args.prune_k)
+                    scores, slens, beam=args.beam, prune_k=args.prune_k)
             labels = np.asarray(labels); out_lens = np.asarray(out_lens)
             for j, e in enumerate(group):
                 hyps[e.key] = list(map(int, labels[j][: out_lens[j]]))

@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--splice-right", type=int, default=0)
     p.add_argument("--front-affine-dim", type=int, default=0,
                    help="FT model type front layer width (0 = google)")
+    p.add_argument("--conv-layers", type=int, default=0,
+                   help="DS2 model type: conv front-end layers")
+    p.add_argument("--conv-channels", type=int, default=32)
+    p.add_argument("--conv-time-stride", type=int, default=2)
     p.add_argument("--param-stddev", type=float, default=0.02)
     p.add_argument("--bias-stddev", type=float, default=0.2)
     p.add_argument("--blank-prior", type=float, default=9.0)
@@ -62,7 +66,10 @@ def main(argv=None):
                    bias_stddev=args.bias_stddev,
                    splice_left=args.splice_left,
                    splice_right=args.splice_right,
-                   front_affine_dim=args.front_affine_dim)
+                   front_affine_dim=args.front_affine_dim,
+                   conv_layers=args.conv_layers,
+                   conv_channels=args.conv_channels,
+                   conv_time_stride=args.conv_time_stride)
     with open(os.path.join(args.dir, "model_config.json"), "w") as f:
         json.dump(cfg.to_dict(), f)
 

@@ -96,8 +96,9 @@ def main(argv=None):
             batch = pad_batch(group, frame_buckets, [4])
             out = np.asarray(forward(jnp.asarray(batch["feats"]),
                                      jnp.asarray(batch["input_lens"])))
+            score_lens = np.asarray(cfg.output_lens(batch["input_lens"]))
             for j, e in enumerate(group):
-                t = int(batch["input_lens"][j])
+                t = int(score_lens[j])
                 w[e.key] = out[j, :t]
                 n += 1
     log.info("wrote %s for %d utterances", args.what, n)

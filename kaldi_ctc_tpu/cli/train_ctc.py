@@ -54,6 +54,16 @@ def parse_args(argv=None):
     p.add_argument("--front-affine-dim", type=int, default=0,
                    help="FT model type: Affine+ReLU+renorm front layer "
                         "width before the RNN stack (0 = google type)")
+    p.add_argument("--conv-layers", type=int, default=0,
+                   help="DS2 model type: this many 2D conv layers "
+                        "(kernels (11,41)/(11,21)/(11,21), freq stride "
+                        "2, clipped ReLU) before the RNN stack — the "
+                        "reference declares DS2 but asserts on it "
+                        "(make_configs.py:121-122,294)")
+    p.add_argument("--conv-channels", type=int, default=32)
+    p.add_argument("--conv-time-stride", type=int, default=2,
+                   help="time stride of the first conv layer (halves "
+                        "the RNN sequence at 2)")
     p.add_argument("--dropout", type=float, default=0.0,
                    help="dropout after the RNN stack (removed at decode, "
                         "like nnet-am-copy --remove-dropout)")
@@ -148,6 +158,8 @@ def main(argv=None):
         from kaldi_ctc_tpu.data.egs import (
             CtcExample, example_ok, frame_subsample)
 
+        model_stride = args.conv_time_stride if args.conv_layers else 1
+
         def ok_all_shifts(e):
             for shift in range(max(args.frame_subsampling_factor, 1)):
                 sub = CtcExample(
@@ -155,7 +167,8 @@ def main(argv=None):
                     frame_subsample(e.feats, args.frame_subsampling_factor,
                                     shift),
                     e.labels)
-                if not example_ok(sub, args.max_allow_frames):
+                if not example_ok(sub, args.max_allow_frames,
+                                  time_stride=model_stride):
                     return False
             return True
 
@@ -190,11 +203,13 @@ def main(argv=None):
                   "%d: reduce --minibatch-size", len(examples), host_mb)
         sys.exit(1)
 
+    model_stride = args.conv_time_stride if args.conv_layers else 1
     pipe = EgsPipeline(
         examples, minibatch_size=host_mb,
         max_allow_frames=args.max_allow_frames,
         frame_subsampling_factor=args.frame_subsampling_factor,
-        seed=args.seed, fixed_shape=fixed_shape)
+        seed=args.seed, fixed_shape=fixed_shape,
+        time_stride=model_stride)
 
     valid_pipe = None
     if args.valid_feats and args.valid_ali:
@@ -215,7 +230,8 @@ def main(argv=None):
             valid_examples, minibatch_size=host_mb,
             max_allow_frames=args.max_allow_frames,
             frame_subsampling_factor=args.frame_subsampling_factor,
-            seed=args.seed + 1000, fixed_shape=valid_fixed)
+            seed=args.seed + 1000, fixed_shape=valid_fixed,
+            time_stride=model_stride)
 
     grow = args.add_layers_period > 0 and args.start_layers < args.num_layers
     start_layers = args.start_layers if grow else args.num_layers
@@ -234,7 +250,10 @@ def main(argv=None):
                         compute_dtype=args.compute_dtype,
                         splice_left=args.splice_left,
                         splice_right=args.splice_right,
-                        front_affine_dim=args.front_affine_dim)
+                        front_affine_dim=args.front_affine_dim,
+                        conv_layers=args.conv_layers,
+                        conv_channels=args.conv_channels,
+                        conv_time_stride=args.conv_time_stride)
 
     def write_cfg(cfg):
         with open(os.path.join(args.dir, "model_config.json"), "w") as f:

@@ -106,14 +106,17 @@ def example_ok(
     eg: CtcExample,
     max_allow_frames: int = 2000,
     max_label_length: int = MAX_LABEL_LENGTH,
+    time_stride: int = 1,
 ) -> bool:
     """The background reader's skip rules (ctc/ctc-nnet-train.cc:84-94):
-    drop if too many frames, too many labels, or frames < 2*labels+1."""
+    drop if too many frames, too many labels, or frames < 2*labels+1.
+    `time_stride` > 1 (DS2 conv front end) checks the CTC constraint
+    against the model's output length ceil(t/stride)."""
     t, l = eg.num_frames, eg.num_labels
     if max_allow_frames > 0 and t > max_allow_frames:
         return False
     if l > max_label_length or l == 0:
         return False
-    if t < 2 * l + 1:
+    if -(-t // max(time_stride, 1)) < 2 * l + 1:
         return False
     return True

@@ -92,6 +92,7 @@ class EgsPipeline:
         sort_window: int = 4096,
         seed: int = 0,
         fixed_shape=None,
+        time_stride: int = 1,
     ):
         self.examples: List[CtcExample] = list(examples)
         self.minibatch_size = minibatch_size
@@ -107,6 +108,9 @@ class EgsPipeline:
         # example list before sharding (a shard's own maxima differ
         # between hosts).
         self.fixed_shape = fixed_shape
+        # model output frames per input frame denominator (DS2 conv
+        # front end): the 2L+1 filter checks the model's output length
+        self.time_stride = time_stride
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """One pass: frame-shift cycles with the epoch index
@@ -120,7 +124,8 @@ class EgsPipeline:
             e = self.examples[i]
             feats = frame_subsample(e.feats, self.fs_factor, shift)
             eg = CtcExample(e.key, feats, e.labels)
-            if not example_ok(eg, self.max_allow_frames):
+            if not example_ok(eg, self.max_allow_frames,
+                              time_stride=self.time_stride):
                 self.num_skipped += 1
                 continue
             egs.append(eg)

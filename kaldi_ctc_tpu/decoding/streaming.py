@@ -50,6 +50,10 @@ class StreamingRecognizer:
                 "streaming does not support input splicing (frame "
                 "context crosses chunk boundaries); train without "
                 "--splice-left/--splice-right for streaming serving")
+        if cfg.conv_layers:
+            raise ValueError(
+                "streaming does not support the DS2 conv front end "
+                "(the time kernel crosses chunk boundaries)")
         self._params = params
         self._cfg = cfg
         self._blank = blank
@@ -127,6 +131,10 @@ class BatchStreamingRecognizer:
                 "streaming does not support input splicing (frame "
                 "context crosses chunk boundaries); train without "
                 "--splice-left/--splice-right for streaming serving")
+        if cfg.conv_layers:
+            raise ValueError(
+                "streaming does not support the DS2 conv front end "
+                "(the time kernel crosses chunk boundaries)")
         self._params = params
         self._cfg = cfg
         self._blank = blank

@@ -49,6 +49,56 @@ class AmConfig:
     # renormalize front layer of this width before the RNN stack
     # (AddAffRelNormLayer); 0 = 'google' (RNN-first)
     front_affine_dim: int = 0
+    # the 'DS2' model type — declared but unimplemented in the reference
+    # (make_configs.py:121-122 offers google|DS2|FT; :294 asserts on DS2).
+    # Implemented here as the Deep Speech 2 conv front end: conv_layers
+    # 2D convolutions over (time, freq) with the paper's kernels
+    # (11,41), (11,21), (11,21), freq stride 2 per layer and time stride
+    # `conv_time_stride` on the first layer, leaky clipped-ReLU(20)
+    # activations (see am_forward for why not the paper's batch norm); the (freq, channel) map flattens into the RNN input.
+    # Convs run on the MXU and the time stride cuts the sequential RNN
+    # length, so this family trades a little accuracy for throughput.
+    conv_layers: int = 0
+    conv_channels: int = 32
+    conv_time_stride: int = 2
+
+    # (time_kernel, freq_kernel, time_stride, freq_stride) per conv layer
+    _DS2_SPECS = ((11, 41, None, 2), (11, 21, 1, 2), (11, 21, 1, 2))
+
+    def conv_specs(self):
+        if self.conv_layers > len(self._DS2_SPECS):
+            raise ValueError(f"at most {len(self._DS2_SPECS)} conv layers")
+        out = []
+        for i in range(self.conv_layers):
+            tk, fk, ts, fs = self._DS2_SPECS[i]
+            out.append((tk, fk, self.conv_time_stride if ts is None else ts,
+                        fs))
+        return out
+
+    @property
+    def time_stride(self) -> int:
+        """Output frames per input frame denominator (1 without convs)."""
+        s = 1
+        for _tk, _fk, ts, _fs in self.conv_specs():
+            s *= ts
+        return s
+
+    def output_lens(self, input_lens):
+        """Map input frame counts to logit frame counts ('SAME' conv
+        padding: out = ceil(in / stride) per strided layer). Works on
+        numpy ints and traced jnp arrays; identity when conv_layers=0."""
+        lens = input_lens
+        for _tk, _fk, ts, _fs in self.conv_specs():
+            if ts > 1:
+                lens = -(-lens // ts)
+        return lens
+
+    @property
+    def conv_out_dim(self) -> int:
+        f = self.input_dim
+        for _tk, _fk, _ts, fs in self.conv_specs():
+            f = -(-f // fs)
+        return f * self.conv_channels
 
     @property
     def spliced_dim(self) -> int:
@@ -56,8 +106,13 @@ class AmConfig:
 
     @property
     def rnn(self) -> RnnConfig:
+        if self.conv_layers and (self.splice_left or self.splice_right
+                                 or self.front_affine_dim):
+            raise ValueError("DS2 conv front end does not combine with "
+                             "splicing or the FT front layer")
         return RnnConfig(
-            input_dim=(self.front_affine_dim or self.spliced_dim),
+            input_dim=(self.conv_out_dim if self.conv_layers
+                       else (self.front_affine_dim or self.spliced_dim)),
             hidden_dim=self.hidden_dim,
             num_layers=self.num_layers,
             mode=self.mode,
@@ -101,6 +156,22 @@ def init_am_params(key: jax.Array, cfg: AmConfig) -> Dict[str, Any]:
             dtype=jnp.float32)
         params["front_b"] = jnp.zeros((cfg.front_affine_dim,),
                                       dtype=jnp.float32)
+    if cfg.conv_layers:
+        convs = []
+        c_in = 1
+        for tk, fk, _ts, _fs in cfg.conv_specs():
+            k_f, k_c = jax.random.split(k_f)
+            # fan-in-scaled init: the DS2 kernels are large (11x41),
+            # param_stddev alone would blow the activations up
+            fan_in = tk * fk * c_in
+            convs.append({
+                "conv_w": (jax.random.normal(
+                    k_c, (tk, fk, c_in, cfg.conv_channels),
+                    dtype=jnp.float32) * np.sqrt(2.0 / fan_in)),
+                "conv_b": jnp.zeros((cfg.conv_channels,), jnp.float32),
+            })
+            c_in = cfg.conv_channels
+        params["conv"] = convs
     return params
 
 
@@ -144,6 +215,46 @@ def am_forward(
     Internally time-major for the scan; the final projection is one large
     [T*B, H] @ [H, A] matmul.
     """
+    if cfg.conv_layers:
+        # DS2 conv front end, batch-major: [B, T, F, 1] NHWC convs on
+        # the MXU with 'SAME' padding, clipped ReLU(20) (the DS2
+        # activation), pad frames masked out at each rate so strided
+        # outputs never mix valid and pad content beyond the reach a
+        # real 'SAME' edge has
+        x = feats[..., None]  # [B, T, F, 1]
+        lens = input_lens
+        for conv, (tk, fk, ts, fs) in zip(params["conv"],
+                                          cfg.conv_specs()):
+            cd = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                  else jnp.float32)
+            if lens is not None:
+                valid = (jnp.arange(x.shape[1])[None, :]
+                         < lens[:, None])
+                x = jnp.where(valid[..., None, None], x, 0.0)
+            # explicit (k-1)//2, k//2 padding, NOT 'SAME': SAME splits
+            # its padding based on the total (batch-padded) length, so
+            # the same utterance would get different window alignment in
+            # different length buckets; this fixed split keeps
+            # out = ceil(in/stride) with length-independent alignment
+            x = jax.lax.conv_general_dilated(
+                x.astype(cd), conv["conv_w"].astype(cd),
+                window_strides=(ts, fs),
+                padding=(((tk - 1) // 2, tk // 2),
+                         ((fk - 1) // 2, fk // 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32) + conv["conv_b"]
+            # leaky clipped ReLU.  The DS2 paper uses clipped ReLU
+            # stabilized by batch norm; batch statistics are training
+            # state this functional model avoids, and with a hard ReLU
+            # the plain-SGD conv stack collapses to all-dead units
+            # (observed: 100% zeros after a few hundred steps).  The
+            # leaky slope keeps zero-region units recoverable.
+            x = jnp.minimum(jnp.where(x > 0, x, 0.01 * x), 20.0)
+            if lens is not None and ts > 1:
+                lens = -(-lens // ts)
+        b_, t_, f_, c_ = x.shape
+        feats = x.reshape(b_, t_, f_ * c_)
+        input_lens = lens
     x = jnp.swapaxes(feats, 0, 1)  # [T, B, D]
     if cfg.splice_left or cfg.splice_right:
         # SpliceComponent with edge clamping: concat frames t-L..t+R.

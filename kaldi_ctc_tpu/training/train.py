@@ -102,7 +102,9 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
         logits = am_forward(params, batch["feats"], cfg,
                             input_lens=batch["input_lens"],
                             dropout_key=dropout_key)
-        losses = ctc_loss(logits, batch["labels"], batch["input_lens"],
+        # conv time stride shrinks the logit sequence (identity otherwise)
+        out_lens = cfg.output_lens(batch["input_lens"])
+        losses = ctc_loss(logits, batch["labels"], out_lens,
                           batch["label_lens"])
         total = jnp.sum(losses) * opts.objective_scale
         return total, (losses, logits)
@@ -127,9 +129,10 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
                                velocity=(velocity if opts.momentum > 0
                                          else state.velocity),
                                step=state.step + 1)
+        out_lens = cfg.output_lens(batch["input_lens"])
         hyp_ids, hyp_lens = greedy_collapse(
-            jnp.argmax(logits, axis=-1), batch["input_lens"])
-        num_frames = jnp.sum(batch["input_lens"])
+            jnp.argmax(logits, axis=-1), out_lens)
+        num_frames = jnp.sum(out_lens)
         metrics = {
             "loss_total": jnp.sum(losses),
             "loss_per_frame": jnp.sum(losses) / num_frames.astype(jnp.float32),
@@ -156,13 +159,14 @@ def make_eval_step(cfg: AmConfig):
     def eval_step(params, batch):
         logits = am_forward(params, batch["feats"], cfg,
                             input_lens=batch["input_lens"])
-        losses = ctc_loss(logits, batch["labels"], batch["input_lens"],
+        out_lens = cfg.output_lens(batch["input_lens"])
+        losses = ctc_loss(logits, batch["labels"], out_lens,
                           batch["label_lens"])
         hyp_ids, hyp_lens = greedy_collapse(
-            jnp.argmax(logits, axis=-1), batch["input_lens"])
+            jnp.argmax(logits, axis=-1), out_lens)
         return {
             "loss_total": jnp.sum(losses),
-            "num_frames": jnp.sum(batch["input_lens"]),
+            "num_frames": jnp.sum(out_lens),
             "hyp_ids": hyp_ids,
             "hyp_lens": hyp_lens,
         }
