@@ -41,7 +41,7 @@ STEPS_PER_CALL = 5
 TIMED_CALLS = 4
 
 
-def _measure(devices, batch_per_chip=BATCH, tiny=False):
+def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False):
     """→ audio-s/s/chip with DP over the given devices."""
     import jax
     import jax.numpy as jnp
@@ -53,6 +53,12 @@ def _measure(devices, batch_per_chip=BATCH, tiny=False):
         TrainOptions, build_train_step, init_train_state)
 
     cfg = _flagship_cfg(tiny=tiny)
+    if ds2:
+        # DS2 family at the same recurrent scale: the conv front end's
+        # 2x time stride halves the sequential BLSTM length
+        import dataclasses
+        cfg = dataclasses.replace(cfg, conv_layers=2, conv_channels=32,
+                                  conv_time_stride=2)
     n_dev = len(devices)
     b = batch_per_chip * n_dev
     frames = 48 if tiny else FRAMES
@@ -131,9 +137,11 @@ def main():
                     full / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3)}))
         return
 
-    per_chip = _measure(jax.devices()[:1])
+    ds2 = "--ds2" in sys.argv
+    per_chip = _measure(jax.devices()[:1], ds2=ds2)
     print(json.dumps({
-        "metric": "train_throughput_audio_seconds_per_second_per_chip",
+        "metric": "train_throughput_audio_seconds_per_second_per_chip"
+                  + ("_ds2" if ds2 else ""),
         "value": round(per_chip, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(per_chip / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3),
