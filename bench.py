@@ -66,6 +66,8 @@ def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False):
     b = batch_per_chip * n_dev
     frames = 48 if tiny else FRAMES
     lmax = 8 if tiny else 70
+    steps_per_call = 3 if tiny else STEPS_PER_CALL
+    timed_calls = 2 if tiny else TIMED_CALLS
     rng = np.random.default_rng(0)
     batch_np = {
         "feats": rng.standard_normal((b, frames, cfg.input_dim)).astype(
@@ -87,7 +89,7 @@ def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False):
             s2, m = step_fn(s, batch)
             return s2, m["loss_total"]
         state, losses = jax.lax.scan(body, state, None,
-                                     length=STEPS_PER_CALL)
+                                     length=steps_per_call)
         return state, losses[-1]
 
     params = init_am_params(jax.random.PRNGKey(0), cfg)
@@ -100,12 +102,12 @@ def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False):
     state, loss = run_k(state, batch)   # warmup (compile)
     _ = float(loss)
     t0 = time.perf_counter()
-    for _ in range(TIMED_CALLS):
+    for _ in range(timed_calls):
         state, loss = run_k(state, batch)
         _ = float(loss)                 # sync point
     elapsed = time.perf_counter() - t0
 
-    n_steps = STEPS_PER_CALL * TIMED_CALLS
+    n_steps = steps_per_call * timed_calls
     audio_s_per_step = b * frames * SECONDS_PER_FRAME
     return audio_s_per_step * n_steps / elapsed / n_dev
 
@@ -118,10 +120,11 @@ def main():
         jax.config.update("jax_num_cpu_devices", n)
     import jax
 
+    ds2 = "--ds2" in sys.argv
     if "--scaling" in sys.argv:
         tiny = "--tiny" in sys.argv
         devs = jax.devices()
-        one = _measure(devs[:1], tiny=tiny)
+        one = _measure(devs[:1], tiny=tiny, ds2=ds2)
         print(json.dumps({
             "metric": "train_throughput_audio_seconds_per_second_per_chip",
             "value": round(one, 2), "unit": "audio-s/s/chip",
@@ -129,7 +132,7 @@ def main():
             "vs_baseline": round(one / BASELINE_AUDIO_S_PER_S_PER_CHIP,
                                  3)}))
         if len(devs) > 1:
-            full = _measure(devs, tiny=tiny)
+            full = _measure(devs, tiny=tiny, ds2=ds2)
             print(json.dumps({
                 "metric":
                     "train_throughput_audio_seconds_per_second_per_chip",
@@ -140,7 +143,6 @@ def main():
                     full / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3)}))
         return
 
-    ds2 = "--ds2" in sys.argv
     per_chip = _measure(jax.devices()[:1], ds2=ds2)
     print(json.dumps({
         "metric": "train_throughput_audio_seconds_per_second_per_chip"

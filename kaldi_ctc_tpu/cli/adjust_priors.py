@@ -98,7 +98,8 @@ def main(argv=None):
             tid_map = np.asarray(tid_map, np.int32)
         counts = np.zeros(cfg.num_targets, np.float64)
         n_utts = 0
-        for _key, ali in SequentialIntVectorReader(args.ali):
+        n_oor = 0
+        for key, ali in SequentialIntVectorReader(args.ali):
             labels = np.asarray(ali, np.int32)
             if tid_map is not None:
                 labels = tid_map[labels.astype(np.int64)]
@@ -106,6 +107,18 @@ def main(argv=None):
                 labels = collapse_alignment(labels)
             if labels.size == 0:
                 continue
+            oor = int(np.sum(labels >= cfg.num_targets))
+            if oor:
+                # out-of-range values mean the wrong alignment kind
+                # (e.g. transition-ids without --trans-model) — counting
+                # the in-range ones as labels would corrupt the priors
+                if n_oor == 0:
+                    log.warning(
+                        "%s: %d alignment values >= num_targets=%d "
+                        "(transition-ids without --trans-model?) — "
+                        "dropped from the counts", key, oor,
+                        cfg.num_targets)
+                n_oor += oor
             counts += np.bincount(labels, minlength=cfg.num_targets)[
                 :cfg.num_targets]
             # the awk gsub inserts one blank per original space — one
@@ -114,6 +127,9 @@ def main(argv=None):
             n_utts += 1
         if n_utts == 0:
             log.error("no alignments loaded"); sys.exit(1)
+        if n_oor:
+            log.warning("dropped %d out-of-range alignment values in "
+                        "total", n_oor)
         log.info("label counts over %d utterances, %d tokens",
                  n_utts, int(counts.sum()))
         priors = (counts / counts.sum()).astype(np.float32)

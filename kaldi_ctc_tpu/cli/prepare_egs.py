@@ -206,19 +206,21 @@ def main(argv=None):
         def paste_ivectors(key, feats):
             """subsample-feats --n=-P | paste-feats --length-tolerance=P
             (get_egs2.sh:206): repeat each ivector row P times, trim
-            both streams to the shorter if within tolerance."""
+            both streams to the shorter if within tolerance.
+            → (pasted feats, ivector dim) or (None, 0) to skip."""
             if key not in ivectors:
                 log.warning("no online ivectors for %s: skipped", key)
-                return None
-            iv = _np2.repeat(_np2.asarray(ivectors[key], _np2.float32),
-                             args.ivector_period, axis=0)
+                return None, 0
+            raw = _np2.asarray(ivectors[key], _np2.float32)
+            iv = _np2.repeat(raw, args.ivector_period, axis=0)
             t = min(len(feats), len(iv))
             if max(len(feats), len(iv)) - t > args.ivector_period:
                 log.warning("ivector/feature length mismatch for %s "
                             "(%d vs %d frames, tolerance %d): skipped",
                             key, len(feats), len(iv), args.ivector_period)
-                return None
-            return _np2.concatenate([feats[:t], iv[:t]], axis=1)
+                return None, 0
+            return (_np2.concatenate([feats[:t], iv[:t]], axis=1),
+                    raw.shape[1])
 
         def apply_spk_info(eg):
             # feature pipeline after CMVN, in get_egs2.sh order:
@@ -250,10 +252,9 @@ def main(argv=None):
                                 spk, eg.key)
             n = args.const_feat_dim
             if ivectors is not None:
-                feats = paste_ivectors(eg.key, feats)
+                feats, n = paste_ivectors(eg.key, feats)
                 if feats is None:
                     return None
-                n = _np2.asarray(ivectors[eg.key]).shape[1]
             # spk_info: utterance-mean of the trailing const dims,
             # broadcast back onto every frame
             if n > 0:

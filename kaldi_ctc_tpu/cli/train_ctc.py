@@ -148,6 +148,11 @@ def main(argv=None):
     if not examples:
         log.error("no examples loaded"); sys.exit(1)
     import jax as _jax_mod
+    # the conv stride math lives in AmConfig.time_stride (one source of
+    # truth for the egs 2L+1 filters and the model)
+    model_stride = AmConfig(
+        input_dim=1, num_targets=2, conv_layers=args.conv_layers,
+        conv_time_stride=args.conv_time_stride).time_stride
     fixed_shape = None
     if _jax_mod.process_count() > 1:
         # SPMD requires every process to run the SAME program: equal step
@@ -157,8 +162,6 @@ def main(argv=None):
         # the global maxima.
         from kaldi_ctc_tpu.data.egs import (
             CtcExample, example_ok, frame_subsample)
-
-        model_stride = args.conv_time_stride if args.conv_layers else 1
 
         def ok_all_shifts(e):
             for shift in range(max(args.frame_subsampling_factor, 1)):
@@ -203,7 +206,6 @@ def main(argv=None):
                   "%d: reduce --minibatch-size", len(examples), host_mb)
         sys.exit(1)
 
-    model_stride = args.conv_time_stride if args.conv_layers else 1
     pipe = EgsPipeline(
         examples, minibatch_size=host_mb,
         max_allow_frames=args.max_allow_frames,

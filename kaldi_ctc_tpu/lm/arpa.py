@@ -157,6 +157,9 @@ def arpa_to_fst_arrays(
     weights: List[float] = []
     finals: Dict[int, float] = {}
 
+    # next-free id computed once: caller tables may be sparse (len()
+    # could collide), and a per-miss max() scan would be O(V^2)
+    next_wid = max(word_to_id.values(), default=-1) + 1
     for ng, (logp, backoff) in lm.ngrams.items():
         h, w = ng[:-1], ng[-1]
         cost = -_LN10 * logp
@@ -175,10 +178,8 @@ def arpa_to_fst_arrays(
                 nh = nh[1:]
             t = get_state(nh)
             if w not in word_to_id:
-                # next-free id: caller tables may be sparse, and
-                # len() would collide with an existing id
-                word_to_id[w] = max(word_to_id.values(),
-                                    default=-1) + 1
+                word_to_id[w] = next_wid
+                next_wid += 1
             wid = word_to_id[w]
             arcs.append([s, wid, wid, t])
             weights.append(cost)

@@ -113,16 +113,21 @@ def lexicon_to_fst_arrays(
         sil_cost = -math.log(max(sil_prob, 1e-10))
         arcs.append([loop, phone_to_id[sil_phone], 0, loop])
         weights.append(sil_cost)
+    # next-free ids computed once (caller tables may be sparse, so
+    # len() could collide with an existing id; a per-miss max() scan
+    # would be O(V^2) on real lexicons)
+    next_wid = max(word_to_id.values(), default=-1) + 1
+    next_pid = max(phone_to_id.values(), default=0) + 1
     for word, phones in lexicon:
         if word not in word_to_id:
-            word_to_id[word] = max(word_to_id.values(),
-                                   default=-1) + 1
+            word_to_id[word] = next_wid
+            next_wid += 1
         wid = word_to_id[word]
         cur = loop
         for i, p in enumerate(phones):
             if p not in phone_to_id:
-                phone_to_id[p] = max(phone_to_id.values(),
-                                     default=0) + 1
+                phone_to_id[p] = next_pid
+                next_pid += 1
             pid = phone_to_id[p]
             last = i == len(phones) - 1
             nxt = loop if last else n_states

@@ -39,7 +39,9 @@ def make_mesh(
     if data * model != n:
         raise ValueError(
             f"mesh {data}x{model} needs {data * model} devices but "
-            f"{n} are available — pass data=-1 to use all of them")
+            f"{n} are available — the device count must be divisible "
+            f"by the mesh shape; pass an explicitly trimmed `devices` "
+            f"list (devices[:k*model]) to use a subset")
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 

@@ -55,7 +55,13 @@ _BINARY_MARKER = b"\0B"
 # ---------------------------------------------------------------------------
 
 def _read_token(f) -> str:
-    """Read a space-terminated token."""
+    """Read a space-terminated token.
+
+    A newline terminator is pushed back when the stream supports it
+    (archive iteration wraps streams in _PushbackStream): a key line
+    with no value ('utt1\\n') must leave the newline for the record
+    parser, or the probe for the next record's binary marker would
+    swallow the start of the following line."""
     chars = []
     while True:
         c = f.read(1)
@@ -65,6 +71,8 @@ def _read_token(f) -> str:
             raise EOFError("EOF while reading token")
         if c in b" \t\n\r":
             if chars:
+                if c in b"\n\r" and hasattr(f, "unread"):
+                    f.unread(c)
                 break
             continue  # skip leading whitespace (text records end with \n)
         chars.append(c)
@@ -440,7 +448,7 @@ def _iter_scp(path) -> Iterator[Tuple[str, str]]:
             yield key, rx
 
 
-def _read_at(rxfilename: str, reader):
+def _read_at(rxfilename: str, reader, text_reader=None):
     """Read one object from an extended filename ``path[:offset]``."""
     if ":" in rxfilename:
         path, _, off = rxfilename.rpartition(":")
@@ -454,9 +462,10 @@ def _read_at(rxfilename: str, reader):
         f.seek(offset)
         marker = f.read(2)
         if marker != _BINARY_MARKER:
+            # text record: parse with the value type's text form
             f.seek(offset)
             data = f.read()
-            return _read_text_matrix(io.BytesIO(data))
+            return (text_reader or _read_text_matrix)(io.BytesIO(data))
         return reader(f)
 
 
@@ -472,20 +481,24 @@ def _iter_background(make_iter, buffer_records: int = 8):
     stop = _threading.Event()
     _END, _ERR = object(), object()
 
+    def put_or_stop(item):
+        """Bounded put that gives up once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             for item in make_iter():
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except _queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(item):
                     return
-            q.put((_END, None))
+            put_or_stop((_END, None))
         except BaseException as e:  # propagate to consumer
-            q.put((_ERR, e))
+            put_or_stop((_ERR, e))
 
     t = _threading.Thread(target=produce, daemon=True)
     t.start()
@@ -520,7 +533,8 @@ class SequentialReader:
     def _iter_foreground(self) -> Iterator[Tuple[str, object]]:
         if self.spec.kind == "scp":
             for key, rx in _iter_scp(self.spec.target):
-                yield key, _read_at(rx, self._value_reader)
+                yield key, _read_at(rx, self._value_reader,
+                                    self._text_reader)
         else:
             f, self._proc = self.spec.open_read()
             try:
@@ -565,25 +579,28 @@ class SequentialTextReader:
 
 
 class _RandomAccessReader:
-    def __init__(self, scp_rspecifier: str, value_reader):
+    def __init__(self, scp_rspecifier: str, value_reader, text_reader=None):
         spec = _Specifier(scp_rspecifier)
         if spec.kind != "scp":
             raise ValueError("Random access requires an scp: specifier")
         self._index = dict(_iter_scp(spec.target))
         self._value_reader = value_reader
+        self._text_reader = text_reader
 
     def __contains__(self, key: str) -> bool:
         return key in self._index
 
     def __getitem__(self, key: str):
-        return _read_at(self._index[key], self._value_reader)
+        return _read_at(self._index[key], self._value_reader,
+                        self._text_reader)
 
     def keys(self):
         return self._index.keys()
 
 
 def RandomAccessMatrixReader(rspecifier: str) -> _RandomAccessReader:
-    return _RandomAccessReader(rspecifier, _read_binary_object)
+    return _RandomAccessReader(rspecifier, _read_binary_object,
+                               _read_text_matrix)
 
 
 def open_random_access_matrices(rspecifier: str):
@@ -611,7 +628,8 @@ def read_symbol_table(path: str, invert: bool = False):
 
 
 def RandomAccessIntVectorReader(rspecifier: str) -> _RandomAccessReader:
-    return _RandomAccessReader(rspecifier, _read_binary_int_vector)
+    return _RandomAccessReader(rspecifier, _read_binary_int_vector,
+                               _read_text_int_vector)
 
 
 class _Writer:
@@ -636,7 +654,9 @@ class _Writer:
 
     def write(self, key: str, value) -> None:
         self._f.write(key.encode("utf-8") + b" ")
-        offset = self._f.tell()
+        # only scp generation needs the offset — tell() raises on
+        # unseekable targets (ark:- into a pipe)
+        offset = self._f.tell() if self._scp is not None else 0
         if self.spec.text:
             self._text_write_fn(self._f, value)
         else:

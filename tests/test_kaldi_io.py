@@ -209,3 +209,69 @@ def test_background_prefetch_specifier(tmp_path):
     import pytest
     with pytest.raises(Exception):
         list(kio.SequentialMatrixReader(f"ark,bg:{bad}"))
+
+
+def test_writer_to_stdout_pipe(tmp_path):
+    """ark:- writers must not seek (stdout is usually a pipe)."""
+    import subprocess
+    import sys
+    code = (
+        "import numpy as np\n"
+        "from kaldi_ctc_tpu.utils import kaldi_io\n"
+        "with kaldi_io.MatrixWriter('ark:-') as w:\n"
+        "    w['u0'] = np.ones((2, 3), np.float32)\n"
+    )
+    p = subprocess.run([sys.executable, "-c", code],
+                       stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    assert p.returncode == 0, p.stderr.decode()
+    import io as _io
+    key, mat = next(iter(
+        kio._iter_ark(_io.BytesIO(p.stdout), kio._read_binary_object)))
+    assert key == "u0" and mat.shape == (2, 3)
+
+
+def test_text_scp_random_access_int_vectors(tmp_path):
+    """ark,t,scp: int-vector archives must random-access back as int
+    vectors, not mis-parsed text matrices."""
+    with kio.IntVectorWriter(f"ark,t,scp:{tmp_path}/a.ark,{tmp_path}/a.scp") as w:
+        w["a"] = np.asarray([1, 2], np.int32)
+        w["b"] = np.asarray([3], np.int32)
+    r = kio.RandomAccessIntVectorReader(f"scp:{tmp_path}/a.scp")
+    np.testing.assert_array_equal(r["a"], [1, 2])
+    np.testing.assert_array_equal(r["b"], [3])
+    # matrices too
+    with kio.MatrixWriter(f"ark,t,scp:{tmp_path}/m.ark,{tmp_path}/m.scp") as w:
+        w["m"] = np.asarray([[1.5, 2.0]], np.float32)
+    rm = kio.RandomAccessMatrixReader(f"scp:{tmp_path}/m.scp")
+    np.testing.assert_allclose(rm["m"], [[1.5, 2.0]])
+
+
+def test_background_abandon_does_not_leak_producer(tmp_path):
+    """Abandoning an ark,bg: iterator stops the producer even when it
+    already finished reading and is parked on the END sentinel."""
+    import threading
+    import time as _time
+    rng = np.random.default_rng(0)
+    path = tmp_path / "m.ark"
+    with kio.MatrixWriter(f"ark:{path}") as w:
+        for i in range(9):   # queue holds 8: END put must block first
+            w[f"u{i}"] = rng.standard_normal((2, 2)).astype(np.float32)
+    before = threading.active_count()
+    it = iter(kio.SequentialMatrixReader(f"ark,bg:{path}"))
+    next(it)
+    _time.sleep(0.3)         # let the producer fill the queue and finish
+    it.close()
+    deadline = _time.time() + 3.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() == before
+
+
+def test_empty_text_int_vector_record(tmp_path):
+    """'utt1\\n' (no trailing space) parses as an empty vector and does
+    not swallow the next record's key."""
+    bad = tmp_path / "a.ark"
+    bad.write_bytes(b"utt1\nutt2 4 5\n")
+    got = dict(kio.SequentialIntVectorReader(f"ark,t:{bad}"))
+    assert list(got["utt1"]) == []
+    assert list(got["utt2"]) == [4, 5]
