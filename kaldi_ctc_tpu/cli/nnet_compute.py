@@ -19,7 +19,12 @@ def parse_args(argv=None):
     from kaldi_ctc_tpu.utils.options import expand_config_args
     argv = expand_config_args(argv)
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--feats", required=True)
+    p.add_argument("--feats", default=None)
+    p.add_argument("--egs", default=None,
+                   help="prepared egs archive instead of --feats "
+                        "(nnet2-ctc-compute-from-egs: the posterior-"
+                        "prior route of steps/ctc/train.sh:485-492 "
+                        "forwards stored egs)")
     p.add_argument("--cmvn", default=None)
     p.add_argument("--utt2spk", default=None)
     p.add_argument("--dir", default=None)
@@ -79,14 +84,23 @@ def main(argv=None):
         return jnp.exp(logp) if args.what == "post" else logp
 
     egs = []
-    for key, feats in SequentialMatrixReader(args.feats):
-        if cmvn is not None:
-            spk = utt2spk.get(key, key) if utt2spk else key
-            if spk in cmvn:
-                feats = np.asarray(apply_cmvn(feats, cmvn[spk]))
-        feats = frame_subsample(np.asarray(feats, np.float32),
-                                args.frame_subsampling_factor)
-        egs.append(CtcExample(key, feats, np.zeros(1, np.int32)))
+    if args.egs:
+        from kaldi_ctc_tpu.data.egs_io import SequentialEgsReader
+        for e in SequentialEgsReader(args.egs):
+            feats = frame_subsample(e.feats,
+                                    args.frame_subsampling_factor)
+            egs.append(CtcExample(e.key, feats, e.labels))
+    elif args.feats:
+        for key, feats in SequentialMatrixReader(args.feats):
+            if cmvn is not None:
+                spk = utt2spk.get(key, key) if utt2spk else key
+                if spk in cmvn:
+                    feats = np.asarray(apply_cmvn(feats, cmvn[spk]))
+            feats = frame_subsample(np.asarray(feats, np.float32),
+                                    args.frame_subsampling_factor)
+            egs.append(CtcExample(key, feats, np.zeros(1, np.int32)))
+    else:
+        log.error("need --feats or --egs"); sys.exit(1)
 
     frame_buckets = make_buckets()
     n = 0

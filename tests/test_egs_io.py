@@ -239,3 +239,40 @@ def test_prepare_egs_online_ivectors(tmp_path):
     want_mean = expanded.mean(axis=0)
     for t in range(11):
         np.testing.assert_allclose(got[t, 4:], want_mean, rtol=1e-4)
+
+
+def test_nnet_compute_from_egs(tmp_path):
+    """nnet_compute --egs forwards stored egs archives (the
+    nnet2-ctc-compute-from-egs surface, train.sh:485-492)."""
+    import json
+
+    import numpy as np
+
+    from kaldi_ctc_tpu.cli import nnet_compute, prepare_egs, train_ctc
+    from kaldi_ctc_tpu.utils import kaldi_io
+
+    fark, aark = tmp_path / "f.ark", tmp_path / "a.ark"
+    rng = np.random.default_rng(0)
+    with kaldi_io.MatrixWriter(f"ark:{fark}") as fw, \
+         kaldi_io.IntVectorWriter(f"ark:{aark}") as aw:
+        for i in range(8):
+            fw[f"u{i}"] = rng.standard_normal((12, 5)).astype(np.float32)
+            aw[f"u{i}"] = np.asarray([0, 1], np.int32)
+    exp = str(tmp_path / "exp")
+    train_ctc.main(["--feats", f"ark:{fark}", "--ali", f"ark:{aark}",
+                    "--num-targets", "4", "--hidden-dim", "8",
+                    "--num-layers", "1", "--epochs", "2",
+                    "--minibatch-size", "8", "--dir", exp,
+                    "--checkpoint-period", "1"])
+    egs_path = tmp_path / "egs.ark"
+    prepare_egs.main(["get", "--feats", f"ark:{fark}",
+                      "--ali", f"ark:{aark}", "--compress", "0",
+                      "--output", f"ark:{egs_path}"])
+    out = tmp_path / "post.ark"
+    nnet_compute.main(["--egs", f"ark:{egs_path}", "--dir", exp,
+                       "--what", "post", "--output", f"ark:{out}"])
+    posts = dict(kaldi_io.SequentialMatrixReader(f"ark:{out}"))
+    assert set(posts) == {f"u{i}" for i in range(8)}
+    for m in posts.values():
+        assert m.shape == (12, 4)
+        np.testing.assert_allclose(m.sum(axis=1), 1.0, rtol=1e-4)
