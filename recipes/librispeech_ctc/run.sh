@@ -72,7 +72,7 @@ if [ "$stage" -le 1 ]; then
   python -m kaldi_ctc_tpu.cli.train_ctc \
     --egs "scp:$exp/egs/egs.scp" --num-targets "$num_targets" \
     --hidden-dim "$hidden_dim" --num-layers "$num_layers" \
-    --bidirectional 1 --compute-dtype bfloat16 \
+    --bidirectional 1 --compute-dtype float32 \
     --epochs "$epochs" --minibatch-size "$minibatch_size" \
     --max-allow-frames "$max_allow_frames" \
     --frame-subsampling-factor "$fs_factor" \
