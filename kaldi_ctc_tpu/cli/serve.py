@@ -103,8 +103,21 @@ class Engine:
             from kaldi_ctc_tpu.models import init_am_params
             from kaldi_ctc_tpu.training import init_train_state
             from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
+            from kaldi_ctc_tpu.training.checkpoint import read_meta
             with open(os.path.join(args.dir, "model_config.json")) as f:
                 self.cfg = AmConfig.from_dict(json.load(f))
+            # the checkpoint, not model_config.json, is the truth for
+            # the layer count: layer-wise growth rewrites the config
+            # BEFORE the first checkpoint at the new size exists
+            # (train_ctc resume does the same)
+            try:
+                ckpt_layers = read_meta(os.path.join(
+                    args.dir, "checkpoints"))["extra"].get("num_layers")
+            except Exception:
+                ckpt_layers = None
+            if ckpt_layers and ckpt_layers != self.cfg.num_layers:
+                import dataclasses as _dc
+                self.cfg = _dc.replace(self.cfg, num_layers=ckpt_layers)
             template = init_am_params(jax.random.PRNGKey(0), self.cfg)
             state = init_train_state(template)
             state, _ = restore_checkpoint(
@@ -126,6 +139,15 @@ class Engine:
         else:
             self.fopts = FbankOptions()
             self._compute = compute_fbank
+        if args.sample_rate != self.fopts.frame_opts.samp_freq:
+            # the extractor must frame at the served rate, or window
+            # sizes and the mel bank are computed for the wrong
+            # frequency while the stream buffers slice at the user rate
+            import dataclasses as _dc
+            self.fopts = _dc.replace(
+                self.fopts,
+                frame_opts=_dc.replace(self.fopts.frame_opts,
+                                       samp_freq=float(args.sample_rate)))
         fr = self.fopts.frame_opts
         self.win = int(args.sample_rate * fr.frame_length_ms / 1000.0)
         self.shift = int(args.sample_rate * fr.frame_shift_ms / 1000.0)
@@ -220,18 +242,23 @@ class Engine:
             last = int(lab)
         out["labels"] = labels
         if self.graph is not None:
-            from kaldi_ctc_tpu.decoding.wfst import decode_best_path
-            keep = scores[~skip]
-            use = keep if keep.shape[0] else scores
-            words, align, cost, final = decode_best_path(
-                self.graph, use, beam=self.args.beam)
-            out["words"] = [int(w) for w in words]
-            if self.word_syms:
-                out["text"] = " ".join(
-                    self.word_syms.get(int(w), str(int(w)))
-                    for w in words)
+            out.update(self._wfst_words(scores, skip))
         dur = feats.shape[0] * self.shift / self.args.sample_rate
         out["rtf"] = round((time.time() - t0) / max(dur, 1e-9), 4)
+        return out
+
+    def _wfst_words(self, scores: np.ndarray, skip: np.ndarray) -> dict:
+        """Native WFST best-path over prepared acoustic scores →
+        {"words": [...]} (+ "text" with a symbol table)."""
+        from kaldi_ctc_tpu.decoding.wfst import decode_best_path
+        keep = scores[~skip]
+        use = keep if keep.shape[0] else scores
+        words, align, cost, final = decode_best_path(
+            self.graph, use, beam=self.args.beam)
+        out = {"words": [int(w) for w in words]}
+        if self.word_syms:
+            out["text"] = " ".join(
+                self.word_syms.get(int(w), str(int(w))) for w in words)
         return out
 
     # ---- streaming ----
@@ -246,7 +273,10 @@ class Engine:
             self.stream.reset_slot(slot)
             self.slots[slot] = {"buf": np.zeros(0, np.float32),
                                 "buf_off": 0,
-                                "frames_done": 0, "pending": np.zeros(
+                                "frames_done": 0,
+                                "ready": [],
+                                "hist": [],
+                                "pending": np.zeros(
                                     (0, self.cfg.input_dim), np.float32)}
         return slot
 
@@ -281,37 +311,78 @@ class Engine:
         with self.lock:
             st = self.slots[slot]
             st["buf"] = np.concatenate([st["buf"], samples])
-            st["pending"] = np.concatenate([st["pending"],
-                                            self._new_frames(st)])
+            frames = self._new_frames(st)
+            if self.graph is not None and frames.shape[0]:
+                # keep the feature history for the WFST word decode at
+                # stream end (~16 KB per audio-second at 40 dims)
+                st["hist"].append(frames)
+            st["pending"] = np.concatenate([st["pending"], frames])
             return self._drain(slot)
 
     def _drain(self, slot: int, flush: bool = False) -> List[int]:
-        """Feed complete chunk_frames ticks (all-slot batched)."""
+        """Feed complete chunk_frames ticks.
+
+        Each tick batches EVERY stream with a full chunk pending (plus
+        the driving slot's flush remainder) into ONE process() call —
+        concurrent streams share the compiled batch program instead of
+        each request paying a full-batch forward for a single row.
+        Labels produced for other slots are queued on their "ready"
+        lists and delivered by their own next request."""
         cf = self.args.chunk_frames
         st = self.slots[slot]
-        new: List[int] = []
         with self.lock:
             while st["pending"].shape[0] >= (1 if flush else cf):
-                take = min(cf, st["pending"].shape[0])
                 chunks = np.zeros((self.args.max_streams, cf,
                                    self.cfg.input_dim), np.float32)
                 valid = np.zeros(self.args.max_streams, np.int64)
-                chunks[slot, :take] = st["pending"][:take]
-                valid[slot] = take
-                st["pending"] = st["pending"][take:]
+                ticked = []
+                for s, other in self.slots.items():
+                    take = min(cf, other["pending"].shape[0])
+                    if s != slot and take < cf:
+                        continue   # partial chunks only flush themselves
+                    if take == 0:
+                        continue
+                    chunks[s, :take] = other["pending"][:take]
+                    valid[s] = take
+                    other["pending"] = other["pending"][take:]
+                    ticked.append(s)
+                if not ticked:
+                    break
                 out = self.stream.process(chunks, valid)
-                new.extend(out[slot])
+                for s in ticked:
+                    self.slots[s]["ready"].extend(out[s])
                 if flush and st["pending"].shape[0] == 0:
                     break
+            new = st["ready"]
+            st["ready"] = []
         return new
 
     def stream_end(self, slot: int) -> dict:
+        import jax.numpy as jnp
+
+        from kaldi_ctc_tpu.decoding.scores import acoustic_scores
         with self.lock:
             new = self._drain(slot, flush=True)
             labels = self.stream.finalize(slot)
+            hist = self.slots[slot]["hist"]
             del self.slots[slot]
             self.free.append(slot)
-        return {"labels": labels, "new": new}
+            out = {"labels": labels, "new": new}
+            if self.graph is not None and hist:
+                # WFST word decode over the whole stream's features (the
+                # /stream end "text" contract): for a unidirectional
+                # model the offline forward equals the chunked one
+                feats = np.concatenate(hist)
+                logits = self._am_forward(
+                    self.params, jnp.asarray(feats[None]), self.cfg,
+                    jnp.asarray([feats.shape[0]], np.int32))
+                sc, skip = acoustic_scores(
+                    logits, priors=self.priors,
+                    acoustic_scale=self.args.acoustic_scale,
+                    blank_threshold=self.args.blank_threshold)
+                out.update(self._wfst_words(np.asarray(sc)[0],
+                                            np.asarray(skip)[0]))
+        return out
 
 
 def make_handler(engine: Engine):

@@ -153,41 +153,45 @@ def main(argv=None):
     model_stride = AmConfig(
         input_dim=1, num_targets=2, conv_layers=args.conv_layers,
         conv_time_stride=args.conv_time_stride).time_stride
-    fixed_shape = None
-    if _jax_mod.process_count() > 1:
+    from kaldi_ctc_tpu.data.egs import (
+        CtcExample, example_ok, frame_subsample)
+
+    def ok_all_shifts(e):
+        for shift in range(max(args.frame_subsampling_factor, 1)):
+            sub = CtcExample(
+                e.key,
+                frame_subsample(e.feats, args.frame_subsampling_factor,
+                                shift),
+                e.labels)
+            if not example_ok(sub, args.max_allow_frames,
+                              time_stride=model_stride):
+                return False
+        return True
+
+    def shard_for_spmd(exs, what):
         # SPMD requires every process to run the SAME program: equal step
         # counts and equal batch shapes.  Pre-filter on the global list
         # (identical on all hosts) so per-shard filtering can't diverge,
         # truncate shards to equal length, and fix the padded shape to
         # the global maxima.
-        from kaldi_ctc_tpu.data.egs import (
-            CtcExample, example_ok, frame_subsample)
-
-        def ok_all_shifts(e):
-            for shift in range(max(args.frame_subsampling_factor, 1)):
-                sub = CtcExample(
-                    e.key,
-                    frame_subsample(e.feats, args.frame_subsampling_factor,
-                                    shift),
-                    e.labels)
-                if not example_ok(sub, args.max_allow_frames,
-                                  time_stride=model_stride):
-                    return False
-            return True
-
-        from kaldi_ctc_tpu.data.egs import CtcExample
-        examples = [e for e in examples if ok_all_shifts(e)]
         n_proc = _jax_mod.process_count()
-        n_even = (len(examples) // n_proc) * n_proc
-        examples = examples[:n_even]
-        fixed_shape = (
-            max((e.num_frames for e in examples), default=1),
-            max((e.num_labels for e in examples), default=1))
-        examples = host_shard(examples)
-        log.info("host %d/%d: %d utterances after sharding, "
-                 "fixed shape %s",
-                 _jax_mod.process_index(), n_proc, len(examples),
-                 fixed_shape)
+        exs = [e for e in exs if ok_all_shifts(e)]
+        exs = exs[:(len(exs) // n_proc) * n_proc]
+        fixed = (max((e.num_frames for e in exs), default=1),
+                 max((e.num_labels for e in exs), default=1))
+        exs = host_shard(exs)
+        log.info("host %d/%d: %d %s utterances after sharding, "
+                 "fixed shape %s", _jax_mod.process_index(), n_proc,
+                 len(exs), what, fixed)
+        return exs, fixed
+
+    fixed_shape = None
+    if _jax_mod.process_count() > 1:
+        examples, fixed_shape = shard_for_spmd(examples, "train")
+    if not examples:
+        log.error("no usable examples after filtering/sharding "
+                  "(check --max-allow-frames and the process count)")
+        sys.exit(1)
     input_dim = examples[0].feats.shape[1]
     log.info("loaded %d utterances, input dim %d", len(examples), input_dim)
 
@@ -220,14 +224,12 @@ def main(argv=None):
                                             utt2spk=utt2spk))
         valid_fixed = None
         if n_proc > 1:
-            # same cross-host contract as training: equal shards, equal
-            # step counts, one fixed global shape
-            valid_examples = valid_examples[
-                :(len(valid_examples) // n_proc) * n_proc]
-            valid_fixed = (
-                max((e.num_frames for e in valid_examples), default=1),
-                max((e.num_labels for e in valid_examples), default=1))
-            valid_examples = host_shard(valid_examples)
+            # same cross-host contract as training (incl. the identical
+            # global pre-filter: per-host filtering inside the pipeline
+            # would yield different batch counts per host and desync the
+            # SPMD program)
+            valid_examples, valid_fixed = shard_for_spmd(
+                valid_examples, "valid")
         valid_pipe = EgsPipeline(
             valid_examples, minibatch_size=host_mb,
             max_allow_frames=args.max_allow_frames,
@@ -282,10 +284,16 @@ def main(argv=None):
     params = init_am_params(jax.random.PRNGKey(args.seed), cfg)
     state = init_train_state(params)
     start_epoch = 0
+    start_epoch_step = 0
     if args.resume and latest_step(ckpt_dir) is not None:
         state, meta = restore_checkpoint(ckpt_dir, state)
         start_epoch = meta["extra"].get("epoch", 0)
-        log.info("resumed from step %d (epoch %d)", meta["step"], start_epoch)
+        # resume mid-epoch: skip the batches already trained (the epoch
+        # order is deterministic given the epoch seed), otherwise they
+        # are double-trained and the lr decay horizon is overrun
+        start_epoch_step = meta["extra"].get("epoch_step", 0)
+        log.info("resumed from step %d (epoch %d, batch %d)",
+                 meta["step"], start_epoch, start_epoch_step)
 
     train_step = make_train_step(cfg, opts)
     eval_step = make_eval_step(cfg)
@@ -293,11 +301,28 @@ def main(argv=None):
     tot_err = tot_ref = 0
     global_step = int(state.step)
 
+    def global_counts(err, ref):
+        # accuracy counts are computed on host-local rows; the logged
+        # (parseable) numbers must cover the whole global batch
+        if _jax_mod.process_count() == 1:
+            return err, ref
+        from jax.experimental import multihost_utils
+        arr = multihost_utils.process_allgather(
+            np.asarray([err, ref], np.int64))
+        arr = np.asarray(arr).reshape(-1, 2)
+        return int(arr[:, 0].sum()), int(arr[:, 1].sum())
+
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     for epoch in range(start_epoch, args.epochs):
         log.info("epoch %d", epoch)
+        epoch_step = 0
+        skip = start_epoch_step if epoch == start_epoch else 0
         for batch_np in Prefetcher(pipe.epoch(epoch)):
+            if epoch_step < skip:
+                epoch_step += 1
+                continue
+            epoch_step += 1
             keys = batch_np.pop("keys")
             batch = shard_batch(batch_np, mesh)
             with profiling.profiler.track("train_step"):
@@ -341,16 +366,20 @@ def main(argv=None):
                     v_err += e; v_ref += r
                     v_loss += float(out["loss_total"])
                     v_frames += int(out["num_frames"])
+                v_err, v_ref = global_counts(v_err, v_ref)
                 v_acc = 1.0 - v_err / max(v_ref, 1)
                 metrics_log.log("valid", step=global_step, accuracy=v_acc,
                                 loss_per_frame=v_loss / max(v_frames, 1))
                 log.info("valid @%d: acc %.4f", global_step, v_acc)
             if global_step % args.checkpoint_period == 0 and is_primary():
                 save_checkpoint(ckpt_dir, global_step, state,
-                                extra={"epoch": epoch, "num_layers": cfg.num_layers})
+                                extra={"epoch": epoch,
+                                       "epoch_step": epoch_step,
+                                       "num_layers": cfg.num_layers})
                 apply_retention(ckpt_dir)
-        # per-epoch accuracy line (parseable contract)
-        epoch_acc = 1.0 - tot_err / max(tot_ref, 1)
+        # per-epoch accuracy line (parseable contract), global counts
+        g_err, g_ref = global_counts(tot_err, tot_ref)
+        epoch_acc = 1.0 - g_err / max(g_ref, 1)
         metrics_log.log_accuracy(epoch_acc, epoch=epoch, step=global_step)
         tot_err = tot_ref = 0
         if is_primary():

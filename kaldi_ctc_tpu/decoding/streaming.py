@@ -65,16 +65,25 @@ class StreamingRecognizer:
 
         def chunk_fn(params, x, states):
             # x: [T, 1, D] time-major single stream
+            cd = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                  else jnp.float32)
             if cfg.front_affine_dim:
-                h = jax.nn.relu(x @ params["front_w"]
-                                + params["front_b"])
+                h = jax.nn.relu(jnp.dot(
+                    x.astype(cd), params["front_w"].astype(cd),
+                    preferred_element_type=jnp.float32)
+                    + params["front_b"])
                 rms = jnp.sqrt(jnp.mean(h * h, axis=-1, keepdims=True)
                                + 1e-20)
                 x = h / rms
             y, new_states = rnn_forward_stream(
                 params["rnn"], x, cfg.rnn, states)
             t, b, h = y.shape
-            logits = (y.reshape(t * b, h) @ params["out_w"]
+            # same operand dtype as am_forward's output projection,
+            # keeping the bit-for-bit offline/streaming parity claim
+            # true for bfloat16 models too
+            logits = (jnp.dot(y.reshape(t * b, h).astype(cd),
+                              params["out_w"].astype(cd),
+                              preferred_element_type=jnp.float32)
                       + params["out_b"]).reshape(t, b, -1)
             scores = jax.nn.log_softmax(logits, axis=-1)
             if log_priors is not None:
@@ -149,17 +158,26 @@ class BatchStreamingRecognizer:
 
         def chunk_fn(params, x, lens, states):
             # x: [T, B, D]; lens: [B] valid frames per slot this chunk
+            cd = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                  else jnp.float32)
             if cfg.front_affine_dim:
                 # FT front layer is frame-local, so it streams exactly
-                h = jax.nn.relu(x @ params["front_w"]
-                                + params["front_b"])
+                h = jax.nn.relu(jnp.dot(
+                    x.astype(cd), params["front_w"].astype(cd),
+                    preferred_element_type=jnp.float32)
+                    + params["front_b"])
                 rms = jnp.sqrt(jnp.mean(h * h, axis=-1, keepdims=True)
                                + 1e-20)
                 x = h / rms
             y, new_states = rnn_forward_stream(
                 params["rnn"], x, cfg.rnn, states, lens=lens)
             t, b, h = y.shape
-            logits = (y.reshape(t * b, h) @ params["out_w"]
+            # same operand dtype as am_forward's output projection,
+            # keeping the bit-for-bit offline/streaming parity claim
+            # true for bfloat16 models too
+            logits = (jnp.dot(y.reshape(t * b, h).astype(cd),
+                              params["out_w"].astype(cd),
+                              preferred_element_type=jnp.float32)
                       + params["out_b"]).reshape(t, b, -1)
             scores = jax.nn.log_softmax(logits, axis=-1)
             if log_priors is not None:

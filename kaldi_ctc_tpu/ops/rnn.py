@@ -111,8 +111,16 @@ def init_rnn_params(key: jax.Array, cfg: RnnConfig) -> List[Dict[str, Any]]:
     return params
 
 
+def _rec_matmul(h, w_h):
+    # operands in w_h's dtype, f32 accumulation — the same contract as
+    # the Pallas kernels, so XLA-scan and Pallas paths agree bit-wise
+    # in bfloat16 mode too
+    return jnp.dot(h.astype(w_h.dtype), w_h,
+                   preferred_element_type=jnp.float32)
+
+
 def _lstm_cell(h, c, x_proj, w_h):
-    gates = x_proj + h @ w_h
+    gates = x_proj + _rec_matmul(h, w_h)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -126,7 +134,7 @@ def _lstm_cell(h, c, x_proj, w_h):
 def _gru_cell(h, x_proj, w_h, hidden_dim):
     # cuDNN linear-before-reset GRU: recurrent projection computed once,
     # reset gate applied to the candidate's recurrent term.
-    h_proj = h @ w_h
+    h_proj = _rec_matmul(h, w_h)
     xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
     hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
     r = jax.nn.sigmoid(xr + hr)
@@ -136,7 +144,7 @@ def _gru_cell(h, x_proj, w_h, hidden_dim):
 
 
 def _elementwise_cell(h, x_proj, w_h, act):
-    return act(x_proj + h @ w_h)
+    return act(x_proj + _rec_matmul(h, w_h))
 
 
 def _run_direction(
@@ -160,7 +168,7 @@ def _run_direction(
                       preferred_element_type=jnp.float32)
               + p["b"]).reshape(t_max, b, -1)
 
-    w_h = p["w_h"]
+    w_h = p["w_h"].astype(cd)
     if lens is None:
         lens = jnp.full((b,), t_max, dtype=jnp.int32)
 
@@ -170,10 +178,10 @@ def _run_direction(
                              and jax.default_backend() == "tpu") else "xla")
     if impl == "pallas" and mode == RnnMode.LSTM:
         from kaldi_ctc_tpu.ops.rnn_pallas import lstm_sequence
-        return lstm_sequence(x_proj, w_h.astype(cd), lens, reverse)
+        return lstm_sequence(x_proj, w_h, lens, reverse)
     if impl == "pallas" and mode == RnnMode.GRU:
         from kaldi_ctc_tpu.ops.gru_pallas import gru_sequence
-        return gru_sequence(x_proj, w_h.astype(cd), lens, reverse)
+        return gru_sequence(x_proj, w_h, lens, reverse)
 
     valid = (jnp.arange(t_max)[:, None] < lens[None, :])[..., None]  # [T,B,1]
 
@@ -303,15 +311,21 @@ def rnn_forward_stream(
         raise ValueError("streaming requires a unidirectional stack")
     t_max, b, _ = x.shape
     h_dim = cfg.hidden_dim
+    # same compute dtype as the offline rnn_forward, so chunked serving
+    # of a bfloat16 model matches the full-utterance forward exactly
+    cd = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+          else jnp.float32)
     valid = (None if lens is None else
              (jnp.arange(t_max)[:, None] < lens[None, :])[..., None])
     out = x
     new_states: List[Any] = []
     for layer_params, st in zip(params, states):
         p = layer_params["dirs"][0]
-        x_proj = (out.reshape(t_max * b, -1) @ p["w_x"] + p["b"]).reshape(
-            t_max, b, -1)
-        w_h = p["w_h"]
+        x_proj = (jnp.dot(out.reshape(t_max * b, -1).astype(cd),
+                          p["w_x"].astype(cd),
+                          preferred_element_type=jnp.float32)
+                  + p["b"]).reshape(t_max, b, -1)
+        w_h = p["w_h"].astype(cd)
         if cfg.mode == RnnMode.LSTM:
             def step(carry, inp):
                 h, c = carry

@@ -137,3 +137,65 @@ def test_unknown_slot_404(server):
     host, port = server
     status, _ = _post(host, port, "/stream/99/chunk", b"")
     assert status == 404
+
+
+def test_sample_rate_reaches_frame_options(tmp_path):
+    """--sample-rate must set FrameOptions.samp_freq: otherwise window
+    sizes and the mel bank use 16 kHz parameters while the stream
+    buffers slice at the served rate."""
+    from kaldi_ctc_tpu.cli import init_model, serve
+    exp = str(tmp_path / "exp")
+    init_model.main(["--input-dim", "40", "--num-targets", "6",
+                     "--hidden-dim", "8", "--num-layers", "1",
+                     "--bidirectional", "0", "--dir", exp])
+    args = serve.parse_args(["--dir", exp, "--sample-rate", "8000",
+                             "--use-priors", "0"])
+    eng = serve.Engine(args)
+    assert eng.fopts.frame_opts.samp_freq == 8000.0
+    assert eng.win == 200 and eng.shift == 80      # 25 ms / 10 ms @ 8 kHz
+    # extractor agrees with the stream's frame accounting
+    f = eng.feats_for(np.zeros(8000, np.float32))
+    assert f.shape[0] == 1 + (8000 - eng.win) // eng.shift
+
+
+def test_stream_end_word_decode(tmp_path):
+    """/stream end returns words/text when a graph is loaded (the
+    documented contract): label-loop CTC graph, words == labels."""
+    from kaldi_ctc_tpu.cli import init_model, serve
+    from kaldi_ctc_tpu.decoding.wfst import NativeFst
+
+    exp = str(tmp_path / "exp")
+    init_model.main(["--input-dim", "40", "--num-targets", "6",
+                     "--hidden-dim", "16", "--num-layers", "1",
+                     "--bidirectional", "0", "--dir", exp])
+    # word-loop base graph (words = labels 1..5), CTC-transformed
+    arcs, weights = [], []
+    for lab in range(1, 6):
+        arcs.append([0, lab, lab, lab]); weights.append(1.0)
+        arcs.append([lab, lab, 0, lab]); weights.append(0.0)
+        arcs.append([lab, 0, 0, 0]); weights.append(0.0)
+    finals = np.full(6, np.inf, np.float32); finals[0] = 0.0
+    base = NativeFst.from_arrays(0, 6, np.asarray(arcs, np.int32),
+                                 np.asarray(weights, np.float32), finals)
+    gpath = str(tmp_path / "ctc.fst")
+    base.make_ctc_graph().write(gpath)
+    words = "\n".join(f"w{i} {i}" for i in range(6))
+    (tmp_path / "words.txt").write_text(words + "\n")
+
+    args = serve.parse_args(["--dir", exp, "--use-priors", "0",
+                             "--graph", gpath,
+                             "--words", str(tmp_path / "words.txt"),
+                             "--max-streams", "2", "--chunk-frames", "5"])
+    eng = serve.Engine(args)
+    rng = np.random.default_rng(3)
+    x = np.cumsum(rng.standard_normal(16000)).astype(np.float32)
+    x = (x - x.mean()) / (np.abs(x).max() + 1e-6) * 20000
+    slot = eng.stream_start()
+    assert slot is not None and slot >= 0
+    eng.stream_chunk(slot, x[:8000])
+    eng.stream_chunk(slot, x[8000:])
+    out = eng.stream_end(slot)
+    assert "words" in out and "text" in out, out
+    # same audio through /recognize gives the same words
+    full = eng.recognize(x)
+    assert out["words"] == full["words"], (out["words"], full["words"])
