@@ -79,6 +79,10 @@ def main(argv=None):
     import json
     with open(os.path.join(args.dir, "model_config.json")) as f:
         cfg = AmConfig.from_dict(json.load(f))
+    # growth rewrites the config before a checkpoint at the new size
+    # exists; the checkpoint meta is the template's truth
+    from kaldi_ctc_tpu.training.checkpoint import cfg_for_checkpoint
+    cfg = cfg_for_checkpoint(os.path.join(args.dir, "checkpoints"), cfg)
 
     priors_path = os.path.join(args.dir, "priors.npy")
     old = np.load(priors_path) if os.path.exists(priors_path) else None

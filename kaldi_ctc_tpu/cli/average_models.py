@@ -30,24 +30,41 @@ def main(argv=None):
     from kaldi_ctc_tpu.models import AmConfig, init_am_params
     from kaldi_ctc_tpu.training import init_train_state
     from kaldi_ctc_tpu.training.checkpoint import (
-        restore_checkpoint, save_checkpoint)
+        cfg_for_checkpoint, read_meta, restore_checkpoint,
+        save_checkpoint)
 
     args = parse_args(argv)
     with open(os.path.join(args.dir, "model_config.json")) as f:
         cfg = AmConfig.from_dict(json.load(f))
-    like = init_train_state(init_am_params(jax.random.PRNGKey(0), cfg))
     ckpt_dir = os.path.join(args.dir, "checkpoints")
+    # templates must match each SOURCE checkpoint's saved layer count
+    # (growth rewrites the config before checkpoints at the new size
+    # exist), and averaging across different sizes is meaningless
+    cfgs = [cfg_for_checkpoint(ckpt_dir, cfg, step=s) for s in args.steps]
+    if len({c.num_layers for c in cfgs}) != 1:
+        raise SystemExit(
+            "checkpoints span different layer counts "
+            f"({[c.num_layers for c in cfgs]}): cannot average")
+    cfg = cfgs[0]
+    like = init_train_state(init_am_params(jax.random.PRNGKey(0), cfg))
 
     states = []
+    metas = []
     for s in args.steps:
-        st, _ = restore_checkpoint(ckpt_dir, like, step=s)
+        st, m = restore_checkpoint(ckpt_dir, like, step=s)
         states.append(st)
+        metas.append(m)
     n = len(states)
     avg = jax.tree_util.tree_map(lambda *xs: sum(xs) / n, *states)
     # step counter: use the max source step
     avg = avg._replace(step=max(st.step for st in states))
-    save_checkpoint(ckpt_dir, args.out_step, avg,
-                    extra={"averaged_from": args.steps})
+    # carry the resume/serve metadata of the newest source so the
+    # averaged checkpoint remains a valid resume/restore point
+    newest = max(metas, key=lambda m: m["step"])
+    extra = dict(newest.get("extra", {}))
+    extra["averaged_from"] = args.steps
+    extra["num_layers"] = cfg.num_layers
+    save_checkpoint(ckpt_dir, args.out_step, avg, extra=extra)
     print(f"averaged {n} checkpoints -> step_{args.out_step}")
 
 

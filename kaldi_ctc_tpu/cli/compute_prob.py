@@ -53,6 +53,11 @@ def main(argv=None):
     log = get_logger("compute_prob")
     with open(os.path.join(args.dir, "model_config.json")) as f:
         cfg = AmConfig.from_dict(json.load(f))
+    # growth rewrites the config before a checkpoint at the new size
+    # exists; the checkpoint meta is the template's truth
+    from kaldi_ctc_tpu.training.checkpoint import cfg_for_checkpoint
+    cfg = cfg_for_checkpoint(os.path.join(args.dir, "checkpoints"),
+                             cfg, step=args.step)
 
     if args.egs:
         from kaldi_ctc_tpu.data.egs_io import SequentialEgsReader

@@ -38,7 +38,8 @@ def main(argv=None):
     from kaldi_ctc_tpu.models import AmConfig, init_am_params
     from kaldi_ctc_tpu.models.artifact import save_inference_artifact
     from kaldi_ctc_tpu.training import init_train_state
-    from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
+    from kaldi_ctc_tpu.training.checkpoint import (
+        cfg_for_checkpoint, restore_checkpoint)
     from kaldi_ctc_tpu.utils import get_logger
 
     args = parse_args(argv)
@@ -46,6 +47,10 @@ def main(argv=None):
 
     with open(os.path.join(args.dir, "model_config.json")) as f:
         cfg = AmConfig.from_dict(json.load(f))
+    # growth rewrites the config before a checkpoint at the new size
+    # exists; the chosen checkpoint's meta is the truth for the template
+    cfg = cfg_for_checkpoint(os.path.join(args.dir, "checkpoints"),
+                             cfg, step=args.step)
     if args.remove_dropout and cfg.dropout > 0:
         cfg = dataclasses.replace(cfg, dropout=0.0)
         log.info("removed dropout")

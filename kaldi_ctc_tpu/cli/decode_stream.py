@@ -65,6 +65,11 @@ def main(argv=None):
         from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
         with open(os.path.join(args.dir, "model_config.json")) as f:
             cfg = AmConfig.from_dict(json.load(f))
+        # growth rewrites the config before a checkpoint at the
+        # new size exists; the checkpoint meta is the template's truth
+        from kaldi_ctc_tpu.training.checkpoint import cfg_for_checkpoint
+        cfg = cfg_for_checkpoint(os.path.join(args.dir, "checkpoints"),
+                                 cfg, step=args.step)
         state = init_train_state(
             init_am_params(jax.random.PRNGKey(0), cfg))
         state, _ = restore_checkpoint(

@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 
 def main(argv=None):
@@ -22,9 +23,19 @@ def main(argv=None):
     path = os.path.join(args.dir, "metrics.jsonl")
     steps, losses, accs, lrs = [], [], [], []
     valid_steps, valid_accs = [], []
+    n_bad = 0
     with open(path) as f:
         for line in f:
-            rec = json.loads(line)
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                # a hard-killed trainer can leave one truncated record;
+                # losing the whole report over it helps nobody
+                n_bad += 1
+                continue
             if rec.get("event") == "train_step":
                 steps.append(rec["step"])
                 losses.append(rec["loss_per_frame"])
@@ -33,6 +44,9 @@ def main(argv=None):
             elif rec.get("event") == "valid":
                 valid_steps.append(rec["step"])
                 valid_accs.append(rec["accuracy"])
+    if n_bad:
+        print(f"generate_report: skipped {n_bad} unparseable metrics "
+              "lines", file=sys.stderr)
 
     # accuracy.log-style table (reports/ctc-google/accuracy.log format)
     out = os.path.join(args.dir, "accuracy.log")

@@ -18,16 +18,21 @@ def main(argv=None):
     from kaldi_ctc_tpu.models import AmConfig, init_am_params
     from kaldi_ctc_tpu.training import init_train_state
     from kaldi_ctc_tpu.training.checkpoint import (
-        latest_step, restore_checkpoint)
+        cfg_for_checkpoint, latest_step, restore_checkpoint)
 
     with open(os.path.join(args.dir, "model_config.json")) as f:
         cfg_d = json.load(f)
     cfg = AmConfig.from_dict(cfg_d)
-    like = init_train_state(init_am_params(jax.random.PRNGKey(0), cfg))
     ckpt_dir = os.path.join(args.dir, "checkpoints")
     info = dict(cfg_d)
     step = args.step if args.step is not None else latest_step(ckpt_dir)
     if step is not None:
+        # growth rewrites the config before a checkpoint at the new
+        # size exists; the checkpoint meta is the template's truth
+        cfg = cfg_for_checkpoint(ckpt_dir, cfg, step=step)
+        info["num_layers"] = cfg.num_layers
+        like = init_train_state(init_am_params(jax.random.PRNGKey(0),
+                                               cfg))
         state, meta = restore_checkpoint(ckpt_dir, like, step=step)
         leaves = jax.tree_util.tree_leaves(state.params)
         info["checkpoint_step"] = meta["step"]

@@ -103,21 +103,15 @@ class Engine:
             from kaldi_ctc_tpu.models import init_am_params
             from kaldi_ctc_tpu.training import init_train_state
             from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
-            from kaldi_ctc_tpu.training.checkpoint import read_meta
+            from kaldi_ctc_tpu.training.checkpoint import (
+                cfg_for_checkpoint)
             with open(os.path.join(args.dir, "model_config.json")) as f:
                 self.cfg = AmConfig.from_dict(json.load(f))
             # the checkpoint, not model_config.json, is the truth for
             # the layer count: layer-wise growth rewrites the config
             # BEFORE the first checkpoint at the new size exists
-            # (train_ctc resume does the same)
-            try:
-                ckpt_layers = read_meta(os.path.join(
-                    args.dir, "checkpoints"))["extra"].get("num_layers")
-            except Exception:
-                ckpt_layers = None
-            if ckpt_layers and ckpt_layers != self.cfg.num_layers:
-                import dataclasses as _dc
-                self.cfg = _dc.replace(self.cfg, num_layers=ckpt_layers)
+            self.cfg = cfg_for_checkpoint(
+                os.path.join(args.dir, "checkpoints"), self.cfg)
             template = init_am_params(jax.random.PRNGKey(0), self.cfg)
             state = init_train_state(template)
             state, _ = restore_checkpoint(

@@ -129,7 +129,8 @@ def main(argv=None):
     # only the primary writes metrics.jsonl: every process appending to
     # the same file would duplicate each record n_proc times
     metrics_log = MetricsLogger(
-        os.path.join(args.dir, "metrics.jsonl") if is_primary() else None)
+        os.path.join(args.dir, "metrics.jsonl") if is_primary() else None,
+        append=bool(args.resume))
 
     utt2spk = None
     if args.utt2spk:
@@ -314,82 +315,86 @@ def main(argv=None):
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
-    for epoch in range(start_epoch, args.epochs):
-        log.info("epoch %d", epoch)
-        epoch_step = 0
-        skip = start_epoch_step if epoch == start_epoch else 0
-        for batch_np in Prefetcher(pipe.epoch(epoch)):
-            if epoch_step < skip:
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            log.info("epoch %d", epoch)
+            epoch_step = 0
+            skip = start_epoch_step if epoch == start_epoch else 0
+            for batch_np in Prefetcher(pipe.epoch(epoch)):
+                if epoch_step < skip:
+                    epoch_step += 1
+                    continue
                 epoch_step += 1
-                continue
-            epoch_step += 1
-            keys = batch_np.pop("keys")
-            batch = shard_batch(batch_np, mesh)
-            with profiling.profiler.track("train_step"):
-                state, m = train_step(state, batch)
-            global_step += 1
-            if (grow and cfg.num_layers < args.num_layers
-                    and global_step % args.add_layers_period == 0):
-                new_params, cfg = grow_rnn_layer(
-                    jax.device_get(state.params), cfg,
-                    jax.random.PRNGKey(args.seed + 100 + cfg.num_layers))
-                # pytree structure changed: fresh velocity, rebuilt steps
-                step_count = state.step
-                state = init_train_state(new_params)._replace(step=step_count)
-                train_step = make_train_step(cfg, opts)
-                eval_step = make_eval_step(cfg)
-                write_cfg(cfg)
-                log.info("grew RNN stack to %d layers at step %d",
-                         cfg.num_layers, global_step)
-            acc, err, ref = accuracy_from_outputs(
-                m, batch_np["labels"], batch_np["label_lens"])
-            tot_err += err; tot_ref += ref
-            metrics_log.log(
-                "train_step", step=global_step,
-                loss_per_frame=float(m["loss_per_frame"]),
-                lr=float(m["lr"]), accuracy=acc,
-                grad_norm=float(m["grad_norm"]),
-                num_frames=int(m["num_frames"]))
-            if global_step % 10 == 0:
-                log.info(
-                    "step %d loss/frame %.4f acc %.4f lr %.3g (%.1fs)",
-                    global_step, float(m["loss_per_frame"]), acc,
-                    float(m["lr"]), timer.elapsed())
-                timer.reset()
-            if valid_pipe is not None and global_step % (args.cv_period * 10) == 0:
-                v_err = v_ref = 0; v_loss = 0.0; v_frames = 0
-                for vb in valid_pipe.epoch(0):
-                    vb.pop("keys")
-                    out = eval_step(state.params, shard_batch(vb, mesh))
-                    _, e, r = accuracy_from_outputs(
-                        out, vb["labels"], vb["label_lens"])
-                    v_err += e; v_ref += r
-                    v_loss += float(out["loss_total"])
-                    v_frames += int(out["num_frames"])
-                v_err, v_ref = global_counts(v_err, v_ref)
-                v_acc = 1.0 - v_err / max(v_ref, 1)
-                metrics_log.log("valid", step=global_step, accuracy=v_acc,
-                                loss_per_frame=v_loss / max(v_frames, 1))
-                log.info("valid @%d: acc %.4f", global_step, v_acc)
-            if global_step % args.checkpoint_period == 0 and is_primary():
+                keys = batch_np.pop("keys")
+                batch = shard_batch(batch_np, mesh)
+                with profiling.profiler.track("train_step"):
+                    state, m = train_step(state, batch)
+                global_step += 1
+                if (grow and cfg.num_layers < args.num_layers
+                        and global_step % args.add_layers_period == 0):
+                    new_params, cfg = grow_rnn_layer(
+                        jax.device_get(state.params), cfg,
+                        jax.random.PRNGKey(args.seed + 100 + cfg.num_layers))
+                    # pytree structure changed: fresh velocity, rebuilt steps
+                    step_count = state.step
+                    state = init_train_state(new_params)._replace(step=step_count)
+                    train_step = make_train_step(cfg, opts)
+                    eval_step = make_eval_step(cfg)
+                    write_cfg(cfg)
+                    log.info("grew RNN stack to %d layers at step %d",
+                             cfg.num_layers, global_step)
+                acc, err, ref = accuracy_from_outputs(
+                    m, batch_np["labels"], batch_np["label_lens"])
+                tot_err += err; tot_ref += ref
+                metrics_log.log(
+                    "train_step", step=global_step,
+                    loss_per_frame=float(m["loss_per_frame"]),
+                    lr=float(m["lr"]), accuracy=acc,
+                    grad_norm=float(m["grad_norm"]),
+                    num_frames=int(m["num_frames"]))
+                if global_step % 10 == 0:
+                    log.info(
+                        "step %d loss/frame %.4f acc %.4f lr %.3g (%.1fs)",
+                        global_step, float(m["loss_per_frame"]), acc,
+                        float(m["lr"]), timer.elapsed())
+                    timer.reset()
+                if valid_pipe is not None and global_step % (args.cv_period * 10) == 0:
+                    v_err = v_ref = 0; v_loss = 0.0; v_frames = 0
+                    for vb in valid_pipe.epoch(0):
+                        vb.pop("keys")
+                        out = eval_step(state.params, shard_batch(vb, mesh))
+                        _, e, r = accuracy_from_outputs(
+                            out, vb["labels"], vb["label_lens"])
+                        v_err += e; v_ref += r
+                        v_loss += float(out["loss_total"])
+                        v_frames += int(out["num_frames"])
+                    v_err, v_ref = global_counts(v_err, v_ref)
+                    v_acc = 1.0 - v_err / max(v_ref, 1)
+                    metrics_log.log("valid", step=global_step, accuracy=v_acc,
+                                    loss_per_frame=v_loss / max(v_frames, 1))
+                    log.info("valid @%d: acc %.4f", global_step, v_acc)
+                if global_step % args.checkpoint_period == 0 and is_primary():
+                    save_checkpoint(ckpt_dir, global_step, state,
+                                    extra={"epoch": epoch,
+                                           "epoch_step": epoch_step,
+                                           "num_layers": cfg.num_layers})
+                    apply_retention(ckpt_dir)
+            # per-epoch accuracy line (parseable contract), global counts
+            g_err, g_ref = global_counts(tot_err, tot_ref)
+            epoch_acc = 1.0 - g_err / max(g_ref, 1)
+            metrics_log.log_accuracy(epoch_acc, epoch=epoch, step=global_step)
+            tot_err = tot_ref = 0
+            if is_primary():
                 save_checkpoint(ckpt_dir, global_step, state,
-                                extra={"epoch": epoch,
-                                       "epoch_step": epoch_step,
+                                extra={"epoch": epoch + 1,
                                        "num_layers": cfg.num_layers})
                 apply_retention(ckpt_dir)
-        # per-epoch accuracy line (parseable contract), global counts
-        g_err, g_ref = global_counts(tot_err, tot_ref)
-        epoch_acc = 1.0 - g_err / max(g_ref, 1)
-        metrics_log.log_accuracy(epoch_acc, epoch=epoch, step=global_step)
-        tot_err = tot_ref = 0
-        if is_primary():
-            save_checkpoint(ckpt_dir, global_step, state,
-                            extra={"epoch": epoch + 1,
-                                   "num_layers": cfg.num_layers})
-            apply_retention(ckpt_dir)
+    finally:
+        # a failed step must still close the trace, or the
+        # profile directory is left unusable
+        if args.profile_dir:
+            jax.profiler.stop_trace()
 
-    if args.profile_dir:
-        jax.profiler.stop_trace()
     if not is_primary():
         log.info("done (secondary host): %d steps", global_step)
         return

@@ -42,13 +42,14 @@ def load_inference_artifact(path: str) -> Tuple[Any, "AmConfig",
 
     from kaldi_ctc_tpu.models.acoustic import AmConfig, init_am_params
 
-    data = np.load(path)
-    cfg = AmConfig.from_dict(
-        json.loads(bytes(data["__config__"]).decode()))
-    template = init_am_params(jax.random.PRNGKey(0), cfg)
-    _, treedef = jax.tree_util.tree_flatten(template)
-    n = len(jax.tree_util.tree_leaves(template))
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
-    params = jax.tree_util.tree_unflatten(treedef, leaves)
-    priors = data["__priors__"] if "__priors__" in data else None
+    with np.load(path) as data:
+        cfg = AmConfig.from_dict(
+            json.loads(bytes(data["__config__"]).decode()))
+        template = init_am_params(jax.random.PRNGKey(0), cfg)
+        _, treedef = jax.tree_util.tree_flatten(template)
+        n = len(jax.tree_util.tree_leaves(template))
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        priors = (np.asarray(data["__priors__"])
+                  if "__priors__" in data else None)
     return params, cfg, priors

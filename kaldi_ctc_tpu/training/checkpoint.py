@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
+           "cfg_for_checkpoint",
            "apply_retention", "read_meta"]
 
 _STEP_RE = re.compile(r"^step_(\d+)$")
@@ -78,6 +79,25 @@ def read_meta(ckpt_dir: str, step: Optional[int] = None) -> Dict:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
     with open(os.path.join(ckpt_dir, f"step_{step}", "meta.json")) as f:
         return json.load(f)
+
+
+def cfg_for_checkpoint(ckpt_dir: str, cfg, step: Optional[int] = None):
+    """Reconcile an AmConfig with a checkpoint's saved layer count.
+
+    Layer-wise growth rewrites model_config.json BEFORE the first
+    checkpoint at the new size exists, and earlier checkpoints keep the
+    old size — the checkpoint's meta, not the config file, is the truth
+    for the restore template.  Returns cfg unchanged when the meta has
+    no layer record (e.g. checkpoints written by average_models of
+    mixed provenance) or already matches."""
+    import dataclasses
+    try:
+        layers = read_meta(ckpt_dir, step=step)["extra"].get("num_layers")
+    except Exception:
+        return cfg
+    if layers and layers != cfg.num_layers:
+        return dataclasses.replace(cfg, num_layers=layers)
+    return cfg
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

@@ -34,10 +34,13 @@ def get_logger(name: str = "kaldi_ctc_tpu", verbose: int = 0) -> logging.Logger:
 class MetricsLogger:
     """JSONL metrics writer with the reference-compatible accuracy line."""
 
-    def __init__(self, path: Optional[str] = None, stream: Optional[IO] = None):
+    def __init__(self, path: Optional[str] = None, stream: Optional[IO] = None,
+                 append: bool = True):
+        """append=False truncates: a fresh (non-resume) run must not
+        interleave its records with a previous run's in the same dir."""
         self._f: Optional[IO] = stream
         if path is not None:
-            self._f = open(path, "a")
+            self._f = open(path, "a" if append else "w")
         self._t0 = time.time()
 
     def log(self, event: str, **kv) -> None:

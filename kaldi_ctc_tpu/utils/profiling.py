@@ -53,7 +53,12 @@ class Profiler:
         """PrintProfile analogue: sections sorted by accumulated time."""
         if not self._acc:
             return
-        emit = log.info if log is not None else print
+        import functools
+        import sys
+        # stderr by default: CLIs write machine-readable output
+        # (hypotheses, JSON) to stdout, like every other log line here
+        emit = (log.info if log is not None
+                else functools.partial(print, file=sys.stderr))
         total = sum(self._acc.values())
         emit("-----[Profile], total accounted %.3fs" % total)
         for k, v in self.report().items():

@@ -185,6 +185,32 @@ def test_cli_layer_growth_bf16(tmp_path):
         "--initial-learning-rate", "1e-2", "--final-learning-rate", "1e-2",
         "--dir", exp, "--checkpoint-period", "6", "--resume",
     ])
+    # model tools reconcile the template with each checkpoint's saved
+    # layer count (growth rewrote model_config.json to 3 layers, but
+    # step-6 checkpoints may predate the final growth)
+    from kaldi_ctc_tpu.cli import copy_model, model_info
+    import contextlib as _ctx
+    import io as _io
+    from kaldi_ctc_tpu.training.checkpoint import latest_step, read_meta
+    ckpt_dir = os.path.join(exp, "checkpoints")
+    steps = sorted(int(p.name.split("_")[1])
+                   for p in (tmp_path / "exp_grow" / "checkpoints").iterdir())
+    for s in steps:
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            model_info.main(["--dir", exp, "--step", str(s)])
+        info = json.loads(buf.getvalue())
+        assert info["num_layers"] == read_meta(ckpt_dir, step=s)[
+            "extra"]["num_layers"], (s, info)
+    # export works from a pre-growth checkpoint too
+    pre = next(s for s in steps
+               if read_meta(ckpt_dir, step=s)["extra"]["num_layers"] < 3)
+    copy_model.main(["--dir", exp, "--step", str(pre),
+                     "--output", str(tmp_path / "pre.npz")])
+    from kaldi_ctc_tpu.models.artifact import load_inference_artifact
+    _params, art_cfg, _pri = load_inference_artifact(
+        str(tmp_path / "pre.npz"))
+    assert art_cfg.num_layers < 3
 
 
 def test_cli_adjust_priors(tmp_path):
