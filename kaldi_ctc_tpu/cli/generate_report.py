@@ -18,6 +18,10 @@ def main(argv=None):
     p.add_argument("--dir", required=True, help="experiment dir")
     p.add_argument("--plot", action="store_true",
                    help="write accuracy.png/loss.png (needs matplotlib)")
+    p.add_argument("--latex", action="store_true",
+                   help="also write report.tex embedding the plots (the "
+                        "reference's LatexReport, generate_plots.py:78-108;"
+                        " compile manually — no pdflatex dependency)")
     args = p.parse_args(argv)
 
     path = os.path.join(args.dir, "metrics.jsonl")
@@ -76,6 +80,31 @@ def main(argv=None):
         png = os.path.join(args.dir, "training.png")
         fig.savefig(png, dpi=120)
         print(f"wrote {png}")
+
+    if args.latex:
+        final_acc = accs[-1] if accs else float("nan")
+        final_vacc = valid_accs[-1] if valid_accs else None
+        lines = [
+            r"\documentclass{article}",
+            r"\usepackage{graphicx}",
+            r"\title{CTC training report}",
+            r"\begin{document}", r"\maketitle",
+            r"\section{Summary}",
+            r"\begin{tabular}{lr}",
+            rf"steps & {steps[-1] if steps else 0} \\",
+            rf"final train accuracy & {final_acc:.4f} \\",
+        ]
+        if final_vacc is not None:
+            lines.append(rf"final valid accuracy & {final_vacc:.4f} \\")
+        lines.append(r"\end{tabular}")
+        if args.plot:
+            lines += [r"\section{Curves}",
+                      r"\includegraphics[width=\textwidth]{training.png}"]
+        lines.append(r"\end{document}")
+        tex = os.path.join(args.dir, "report.tex")
+        with open(tex, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {tex}")
 
 
 if __name__ == "__main__":
