@@ -6,14 +6,27 @@ The TPU-native replacement for the cuDNN RNN kernel surface
 these kernels implement the *sequential* part — the per-timestep recurrent
 matmul + gate fusion — with the hidden/cell state resident in VMEM scratch
 that persists across the (sequential) TPU grid steps, so the recurrence
-never round-trips HBM:
+never round-trips HBM.
+
+Measured on v5e, these kernels are **HBM-bandwidth-bound, not
+compute-bound**: a pure copy kernel over the same blocks costs ~80% of
+the full LSTM step (the recurrent matmul, the gate transcendentals and
+even the sequential scratch dependency are hidden under the block DMA).
+The design therefore minimizes HBM bytes:
 
 - forward: grid=(T,), per step ``gates = x_proj[t] + h @ W_h`` on the MXU
-  followed by fused VPU gate math; activated gates and cell states are
-  written out as residuals for the backward pass;
-- backward: same structure in reverse, producing d(gates); the weight
-  gradients ``dW_h = h_prevᵀ·dgates`` / ``dW_x = xᵀ·dgates`` are again
-  large XLA matmuls outside the kernel.
+  followed by fused VPU gate math; only ``y`` and the cell states are
+  written out as residuals — the activated gates (4H wide, the largest
+  residual) are NOT stored;
+- backward: same structure in reverse.  The gates are *recomputed* from
+  ``x_proj[t] + y[t-1] @ W_h`` (bit-identical to the forward: the same
+  f32 ops on the same inputs, and y[t-1] equals the h carry at every
+  valid step), trading a free MXU matmul for 4H·T·B of HBM traffic.
+  The shifted neighbours y[t-1] / c[t-1] enter as *block-spec views of
+  the same arrays* (clamped index maps + a boundary zero in-kernel), so
+  no shifted copies are materialized.  The weight gradients
+  ``dW_h = h_prevᵀ·dgates`` / ``dW_x = xᵀ·dgates`` are again large XLA
+  matmuls outside the kernel.
 
 Direction is handled by index arithmetic (reverse=True flips the time
 index map), so backward-direction BLSTM layers reuse the same kernels.
@@ -30,82 +43,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lstm_sequence", "lstm_seq_fwd", "bilstm_sequence"]
-
-
-def _fwd_kernel(lens_ref, xp_ref, wh_ref, y_ref, c_ref, gates_ref,
-                h_scr, c_scr, *, t_max: int, reverse: bool):
-    step = pl.program_id(0)
-    t = (t_max - 1 - step) if reverse else step
-
-    @pl.when(step == 0)
-    def _init():
-        h_scr[:] = jnp.zeros_like(h_scr)
-        c_scr[:] = jnp.zeros_like(c_scr)
-
-    h = h_scr[:]
-    c = c_scr[:]
-    gates = xp_ref[0] + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
-                                preferred_element_type=jnp.float32)
-    hdim = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
-    f = jax.nn.sigmoid(gates[:, 1 * hdim:2 * hdim])
-    g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
-    o = jax.nn.sigmoid(gates[:, 3 * hdim:4 * hdim])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-
-    valid = lens_ref[:] > t  # [B, 1] float lengths in VMEM
-    h_out = jnp.where(valid, h_new, h)
-    c_out = jnp.where(valid, c_new, c)
-    h_scr[:] = h_out
-    c_scr[:] = c_out
-    y_ref[0] = jnp.where(valid, h_new, 0.0)
-    c_ref[0] = c_out
-    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
-
-
-def _bwd_kernel(lens_ref, dy_ref, gates_ref, c_ref, cprev_ref, wh_t_ref,
-                dgates_ref, dh_scr, dc_scr, *, t_max: int, reverse: bool):
-    step = pl.program_id(0)
-    # walk time in the opposite order of the forward pass
-    t = step if reverse else (t_max - 1 - step)
-
-    @pl.when(step == 0)
-    def _init():
-        dh_scr[:] = jnp.zeros_like(dh_scr)
-        dc_scr[:] = jnp.zeros_like(dc_scr)
-
-    hdim = dh_scr.shape[-1]
-    gates = gates_ref[0]
-    i = gates[:, 0 * hdim:1 * hdim]
-    f = gates[:, 1 * hdim:2 * hdim]
-    g = gates[:, 2 * hdim:3 * hdim]
-    o = gates[:, 3 * hdim:4 * hdim]
-    c = c_ref[0]
-    c_prev = cprev_ref[0]
-    tanh_c = jnp.tanh(c)
-
-    dh_total = dy_ref[0] + dh_scr[:]
-    dc_total = dc_scr[:] + dh_total * o * (1.0 - tanh_c * tanh_c)
-    do = dh_total * tanh_c * o * (1.0 - o)
-    di = dc_total * g * i * (1.0 - i)
-    df = dc_total * c_prev * f * (1.0 - f)
-    dg = dc_total * i * (1.0 - g * g)
-    dgates = jnp.concatenate([di, df, dg, do], axis=-1)
-
-    valid = lens_ref[:] > t
-    dgates = jnp.where(valid, dgates, 0.0)
-    dh_new = jnp.dot(dgates.astype(wh_t_ref.dtype), wh_t_ref[:],
-                     preferred_element_type=jnp.float32)
-    # carry: valid step consumes dh/dc; invalid passes them through
-    dh_scr[:] = jnp.where(valid, dh_new, dh_scr[:])
-    dc_scr[:] = jnp.where(valid, dc_total * f, dc_scr[:])
-    dgates_ref[0] = dgates
+__all__ = ["lstm_sequence", "lstm_seq_fwd", "bilstm_layer"]
 
 
 def _lstm_cell_update(xp, wh_ref, h, c, valid):
-    """One LSTM cell step; returns (h_out, c_out, y, gates)."""
+    """One LSTM cell step; returns (h_out, c_out, y)."""
     gates = xp + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
                          preferred_element_type=jnp.float32)
     hdim = h.shape[-1]
@@ -117,52 +59,42 @@ def _lstm_cell_update(xp, wh_ref, h, c, valid):
     h_new = o * jnp.tanh(c_new)
     h_out = jnp.where(valid, h_new, h)
     c_out = jnp.where(valid, c_new, c)
-    return h_out, c_out, jnp.where(valid, h_new, 0.0), \
-        jnp.concatenate([i, f, g, o], axis=-1)
+    return h_out, c_out, jnp.where(valid, h_new, 0.0)
 
 
-def _bifwd_kernel(lens_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
-                  yf_ref, cf_ref, gf_ref, yb_ref, cb_ref, gb_ref,
-                  hf_scr, cf_scr, hb_scr, cb_scr, *, t_max: int):
-    """Both BLSTM directions in one sequential grid: step s advances the
-    forward direction at t=s and the backward direction at t=t_max-1-s.
-    The directions are independent, so one pass of T steps replaces two
-    back-to-back T-step kernels."""
+def _fwd_kernel(lens_ref, xp_ref, wh_ref, y_ref, c_ref,
+                h_scr, c_scr, *, t_max: int, reverse: bool):
     step = pl.program_id(0)
+    t = (t_max - 1 - step) if reverse else step
 
     @pl.when(step == 0)
     def _init():
-        hf_scr[:] = jnp.zeros_like(hf_scr)
-        cf_scr[:] = jnp.zeros_like(cf_scr)
-        hb_scr[:] = jnp.zeros_like(hb_scr)
-        cb_scr[:] = jnp.zeros_like(cb_scr)
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
 
-    valid_f = lens_ref[:] > step
-    h, c, y, g = _lstm_cell_update(xpf_ref[0], whf_ref, hf_scr[:],
-                                   cf_scr[:], valid_f)
-    hf_scr[:] = h
-    cf_scr[:] = c
-    yf_ref[0] = y
-    cf_ref[0] = c
-    gf_ref[0] = g
-
-    valid_b = lens_ref[:] > (t_max - 1 - step)
-    h, c, y, g = _lstm_cell_update(xpb_ref[0], whb_ref, hb_scr[:],
-                                   cb_scr[:], valid_b)
-    hb_scr[:] = h
-    cb_scr[:] = c
-    yb_ref[0] = y
-    cb_ref[0] = c
-    gb_ref[0] = g
+    valid = lens_ref[:] > t  # [B, 1] float lengths in VMEM
+    h, c, y = _lstm_cell_update(xp_ref[0], wh_ref, h_scr[:], c_scr[:], valid)
+    h_scr[:] = h
+    c_scr[:] = c
+    y_ref[0] = y
+    c_ref[0] = c
 
 
-def _dgates_update(dy, gates, c, c_prev, wh_t_ref, dh, dc, valid):
+def _recompute_gates(xp, hp, wh_ref):
+    """Re-run the forward gate computation (identical f32 ops)."""
+    hdim = hp.shape[-1]
+    raw = xp + jnp.dot(hp.astype(wh_ref.dtype), wh_ref[:],
+                       preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(raw[:, 0 * hdim:1 * hdim])
+    f = jax.nn.sigmoid(raw[:, 1 * hdim:2 * hdim])
+    g = jnp.tanh(raw[:, 2 * hdim:3 * hdim])
+    o = jax.nn.sigmoid(raw[:, 3 * hdim:4 * hdim])
+    return i, f, g, o
+
+
+def _dgates_update(dy, ifgo, c, c_prev, wh_t_ref, dh, dc, valid):
     """One backward cell step; returns (dgates, dh_new, dc_new)."""
-    hdim = dh.shape[-1]
-    i = gates[:, 0 * hdim:1 * hdim]
-    f = gates[:, 1 * hdim:2 * hdim]
-    g = gates[:, 2 * hdim:3 * hdim]
-    o = gates[:, 3 * hdim:4 * hdim]
+    i, f, g, o = ifgo
     tanh_c = jnp.tanh(c)
     dh_total = dy + dh
     dc_total = dc + dh_total * o * (1.0 - tanh_c * tanh_c)
@@ -178,10 +110,80 @@ def _dgates_update(dy, gates, c, c_prev, wh_t_ref, dh, dc, valid):
             jnp.where(valid, dc_total * f, dc))
 
 
-def _bibwd_kernel(lens_ref, dyf_ref, gf_ref, cf_ref, cpf_ref,
-                  dyb_ref, gb_ref, cb_ref, cpb_ref, whf_t_ref, whb_t_ref,
+def _zero_at(first, x):
+    """x, except all-zeros when the scalar condition `first` holds."""
+    return jnp.where(first, jnp.zeros_like(x), x)
+
+
+def _bwd_kernel(lens_ref, dy_ref, xp_ref, hp_ref, clast_ref, cp_ref,
+                wh_ref, wh_t_ref, dgates_ref, dh_scr, dc_scr, c_scr,
+                *, t_max: int, reverse: bool):
+    step = pl.program_id(0)
+    # walk time in the opposite order of the forward pass
+    t = step if reverse else (t_max - 1 - step)
+
+    @pl.when(step == 0)
+    def _init():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        # c[t] at the walk's first step = the forward pass's last cell
+        # state; every later step's c[t] is the previous step's cp read
+        c_scr[:] = clast_ref[0]
+
+    # the forward pass's first processed step (t=0 fwd / t=T-1 reverse) is
+    # reached at the bwd walk's last step; its h/c "previous" is zero
+    first = step == t_max - 1
+    hp = _zero_at(first, hp_ref[0])
+    cp_raw = cp_ref[0]
+    cp = _zero_at(first, cp_raw)
+    ifgo = _recompute_gates(xp_ref[0], hp, wh_ref)
+    valid = lens_ref[:] > t
+    dgates, dh, dc = _dgates_update(dy_ref[0], ifgo, c_scr[:], cp,
+                                    wh_t_ref, dh_scr[:], dc_scr[:], valid)
+    dh_scr[:] = dh
+    dc_scr[:] = dc
+    c_scr[:] = cp_raw
+    dgates_ref[0] = dgates
+
+
+def _bifwd_kernel(lens_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
+                  yf_ref, cf_ref, yb_ref, cb_ref,
+                  hf_scr, cf_scr, hb_scr, cb_scr, *, t_max: int):
+    """Both BLSTM directions in one sequential grid: step s advances the
+    forward direction at t=s and the backward direction at t=t_max-1-s.
+    The directions are independent, so one pass of T steps replaces two
+    back-to-back T-step kernels."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        cf_scr[:] = jnp.zeros_like(cf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+        cb_scr[:] = jnp.zeros_like(cb_scr)
+
+    valid_f = lens_ref[:] > step
+    h, c, y = _lstm_cell_update(xpf_ref[0], whf_ref, hf_scr[:],
+                                cf_scr[:], valid_f)
+    hf_scr[:] = h
+    cf_scr[:] = c
+    yf_ref[0] = y
+    cf_ref[0] = c
+
+    valid_b = lens_ref[:] > (t_max - 1 - step)
+    h, c, y = _lstm_cell_update(xpb_ref[0], whb_ref, hb_scr[:],
+                                cb_scr[:], valid_b)
+    hb_scr[:] = h
+    cb_scr[:] = c
+    yb_ref[0] = y
+    cb_ref[0] = c
+
+
+def _bibwd_kernel(lens_ref, dyf_ref, xpf_ref, hpf_ref, cflast_ref, cpf_ref,
+                  dyb_ref, xpb_ref, hpb_ref, cblast_ref, cpb_ref,
+                  whf_ref, whf_t_ref, whb_ref, whb_t_ref,
                   dgf_ref, dgb_ref, dhf_scr, dcf_scr, dhb_scr, dcb_scr,
-                  *, t_max: int):
+                  ccf_scr, ccb_scr, *, t_max: int):
     """dgates for both directions: step s handles the forward direction
     at t=t_max-1-s (reverse of its forward order) and the backward
     direction at t=s."""
@@ -193,21 +195,37 @@ def _bibwd_kernel(lens_ref, dyf_ref, gf_ref, cf_ref, cpf_ref,
         dcf_scr[:] = jnp.zeros_like(dcf_scr)
         dhb_scr[:] = jnp.zeros_like(dhb_scr)
         dcb_scr[:] = jnp.zeros_like(dcb_scr)
+        # c[t] at each walk's first step is that direction's last
+        # forward cell state; later steps carry the previous cp read
+        ccf_scr[:] = cflast_ref[0]
+        ccb_scr[:] = cblast_ref[0]
+
+    # both directions hit their forward-first step at s == t_max-1
+    # (fwd dir: t=0; bwd dir: t=t_max-1)
+    first = step == t_max - 1
 
     valid_f = lens_ref[:] > (t_max - 1 - step)
-    dg, dh, dc = _dgates_update(dyf_ref[0], gf_ref[0], cf_ref[0],
-                                cpf_ref[0], whf_t_ref, dhf_scr[:],
-                                dcf_scr[:], valid_f)
+    hp = _zero_at(first, hpf_ref[0])
+    cp_raw = cpf_ref[0]
+    cp = _zero_at(first, cp_raw)
+    ifgo = _recompute_gates(xpf_ref[0], hp, whf_ref)
+    dg, dh, dc = _dgates_update(dyf_ref[0], ifgo, ccf_scr[:], cp,
+                                whf_t_ref, dhf_scr[:], dcf_scr[:], valid_f)
     dhf_scr[:] = dh
     dcf_scr[:] = dc
+    ccf_scr[:] = cp_raw
     dgf_ref[0] = dg
 
     valid_b = lens_ref[:] > step
-    dg, dh, dc = _dgates_update(dyb_ref[0], gb_ref[0], cb_ref[0],
-                                cpb_ref[0], whb_t_ref, dhb_scr[:],
-                                dcb_scr[:], valid_b)
+    hp = _zero_at(first, hpb_ref[0])
+    cp_raw = cpb_ref[0]
+    cp = _zero_at(first, cp_raw)
+    ifgo = _recompute_gates(xpb_ref[0], hp, whb_ref)
+    dg, dh, dc = _dgates_update(dyb_ref[0], ifgo, ccb_scr[:], cp,
+                                whb_t_ref, dhb_scr[:], dcb_scr[:], valid_b)
     dhb_scr[:] = dh
     dcb_scr[:] = dc
+    ccb_scr[:] = cp_raw
     dgb_ref[0] = dg
 
 
@@ -216,6 +234,36 @@ def _time_spec(t_max: int, reverse: bool, block_shape):
         index = lambda s: (t_max - 1 - s,) + (0,) * (len(block_shape) - 1)
     else:
         index = lambda s: (s,) + (0,) * (len(block_shape) - 1)
+    return pl.BlockSpec((1,) + tuple(block_shape[1:]), index,
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(t_index: int, block_shape):
+    """Constant view of one time block (fetched once, stays in VMEM)."""
+    index = lambda s: (t_index,) + (0,) * (len(block_shape) - 1)
+    return pl.BlockSpec((1,) + tuple(block_shape[1:]), index,
+                        memory_space=pltpu.VMEM)
+
+
+def _prev_spec(t_max: int, walk_reverse: bool, fwd_reverse: bool,
+               block_shape):
+    """View of the previous-in-forward-order block for a backward walk.
+
+    walk_reverse: whether the *walk* visits t = T-1-s (True) or t = s.
+    fwd_reverse: whether the forward pass ran reversed (its "previous"
+    neighbour is t+1 rather than t-1).  Index clamped at the boundary;
+    the kernel zeroes the value at the forward-first step.
+    """
+    if walk_reverse:
+        t_of = lambda s: t_max - 1 - s
+    else:
+        t_of = lambda s: s
+    if fwd_reverse:
+        index = lambda s: (jnp.minimum(t_of(s) + 1, t_max - 1),) + \
+            (0,) * (len(block_shape) - 1)
+    else:
+        index = lambda s: (jnp.maximum(t_of(s) - 1, 0),) + \
+            (0,) * (len(block_shape) - 1)
     return pl.BlockSpec((1,) + tuple(block_shape[1:]), index,
                         memory_space=pltpu.VMEM)
 
@@ -229,14 +277,14 @@ def lstm_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False):
       lens: [B] int32 valid lengths.
       reverse: process t = T-1..0 (backward BLSTM direction).
     Returns:
-      (y [T,B,H], c_seq [T,B,H], gates_seq [T,B,4H]) — y is the output,
-      the rest are residuals for the backward pass.
+      (y [T,B,H], c_seq [T,B,H]) — y is the output, c_seq the cell-state
+      residual for the backward pass (gates are recomputed there).
     """
     t_max, b, g4 = x_proj.shape
     h = g4 // 4
     kern = functools.partial(_fwd_kernel, t_max=t_max, reverse=reverse)
     grid = (t_max,)
-    y, c_seq, gates_seq = pl.pallas_call(
+    y, c_seq = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -249,12 +297,10 @@ def lstm_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False):
         out_specs=[
             _time_spec(t_max, reverse, (1, b, h)),            # y
             _time_spec(t_max, reverse, (1, b, h)),            # c_seq
-            _time_spec(t_max, reverse, (1, b, g4)),           # gates_seq
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
@@ -262,10 +308,10 @@ def lstm_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False):
         ],
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None], x_proj, w_h)
-    return y, c_seq, gates_seq
+    return y, c_seq
 
 
-def _lstm_seq_bwd_dgates(dy, gates_seq, c_seq, c_prev_seq, w_h, lens,
+def _lstm_seq_bwd_dgates(dy, x_proj, y, c_seq, w_h, lens,
                          reverse=False, interpret=False):
     t_max, b, h = dy.shape
     g4 = 4 * h
@@ -279,9 +325,13 @@ def _lstm_seq_bwd_dgates(dy, gates_seq, c_seq, c_prev_seq, w_h, lens,
             pl.BlockSpec((b, 1), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),            # lens [B,1] f32
             _time_spec(t_max, rev_order, (1, b, h)),          # dy
-            _time_spec(t_max, rev_order, (1, b, g4)),         # gates
-            _time_spec(t_max, rev_order, (1, b, h)),          # c
-            _time_spec(t_max, rev_order, (1, b, h)),          # c_prev
+            _time_spec(t_max, rev_order, (1, b, g4)),         # x_proj
+            _prev_spec(t_max, rev_order, reverse, (1, b, h)),  # y[t∓1]
+            _const_spec(0 if reverse else t_max - 1,
+                        (1, b, h)),                           # c[last]
+            _prev_spec(t_max, rev_order, reverse, (1, b, h)),  # c[t∓1]
+            pl.BlockSpec((h, g4), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # w_h
             pl.BlockSpec((g4, h), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),            # w_h^T
         ],
@@ -290,57 +340,99 @@ def _lstm_seq_bwd_dgates(dy, gates_seq, c_seq, c_prev_seq, w_h, lens,
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
         ],
         interpret=interpret,
-    )(lens.astype(jnp.float32)[:, None], dy, gates_seq, c_seq, c_prev_seq,
-      w_h.T)
+    )(lens.astype(jnp.float32)[:, None], dy, x_proj, y, c_seq, c_seq,
+      w_h, w_h.T)
     return dgates[0] if isinstance(dgates, (list, tuple)) else dgates
 
 
 def _shift_prev(seq, reverse):
-    """Previous-state sequence: zeros at the first processed step."""
+    """Previous-state sequence: zeros at the first processed step.
+    (Used by the GRU kernels' weight-grad path.)"""
     t_max = seq.shape[0]
     if reverse:
         return jnp.concatenate([seq[1:], jnp.zeros_like(seq[:1])], axis=0)
     return jnp.concatenate([jnp.zeros_like(seq[:1]), seq[:-1]], axis=0)
 
 
-def _bilstm_seq_fwd(xp_f, xp_b, w_h_f, w_h_b, lens, interpret=False):
-    t_max, b, g4 = xp_f.shape
+def _dw_h(y, dgates, reverse, dtype):
+    """dW_h = Σ_t h_prev[t]ᵀ · dgates[t] as one sliced MXU matmul.
+
+    The first processed step has h_prev = 0 and contributes nothing, so
+    the sum is y[:-1]ᵀ @ dg[1:] (forward) / y[1:]ᵀ @ dg[:-1] (reverse) —
+    slices, not a materialized zero-padded shift copy."""
+    t_max, b, h = y.shape
+    g4 = dgates.shape[-1]
+    if t_max == 1:
+        return jnp.zeros((h, g4), dtype)
+    if reverse:
+        hp, dg = y[1:], dgates[:-1]
+    else:
+        hp, dg = y[:-1], dgates[1:]
+    n = (t_max - 1) * b
+    return jnp.dot(hp.reshape(n, h).astype(dtype).T,
+                   dg.reshape(n, g4).astype(dtype),
+                   preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _split_spec(t_max: int, reverse: bool, half: int, block_shape):
+    """View of one direction's half of the fused [T, B, 2*4H] projection:
+    block (1, b, 4H) at column-block `half` (0 = forward, 1 = backward)."""
+    if reverse:
+        index = lambda s: (t_max - 1 - s, 0, half)
+    else:
+        index = lambda s: (s, 0, half)
+    return pl.BlockSpec((1,) + tuple(block_shape[1:]), index,
+                        memory_space=pltpu.VMEM)
+
+
+def _bilstm_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False):
+    """xp: fused [T, B, 2*4H] projection (fwd-direction half first)."""
+    t_max, b, g8 = xp.shape
+    g4 = g8 // 2
     h = g4 // 4
     kern = functools.partial(_bifwd_kernel, t_max=t_max)
     fw = functools.partial(_time_spec, t_max, False)
     bw = functools.partial(_time_spec, t_max, True)
+    # zero-copy half views need the half to be a whole number of 128-wide
+    # lanes (Pallas block constraint); tiny models fall back to a split
+    if g4 % 128 == 0:
+        xp_f = xp_b = xp
+        spec_f = _split_spec(t_max, False, 0, (1, b, g4))
+        spec_b = _split_spec(t_max, True, 1, (1, b, g4))
+    else:
+        xp_f, xp_b = xp[..., :g4], xp[..., g4:]
+        spec_f, spec_b = fw((1, b, g4)), bw((1, b, g4))
     outs = pl.pallas_call(
         kern,
         grid=(t_max,),
         in_specs=[
             pl.BlockSpec((b, 1), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),            # lens
-            fw((1, b, g4)),                                   # xp_f
-            bw((1, b, g4)),                                   # xp_b
+            spec_f,                                           # xp fwd half
+            spec_b,                                           # xp bwd half
             pl.BlockSpec((h, g4), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),            # w_h_f
             pl.BlockSpec((h, g4), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),            # w_h_b
         ],
-        out_specs=[fw((1, b, h)), fw((1, b, h)), fw((1, b, g4)),
-                   bw((1, b, h)), bw((1, b, h)), bw((1, b, g4))],
+        out_specs=[fw((1, b, h)), fw((1, b, h)),
+                   bw((1, b, h)), bw((1, b, h))],
         out_shape=[
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None], xp_f, xp_b, w_h_f, w_h_b)
-    return outs  # y_f, c_f, g_f, y_b, c_b, g_b
+    return outs  # y_f, c_f, y_b, c_b
 
 
-def _bilstm_seq_bwd_dgates(dy_f, dy_b, g_f, c_f, cp_f, g_b, c_b, cp_b,
+def _bilstm_seq_bwd_dgates(dy_f, dy_b, xp, y_f, c_f, y_b, c_b,
                            w_h_f, w_h_b, lens, interpret=False):
     t_max, b, h = dy_f.shape
     g4 = 4 * h
@@ -349,96 +441,136 @@ def _bilstm_seq_bwd_dgates(dy_f, dy_b, g_f, c_f, cp_f, g_b, c_b, cp_b,
     # direction's walk forward time
     fw = functools.partial(_time_spec, t_max, True)
     bw = functools.partial(_time_spec, t_max, False)
+    fwp = functools.partial(_prev_spec, t_max, True, False)   # y_f[t-1]
+    bwp = functools.partial(_prev_spec, t_max, False, True)   # y_b[t+1]
+    if g4 % 128 == 0:
+        xp_f = xp_b = xp
+        spec_f = _split_spec(t_max, True, 0, (1, b, g4))
+        spec_b = _split_spec(t_max, False, 1, (1, b, g4))
+    else:
+        xp_f, xp_b = xp[..., :g4], xp[..., g4:]
+        spec_f, spec_b = fw((1, b, g4)), bw((1, b, g4))
     dg_f, dg_b = pl.pallas_call(
         kern,
         grid=(t_max,),
         in_specs=[
             pl.BlockSpec((b, 1), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),            # lens
-            fw((1, b, h)), fw((1, b, g4)), fw((1, b, h)), fw((1, b, h)),
-            bw((1, b, h)), bw((1, b, g4)), bw((1, b, h)), bw((1, b, h)),
+            fw((1, b, h)), spec_f,
+            fwp((1, b, h)), _const_spec(t_max - 1, (1, b, h)),
+            fwp((1, b, h)),
+            bw((1, b, h)), spec_b,
+            bwp((1, b, h)), _const_spec(0, (1, b, h)),
+            bwp((1, b, h)),
+            pl.BlockSpec((h, g4), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # w_f
             pl.BlockSpec((g4, h), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),            # w_f^T
+            pl.BlockSpec((h, g4), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # w_b
             pl.BlockSpec((g4, h), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),            # w_b^T
         ],
         out_specs=[fw((1, b, g4)), bw((1, b, g4))],
         out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32),
                    jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 6,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None],
-      dy_f, g_f, c_f, cp_f, dy_b, g_b, c_b, cp_b, w_h_f.T, w_h_b.T)
+      dy_f, xp_f, y_f, c_f, c_f,
+      dy_b, xp_b, y_b, c_b, c_b,
+      w_h_f, w_h_f.T, w_h_b, w_h_b.T)
     return dg_f, dg_b
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def bilstm_sequence(xp_f, xp_b, w_h_f, w_h_b, lens, interpret=False):
-    """Fused bidirectional LSTM layer → (y_f, y_b), each [T, B, H].
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def bilstm_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False):
+    """Full fused bidirectional LSTM layer → (y_f, y_b), each [T, B, H].
 
-    Equivalent to lstm_sequence(xp_f, w_h_f, lens, reverse=False) and
-    lstm_sequence(xp_b, w_h_b, lens, reverse=True), but both directions
-    advance inside one sequential grid (halves the recursion passes)."""
-    y_f, _, _, y_b, _, _ = _bilstm_seq_fwd(xp_f, xp_b, w_h_f, w_h_b, lens,
-                                           interpret)
+    The input projection for both directions is one MXU matmul
+    ``x @ w_x + bias`` with ``w_x = [w_x_fwd | w_x_bwd]`` ([D, 2*4H]);
+    the fused [T, B, 2*4H] result feeds the sequential kernel through
+    *block-spec views* — no per-direction split copies are materialized
+    (that split alone cost >10% of a training step when this was a
+    separate-operands API).  The backward pass produces per-direction
+    dgates and folds them into dx / dW_x with per-direction matmuls,
+    so no [T, B, 2*4H] cotangent concat is materialized either.
+    """
+    y_f, _, y_b, _, _ = _bilstm_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b,
+                                               lens, interpret)
     return y_f, y_b
 
 
-def _bilstm_fwd(xp_f, xp_b, w_h_f, w_h_b, lens, interpret):
-    y_f, c_f, g_f, y_b, c_b, g_b = _bilstm_seq_fwd(
-        xp_f, xp_b, w_h_f, w_h_b, lens, interpret)
-    return (y_f, y_b), (w_h_f, w_h_b, lens, y_f, c_f, g_f, y_b, c_b, g_b)
+def _bilstm_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
+    t_max, b, d = x.shape
+    xp = (jnp.dot(x.reshape(t_max * b, d).astype(w_x.dtype), w_x,
+                  preferred_element_type=jnp.float32)
+          + bias).reshape(t_max, b, -1)
+    y_f, c_f, y_b, c_b = _bilstm_seq_fwd(xp, w_h_f, w_h_b, lens, interpret)
+    return y_f, c_f, y_b, c_b, xp
 
 
-def _bilstm_bwd(interpret, res, cot):
+def _bilstm_layer_fwd(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
+    y_f, c_f, y_b, c_b, xp = _bilstm_layer_fwd_impl(
+        x, w_x, bias, w_h_f, w_h_b, lens, interpret)
+    return (y_f, y_b), (x, w_x, w_h_f, w_h_b, lens, xp,
+                        y_f, c_f, y_b, c_b)
+
+
+def _bilstm_layer_bwd(interpret, res, cot):
     dy_f, dy_b = cot
-    w_h_f, w_h_b, lens, y_f, c_f, g_f, y_b, c_b, g_b = res
-    cp_f = _shift_prev(c_f, False)
-    cp_b = _shift_prev(c_b, True)
+    x, w_x, w_h_f, w_h_b, lens, xp, y_f, c_f, y_b, c_b = res
     dg_f, dg_b = _bilstm_seq_bwd_dgates(
-        dy_f, dy_b, g_f, c_f, cp_f, g_b, c_b, cp_b, w_h_f, w_h_b, lens,
-        interpret)
+        dy_f, dy_b, xp, y_f, c_f, y_b, c_b, w_h_f, w_h_b, lens, interpret)
     t_max, b, h = y_f.shape
-    hp_f = _shift_prev(y_f, False)
-    hp_b = _shift_prev(y_b, True)
-    dw_f = jnp.dot(hp_f.reshape(t_max * b, h).astype(w_h_f.dtype).T,
-                   dg_f.reshape(t_max * b, 4 * h).astype(w_h_f.dtype),
-                   preferred_element_type=jnp.float32).astype(w_h_f.dtype)
-    dw_b = jnp.dot(hp_b.reshape(t_max * b, h).astype(w_h_b.dtype).T,
-                   dg_b.reshape(t_max * b, 4 * h).astype(w_h_b.dtype),
-                   preferred_element_type=jnp.float32).astype(w_h_b.dtype)
-    return dg_f, dg_b, dw_f, dw_b, None
+    g4 = 4 * h
+    d = x.shape[-1]
+    wd = w_x.dtype
+    x2 = x.reshape(t_max * b, d)
+    dgf2 = dg_f.reshape(t_max * b, g4)
+    dgb2 = dg_b.reshape(t_max * b, g4)
+    # recurrent-weight grads: one large sliced MXU matmul per direction
+    dw_f = _dw_h(y_f, dg_f, False, w_h_f.dtype)
+    dw_b = _dw_h(y_b, dg_b, True, w_h_b.dtype)
+    # input grads: per-direction matmuls against the w_x halves
+    dx = (jnp.dot(dgf2.astype(wd), w_x[:, :g4].T,
+                  preferred_element_type=jnp.float32)
+          + jnp.dot(dgb2.astype(wd), w_x[:, g4:].T,
+                    preferred_element_type=jnp.float32))
+    dx = dx.astype(x.dtype).reshape(t_max, b, d)
+    dw_x = jnp.concatenate(
+        [jnp.dot(x2.astype(wd).T, dgf2.astype(wd),
+                 preferred_element_type=jnp.float32),
+         jnp.dot(x2.astype(wd).T, dgb2.astype(wd),
+                 preferred_element_type=jnp.float32)],
+        axis=1).astype(wd)
+    dbias = jnp.concatenate([dgf2.sum(axis=0), dgb2.sum(axis=0)])
+    return dx, dw_x, dbias, dw_f, dw_b, None
 
 
-bilstm_sequence.defvjp(_bilstm_fwd, _bilstm_bwd)
+bilstm_layer.defvjp(_bilstm_layer_fwd, _bilstm_layer_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def lstm_sequence(x_proj, w_h, lens, reverse=False, interpret=False):
     """Differentiable fused LSTM over a sequence → y [T, B, H]."""
-    y, _, _ = lstm_seq_fwd(x_proj, w_h, lens, reverse, interpret)
+    y, _ = lstm_seq_fwd(x_proj, w_h, lens, reverse, interpret)
     return y
 
 
 def _lstm_sequence_fwd(x_proj, w_h, lens, reverse, interpret):
-    y, c_seq, gates_seq = lstm_seq_fwd(x_proj, w_h, lens, reverse, interpret)
-    return y, (x_proj, w_h, lens, y, c_seq, gates_seq)
+    y, c_seq = lstm_seq_fwd(x_proj, w_h, lens, reverse, interpret)
+    return y, (x_proj, w_h, lens, y, c_seq)
 
 
 def _lstm_sequence_bwd(reverse, interpret, res, dy):
-    x_proj, w_h, lens, y, c_seq, gates_seq = res
-    c_prev_seq = _shift_prev(c_seq, reverse)
-    dgates = _lstm_seq_bwd_dgates(dy, gates_seq, c_seq, c_prev_seq, w_h,
+    x_proj, w_h, lens, y, c_seq = res
+    dgates = _lstm_seq_bwd_dgates(dy, x_proj, y, c_seq, w_h,
                                   lens, reverse, interpret)
-    h_prev = _shift_prev(y, reverse)
-    t_max, b, h = y.shape
-    # weight gradient: one large MXU matmul over all timesteps
+    # weight gradient: one large sliced MXU matmul over all timesteps
     # (operands in the forward compute dtype, f32 accumulation, cotangent
     # cast back to w_h's dtype for the custom_vjp contract)
-    dw_h = jnp.dot(
-        h_prev.reshape(t_max * b, h).astype(w_h.dtype).T,
-        dgates.reshape(t_max * b, 4 * h).astype(w_h.dtype),
-        preferred_element_type=jnp.float32).astype(w_h.dtype)
+    dw_h = _dw_h(y, dgates, reverse, w_h.dtype)
     return dgates, dw_h, None
 
 

@@ -57,8 +57,8 @@ def _scan_lstm(x_proj, w_h, lens, reverse):
 @pytest.mark.parametrize("reverse", [False, True])
 def test_forward_parity(reverse):
     x_proj, w_h, lens = _setup(0)
-    y_pallas, c_seq, gates = lstm_seq_fwd(x_proj, w_h, lens, reverse,
-                                          interpret=True)
+    y_pallas, c_seq = lstm_seq_fwd(x_proj, w_h, lens, reverse,
+                                   interpret=True)
     y_scan = _scan_lstm(x_proj, w_h, lens, reverse)
     np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_scan),
                                rtol=1e-5, atol=1e-6)
@@ -105,19 +105,19 @@ def test_rnn_forward_pallas_impl_matches_xla():
     cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
                       mode=RnnMode.LSTM, bidirectional=True,
                       implementation="pallas")
-    bi_backup = rp.bilstm_sequence
+    bi_backup = rp.bilstm_layer
 
-    def interp_bi(xf, xb, wf, wb, l, interpret=False):
-        return bi_backup(xf, xb, wf, wb, l, True)
+    def interp_bi(x, wx, b, wf, wb, l, interpret=False):
+        return bi_backup(x, wx, b, wf, wb, l, True)
 
     rp_backup = rp.lstm_sequence
     rp.lstm_sequence = interp
-    rp.bilstm_sequence = interp_bi
+    rp.bilstm_layer = interp_bi
     try:
         y_pal = rnn_forward(params, x, cfg_p, lens)
     finally:
         rp.lstm_sequence = rp_backup
-        rp.bilstm_sequence = bi_backup
+        rp.bilstm_layer = bi_backup
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
                                rtol=1e-5, atol=1e-6)
 
@@ -125,49 +125,60 @@ def test_rnn_forward_pallas_impl_matches_xla():
 class TestFusedBidirectional:
     def _setup2(self, seed=4):
         rng = np.random.default_rng(seed)
-        xp_f = jnp.asarray(
-            rng.standard_normal((T, B, 4 * H)).astype(np.float32))
-        xp_b = jnp.asarray(
-            rng.standard_normal((T, B, 4 * H)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+        w_x = jnp.asarray(
+            (rng.standard_normal((D, 8 * H)) * 0.3).astype(np.float32))
+        bias = jnp.asarray(
+            (rng.standard_normal(8 * H) * 0.1).astype(np.float32))
         w_f = jnp.asarray(
             (rng.standard_normal((H, 4 * H)) * 0.3).astype(np.float32))
         w_b = jnp.asarray(
             (rng.standard_normal((H, 4 * H)) * 0.3).astype(np.float32))
         lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
-        return xp_f, xp_b, w_f, w_b, lens
+        return x, w_x, bias, w_f, w_b, lens
+
+    @staticmethod
+    def _proj(x, w_x, bias, half):
+        g4 = 4 * H
+        sl = slice(0, g4) if half == 0 else slice(g4, 8 * H)
+        return x @ w_x[:, sl] + bias[sl]
 
     def test_forward_matches_two_unidirectional(self):
-        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_sequence
-        xp_f, xp_b, w_f, w_b, lens = self._setup2()
-        y_f, y_b = bilstm_sequence(xp_f, xp_b, w_f, w_b, lens,
-                                   interpret=True)
-        ref_f = lstm_sequence(xp_f, w_f, lens, False, True)
-        ref_b = lstm_sequence(xp_b, w_b, lens, True, True)
+        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_layer
+        x, w_x, bias, w_f, w_b, lens = self._setup2()
+        y_f, y_b = bilstm_layer(x, w_x, bias, w_f, w_b, lens,
+                                interpret=True)
+        ref_f = lstm_sequence(self._proj(x, w_x, bias, 0), w_f, lens,
+                              False, True)
+        ref_b = lstm_sequence(self._proj(x, w_x, bias, 1), w_b, lens,
+                              True, True)
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(ref_f),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(y_b), np.asarray(ref_b),
                                    rtol=1e-5, atol=1e-5)
 
     def test_gradient_matches_two_unidirectional(self):
-        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_sequence
-        xp_f, xp_b, w_f, w_b, lens = self._setup2(5)
+        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_layer
+        x, w_x, bias, w_f, w_b, lens = self._setup2(5)
 
-        def loss_fused(xf, xb, wf, wb):
-            y_f, y_b = bilstm_sequence(xf, xb, wf, wb, lens, True)
+        def loss_fused(x, w_x, bias, wf, wb):
+            y_f, y_b = bilstm_layer(x, w_x, bias, wf, wb, lens, True)
             return jnp.sum(y_f ** 2) + jnp.sum(jnp.cos(y_b))
 
-        def loss_split(xf, xb, wf, wb):
-            y_f = lstm_sequence(xf, wf, lens, False, True)
-            y_b = lstm_sequence(xb, wb, lens, True, True)
+        def loss_split(x, w_x, bias, wf, wb):
+            y_f = lstm_sequence(self._proj(x, w_x, bias, 0), wf, lens,
+                                False, True)
+            y_b = lstm_sequence(self._proj(x, w_x, bias, 1), wb, lens,
+                                True, True)
             return jnp.sum(y_f ** 2) + jnp.sum(jnp.cos(y_b))
 
-        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
-            xp_f, xp_b, w_f, w_b)
-        g2 = jax.grad(loss_split, argnums=(0, 1, 2, 3))(
-            xp_f, xp_b, w_f, w_b)
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            x, w_x, bias, w_f, w_b)
+        g2 = jax.grad(loss_split, argnums=(0, 1, 2, 3, 4))(
+            x, w_x, bias, w_f, w_b)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
+                                       rtol=1e-4, atol=1e-4)
 
     def test_rnn_forward_fused_path_matches_xla(self):
         """rnn_forward with the fused bidirectional dispatch must equal
@@ -185,16 +196,16 @@ class TestFusedBidirectional:
         ref = rnn_forward(params, x, cfg, lens)
 
         # force the fused dispatch with the kernels in interpret mode
-        orig = rnn_pallas.bilstm_sequence
+        orig = rnn_pallas.bilstm_layer
         try:
-            rnn_pallas.bilstm_sequence = (
-                lambda xf, xb, wf, wb, l, interpret=False:
-                orig(xf, xb, wf, wb, l, True))
+            rnn_pallas.bilstm_layer = (
+                lambda x, wx, b, wf, wb, l, interpret=False:
+                orig(x, wx, b, wf, wb, l, True))
             cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
                               mode=RnnMode.LSTM, bidirectional=True,
                               implementation="pallas")
             got = rnn_forward(params, x, cfg_p, lens)
         finally:
-            rnn_pallas.bilstm_sequence = orig
+            rnn_pallas.bilstm_layer = orig
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
