@@ -180,6 +180,59 @@ class TestFusedBidirectional:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_lane_aligned_fused_views(self):
+        """H=32 → 4H=128: the zero-copy fused-projection views (the path
+        the flagship model takes on TPU, where 4H % 128 == 0) must match
+        the unidirectional kernels in both passes."""
+        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_layer
+        H2 = 32
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+        w_x = jnp.asarray(
+            (rng.standard_normal((D, 8 * H2)) * 0.3).astype(np.float32))
+        bias = jnp.asarray(
+            (rng.standard_normal(8 * H2) * 0.1).astype(np.float32))
+        w_f = jnp.asarray(
+            (rng.standard_normal((H2, 4 * H2)) * 0.3).astype(np.float32))
+        w_b = jnp.asarray(
+            (rng.standard_normal((H2, 4 * H2)) * 0.3).astype(np.float32))
+        lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
+
+        def proj(x, w_x, bias, half):
+            g4 = 4 * H2
+            sl = slice(0, g4) if half == 0 else slice(g4, 8 * H2)
+            return x @ w_x[:, sl] + bias[sl]
+
+        def loss_fused(x, w_x, bias, wf, wb):
+            y_f, y_b = bilstm_layer(x, w_x, bias, wf, wb, lens, True)
+            return jnp.sum(y_f ** 2) + jnp.sum(jnp.cos(y_b))
+
+        y_f, y_b = bilstm_layer(x, w_x, bias, w_f, w_b, lens,
+                                interpret=True)
+        ref_f = lstm_sequence(proj(x, w_x, bias, 0), w_f, lens,
+                              False, True)
+        ref_b = lstm_sequence(proj(x, w_x, bias, 1), w_b, lens,
+                              True, True)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(ref_f),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y_b), np.asarray(ref_b),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss_split(x, w_x, bias, wf, wb):
+            y_f = lstm_sequence(proj(x, w_x, bias, 0), wf, lens,
+                                False, True)
+            y_b = lstm_sequence(proj(x, w_x, bias, 1), wb, lens,
+                                True, True)
+            return jnp.sum(y_f ** 2) + jnp.sum(jnp.cos(y_b))
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            x, w_x, bias, w_f, w_b)
+        g2 = jax.grad(loss_split, argnums=(0, 1, 2, 3, 4))(
+            x, w_x, bias, w_f, w_b)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_rnn_forward_fused_path_matches_xla(self):
         """rnn_forward with the fused bidirectional dispatch must equal
         the scan path on a full multi-layer BLSTM stack."""
