@@ -255,24 +255,16 @@ def _run_birnn_fused(x, input_lens, dirs, cfg: RnnConfig) -> jnp.ndarray:
             else jnp.full((b,), t_max, dtype=jnp.int32))
     w_x = jnp.concatenate([dirs[0]["w_x"], dirs[1]["w_x"]], axis=1)
     bias = jnp.concatenate([dirs[0]["b"], dirs[1]["b"]])
+    # the projection lives inside the layer's custom VJP so the fused
+    # [T,B,2*gates*H] result reaches the kernel as block-spec views
+    # (no per-direction split copy in either pass)
     if cfg.mode == RnnMode.LSTM:
-        # the projection lives inside bilstm_layer's custom VJP so the
-        # fused [T,B,2*4H] result reaches the kernel as block-spec views
-        # (no per-direction split copy in either pass)
-        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_layer
-        y_f, y_b = bilstm_layer(x, w_x.astype(cd), bias,
-                                dirs[0]["w_h"].astype(cd),
-                                dirs[1]["w_h"].astype(cd), lens)
-        return jnp.concatenate([y_f, y_b], axis=-1)
-
-    from kaldi_ctc_tpu.ops.gru_pallas import bigru_sequence
-    gd = 3 * cfg.hidden_dim
-    xp = (jnp.dot(x.reshape(t_max * b, -1).astype(cd), w_x.astype(cd),
-                  preferred_element_type=jnp.float32)
-          + bias).reshape(t_max, b, 2 * gd)
-    y_f, y_b = bigru_sequence(xp[..., :gd], xp[..., gd:],
-                              dirs[0]["w_h"].astype(cd),
-                              dirs[1]["w_h"].astype(cd), lens)
+        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_layer as bi_layer
+    else:
+        from kaldi_ctc_tpu.ops.gru_pallas import bigru_layer as bi_layer
+    y_f, y_b = bi_layer(x, w_x.astype(cd), bias,
+                        dirs[0]["w_h"].astype(cd),
+                        dirs[1]["w_h"].astype(cd), lens)
     return jnp.concatenate([y_f, y_b], axis=-1)
 
 

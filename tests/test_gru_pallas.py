@@ -50,7 +50,7 @@ def _scan_gru(x_proj, w_h, lens, reverse):
 @pytest.mark.parametrize("reverse", [False, True])
 def test_forward_parity(reverse):
     x_proj, w_h, lens = _setup(0)
-    y_pallas, _, _ = gru_seq_fwd(x_proj, w_h, lens, reverse, interpret=True)
+    y_pallas = gru_seq_fwd(x_proj, w_h, lens, reverse, interpret=True)
     y_scan = _scan_gru(x_proj, w_h, lens, reverse)
     np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_scan),
                                rtol=1e-5, atol=1e-6)
@@ -96,51 +96,66 @@ def test_finite_difference_weight_grad():
 
 
 class TestFusedBidirectionalGru:
-    def _setup2(self, seed=7, B=6, T=10, H=12):
+    def _setup2(self, seed=7, B=6, T=10, H=12, D=9):
         rng = np.random.default_rng(seed)
-        xp_f = jnp.asarray(
-            rng.standard_normal((T, B, 3 * H)).astype(np.float32))
-        xp_b = jnp.asarray(
-            rng.standard_normal((T, B, 3 * H)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+        w_x = jnp.asarray(
+            (rng.standard_normal((D, 6 * H)) * 0.3).astype(np.float32))
+        bias = jnp.asarray(
+            (rng.standard_normal(6 * H) * 0.1).astype(np.float32))
         w_f = jnp.asarray(
             (rng.standard_normal((H, 3 * H)) * 0.3).astype(np.float32))
         w_b = jnp.asarray(
             (rng.standard_normal((H, 3 * H)) * 0.3).astype(np.float32))
         lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
-        return xp_f, xp_b, w_f, w_b, lens
+        return x, w_x, bias, w_f, w_b, lens
+
+    @staticmethod
+    def _proj(x, w_x, bias, half, H):
+        g3 = 3 * H
+        sl = slice(0, g3) if half == 0 else slice(g3, 6 * H)
+        return x @ w_x[:, sl] + bias[sl]
 
     def test_forward_matches_two_unidirectional(self):
-        from kaldi_ctc_tpu.ops.gru_pallas import bigru_sequence, gru_sequence
-        xp_f, xp_b, w_f, w_b, lens = self._setup2()
-        y_f, y_b = bigru_sequence(xp_f, xp_b, w_f, w_b, lens,
-                                  interpret=True)
-        ref_f = gru_sequence(xp_f, w_f, lens, False, True)
-        ref_b = gru_sequence(xp_b, w_b, lens, True, True)
+        from kaldi_ctc_tpu.ops.gru_pallas import bigru_layer
+        x, w_x, bias, w_f, w_b, lens = self._setup2()
+        H2 = w_f.shape[0]
+        y_f, y_b = bigru_layer(x, w_x, bias, w_f, w_b, lens,
+                               interpret=True)
+        ref_f = gru_sequence(self._proj(x, w_x, bias, 0, H2), w_f, lens,
+                             False, True)
+        ref_b = gru_sequence(self._proj(x, w_x, bias, 1, H2), w_b, lens,
+                             True, True)
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(ref_f),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(y_b), np.asarray(ref_b),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_gradient_matches_two_unidirectional(self):
-        from kaldi_ctc_tpu.ops.gru_pallas import bigru_sequence, gru_sequence
-        xp_f, xp_b, w_f, w_b, lens = self._setup2(8)
+    @pytest.mark.parametrize("H2", [12, 128])
+    def test_gradient_matches_two_unidirectional(self, H2):
+        """H2=128 → 3H % 128 == 0 exercises the zero-copy fused views;
+        H2=12 exercises the split fallback."""
+        from kaldi_ctc_tpu.ops.gru_pallas import bigru_layer
+        x, w_x, bias, w_f, w_b, lens = self._setup2(8, H=H2)
 
-        def loss_fused(xf, xb, wf, wb):
-            y_f, y_b = bigru_sequence(xf, xb, wf, wb, lens, True)
+        def loss_fused(x, w_x, bias, wf, wb):
+            y_f, y_b = bigru_layer(x, w_x, bias, wf, wb, lens, True)
             return jnp.sum(y_f ** 2) + jnp.sum(jnp.cos(y_b))
 
-        def loss_split(xf, xb, wf, wb):
-            y_f = gru_sequence(xf, wf, lens, False, True)
-            y_b = gru_sequence(xb, wb, lens, True, True)
+        def loss_split(x, w_x, bias, wf, wb):
+            y_f = gru_sequence(self._proj(x, w_x, bias, 0, H2), wf, lens,
+                               False, True)
+            y_b = gru_sequence(self._proj(x, w_x, bias, 1, H2), wb, lens,
+                               True, True)
             return jnp.sum(y_f ** 2) + jnp.sum(jnp.cos(y_b))
 
-        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
-            xp_f, xp_b, w_f, w_b)
-        g2 = jax.grad(loss_split, argnums=(0, 1, 2, 3))(
-            xp_f, xp_b, w_f, w_b)
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            x, w_x, bias, w_f, w_b)
+        g2 = jax.grad(loss_split, argnums=(0, 1, 2, 3, 4))(
+            x, w_x, bias, w_f, w_b)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
+                                       rtol=1e-4, atol=1e-4)
 
     def test_rnn_forward_fused_bgru_matches_xla(self):
         from kaldi_ctc_tpu.ops import gru_pallas
@@ -156,16 +171,16 @@ class TestFusedBidirectionalGru:
         x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
         lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
         ref = rnn_forward(params, x, cfg, lens)
-        orig = gru_pallas.bigru_sequence
+        orig = gru_pallas.bigru_layer
         try:
-            gru_pallas.bigru_sequence = (
-                lambda xf, xb, wf, wb, l, interpret=False:
-                orig(xf, xb, wf, wb, l, True))
+            gru_pallas.bigru_layer = (
+                lambda x, wx, b, wf, wb, l, interpret=False:
+                orig(x, wx, b, wf, wb, l, True))
             cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
                               mode=RnnMode.GRU, bidirectional=True,
                               implementation="pallas")
             got = rnn_forward(params, x, cfg_p, lens)
         finally:
-            gru_pallas.bigru_sequence = orig
+            gru_pallas.bigru_layer = orig
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
