@@ -44,7 +44,8 @@ STEPS_PER_CALL = 40
 TIMED_CALLS = 3
 
 
-def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False):
+def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False,
+             bf16=False):
     """→ audio-s/s/chip with DP over the given devices."""
     import jax
     import jax.numpy as jnp
@@ -55,13 +56,17 @@ def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False):
     from kaldi_ctc_tpu.training import (
         TrainOptions, build_train_step, init_train_state)
 
+    import dataclasses
     cfg = _flagship_cfg(tiny=tiny)
     if ds2:
         # DS2 family at the same recurrent scale: the conv front end's
         # 2x time stride halves the sequential BLSTM length
-        import dataclasses
         cfg = dataclasses.replace(cfg, conv_layers=2, conv_channels=32,
                                   conv_time_stride=2)
+    if bf16:
+        # mixed precision: bf16-stored projections/outputs/dgates, f32
+        # gate math, carries, params and accumulation
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     n_dev = len(devices)
     b = batch_per_chip * n_dev
     frames = 48 if tiny else FRAMES
@@ -121,10 +126,11 @@ def main():
     import jax
 
     ds2 = "--ds2" in sys.argv
+    bf16 = "--bf16" in sys.argv
     if "--scaling" in sys.argv:
         tiny = "--tiny" in sys.argv
         devs = jax.devices()
-        one = _measure(devs[:1], tiny=tiny, ds2=ds2)
+        one = _measure(devs[:1], tiny=tiny, ds2=ds2, bf16=bf16)
         print(json.dumps({
             "metric": "train_throughput_audio_seconds_per_second_per_chip",
             "value": round(one, 2), "unit": "audio-s/s/chip",
@@ -132,7 +138,7 @@ def main():
             "vs_baseline": round(one / BASELINE_AUDIO_S_PER_S_PER_CHIP,
                                  3)}))
         if len(devs) > 1:
-            full = _measure(devs, tiny=tiny, ds2=ds2)
+            full = _measure(devs, tiny=tiny, ds2=ds2, bf16=bf16)
             print(json.dumps({
                 "metric":
                     "train_throughput_audio_seconds_per_second_per_chip",
@@ -143,10 +149,10 @@ def main():
                     full / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3)}))
         return
 
-    per_chip = _measure(jax.devices()[:1], ds2=ds2)
+    per_chip = _measure(jax.devices()[:1], ds2=ds2, bf16=bf16)
     print(json.dumps({
         "metric": "train_throughput_audio_seconds_per_second_per_chip"
-                  + ("_ds2" if ds2 else ""),
+                  + ("_ds2" if ds2 else "") + ("_bf16" if bf16 else ""),
         "value": round(per_chip, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(per_chip / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3),

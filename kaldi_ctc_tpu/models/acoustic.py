@@ -236,13 +236,17 @@ def am_forward(
             # the same utterance would get different window alignment in
             # different length buckets; this fixed split keeps
             # out = ceil(in/stride) with length-independent alignment
+            # no preferred_element_type here: the conv transpose rule
+            # rejects a f32 cotangent against bf16 operands, so in bf16
+            # mode the conv emits bf16 (f32 MXU accumulation internally)
+            # and is upcast for the bias/activation
             x = jax.lax.conv_general_dilated(
                 x.astype(cd), conv["conv_w"].astype(cd),
                 window_strides=(ts, fs),
                 padding=(((tk - 1) // 2, tk // 2),
                          ((fk - 1) // 2, fk // 2)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32) + conv["conv_b"]
+            ).astype(jnp.float32) + conv["conv_b"]
             # leaky clipped ReLU.  The DS2 paper uses clipped ReLU
             # stabilized by batch norm; batch statistics are training
             # state this functional model avoids, and with a hard ReLU

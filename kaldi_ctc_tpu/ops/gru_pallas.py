@@ -38,9 +38,11 @@ __all__ = ["gru_sequence", "gru_seq_fwd", "bigru_layer"]
 
 
 def _gru_cell_update(xp, wh_ref, h, valid):
-    """One GRU step → (h_out, y)."""
+    """One GRU step → (h_out, y).  xp may be bf16-stored; gate math is
+    f32 with an f32 h carry."""
     h_proj = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
                      preferred_element_type=jnp.float32)
+    xp = xp.astype(jnp.float32)
     hdim = h.shape[-1]
     r = jax.nn.sigmoid(xp[:, 0 * hdim:1 * hdim]
                        + h_proj[:, 0 * hdim:1 * hdim])
@@ -64,7 +66,7 @@ def _fwd_kernel(lens_ref, xp_ref, wh_ref, y_ref,
     valid = lens_ref[:] > t
     h, y = _gru_cell_update(xp_ref[0], wh_ref, h_scr[:], valid)
     h_scr[:] = h
-    y_ref[0] = y
+    y_ref[0] = y.astype(y_ref.dtype)
 
 
 def _dgru_update(dy, xp, hp, wh_ref, wh_t_ref, dh, valid):
@@ -75,6 +77,9 @@ def _dgru_update(dy, xp, hp, wh_ref, wh_t_ref, dh, valid):
     hdim = dh.shape[-1]
     h_proj = jnp.dot(hp.astype(wh_ref.dtype), wh_ref[:],
                      preferred_element_type=jnp.float32)
+    xp = xp.astype(jnp.float32)
+    hp = hp.astype(jnp.float32)
+    dy = dy.astype(jnp.float32)
     r = jax.nn.sigmoid(xp[:, 0 * hdim:1 * hdim]
                        + h_proj[:, 0 * hdim:1 * hdim])
     z = jax.nn.sigmoid(xp[:, 1 * hdim:2 * hdim]
@@ -111,8 +116,8 @@ def _bwd_kernel(lens_ref, dy_ref, xp_ref, hp_ref, wh_ref, wh_t_ref,
     dgx, dgh, dh = _dgru_update(dy_ref[0], xp_ref[0], hp, wh_ref,
                                 wh_t_ref, dh_scr[:], valid)
     dh_scr[:] = dh
-    dgx_ref[0] = dgx
-    dgh_ref[0] = dgh
+    dgx_ref[0] = dgx.astype(dgx_ref.dtype)
+    dgh_ref[0] = dgh.astype(dgh_ref.dtype)
 
 
 def _bifwd_kernel(lens_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
@@ -128,12 +133,12 @@ def _bifwd_kernel(lens_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
     h, y = _gru_cell_update(xpf_ref[0], whf_ref, hf_scr[:],
                             lens_ref[:] > step)
     hf_scr[:] = h
-    yf_ref[0] = y
+    yf_ref[0] = y.astype(yf_ref.dtype)
 
     h, y = _gru_cell_update(xpb_ref[0], whb_ref, hb_scr[:],
                             lens_ref[:] > (t_max - 1 - step))
     hb_scr[:] = h
-    yb_ref[0] = y
+    yb_ref[0] = y.astype(yb_ref.dtype)
 
 
 def _bibwd_kernel(lens_ref, dyf_ref, xpf_ref, hpf_ref,
@@ -156,16 +161,16 @@ def _bibwd_kernel(lens_ref, dyf_ref, xpf_ref, hpf_ref,
                                 whf_t_ref, dhf_scr[:],
                                 lens_ref[:] > (t_max - 1 - step))
     dhf_scr[:] = dh
-    dgxf_ref[0] = dgx
-    dghf_ref[0] = dgh
+    dgxf_ref[0] = dgx.astype(dgxf_ref.dtype)
+    dghf_ref[0] = dgh.astype(dghf_ref.dtype)
 
     hp = _zero_at(first, hpb_ref[0])
     dgx, dgh, dh = _dgru_update(dyb_ref[0], xpb_ref[0], hp, whb_ref,
                                 whb_t_ref, dhb_scr[:],
                                 lens_ref[:] > step)
     dhb_scr[:] = dh
-    dgxb_ref[0] = dgx
-    dghb_ref[0] = dgh
+    dgxb_ref[0] = dgx.astype(dgxb_ref.dtype)
+    dghb_ref[0] = dgh.astype(dghb_ref.dtype)
 
 
 def gru_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False):
@@ -187,7 +192,7 @@ def gru_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[_time_spec(t_max, reverse, (1, b, h))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, h), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, h), x_proj.dtype)],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None], x_proj, w_h)
@@ -219,8 +224,8 @@ def _gru_seq_bwd_dgates(dy, x_proj, y, w_h, lens,
             _time_spec(t_max, rev_order, (1, b, g3)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_max, b, g3), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, g3), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, g3), x_proj.dtype),
+            jax.ShapeDtypeStruct((t_max, b, g3), x_proj.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
         interpret=interpret,
@@ -273,7 +278,7 @@ def _bigru_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[fw((1, b, h)), bw((1, b, h))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, h), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, h), xp.dtype)] * 2,
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 2,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None], xp_f, xp_b, w_h_f, w_h_b)
@@ -314,7 +319,7 @@ def _bigru_seq_bwd_dgates(dy_f, dy_b, xp, y_f, y_b,
         ],
         out_specs=[fw((1, b, g3)), fw((1, b, g3)),
                    bw((1, b, g3)), bw((1, b, g3))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, g3), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, g3), xp.dtype)] * 4,
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 2,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None], dy_f, xp_f, y_f,
@@ -339,7 +344,7 @@ def _bigru_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
     t_max, b, d = x.shape
     xp = (jnp.dot(x.reshape(t_max * b, d).astype(w_x.dtype), w_x,
                   preferred_element_type=jnp.float32)
-          + bias).reshape(t_max, b, -1)
+          + bias).astype(w_x.dtype).reshape(t_max, b, -1)
     y_f, y_b = _bigru_seq_fwd(xp, w_h_f, w_h_b, lens, interpret)
     return y_f, y_b, xp
 
@@ -375,7 +380,8 @@ def _bigru_layer_bwd(interpret, res, cot):
          jnp.dot(x2.astype(wd).T, dgxb2.astype(wd),
                  preferred_element_type=jnp.float32)],
         axis=1).astype(wd)
-    dbias = jnp.concatenate([dgxf2.sum(axis=0), dgxb2.sum(axis=0)])
+    dbias = jnp.concatenate([dgxf2.sum(axis=0, dtype=jnp.float32),
+                             dgxb2.sum(axis=0, dtype=jnp.float32)])
     return dx, dw_x, dbias, dw_f, dw_b, None
 
 

@@ -162,11 +162,13 @@ def _run_direction(
     cd = jnp.bfloat16 if bf16 else jnp.float32
 
     # hoisted input projection: one big MXU matmul over all frames
-    # (bf16 operands, f32 accumulation in mixed-precision mode)
+    # (bf16 operands, f32 accumulation in mixed-precision mode; the
+    # result is STORED in the compute dtype — the same quantization the
+    # Pallas layer applies, so scan/pallas/streaming agree in bf16 mode)
     x_proj = (jnp.dot(x.reshape(t_max * b, -1).astype(cd),
                       p["w_x"].astype(cd),
                       preferred_element_type=jnp.float32)
-              + p["b"]).reshape(t_max, b, -1)
+              + p["b"]).astype(cd).reshape(t_max, b, -1)
 
     w_h = p["w_h"].astype(cd)
     if lens is None:
@@ -193,14 +195,15 @@ def _run_direction(
             h_new = jnp.where(v, h_new, h)
             c_new = jnp.where(v, c_new, c)
             return (h_new, c_new), jnp.where(v, h_new, 0.0)
-        init = (jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
+        init = (jnp.zeros((b, h_dim), jnp.float32),
+                jnp.zeros((b, h_dim), jnp.float32))
     elif mode == RnnMode.GRU:
         def step(h, inp):
             xp, v = inp
             h_new = _gru_cell(h, xp, w_h, h_dim)
             h_new = jnp.where(v, h_new, h)
             return h_new, jnp.where(v, h_new, 0.0)
-        init = jnp.zeros((b, h_dim), x.dtype)
+        init = jnp.zeros((b, h_dim), jnp.float32)
     else:
         act = jax.nn.relu if mode == RnnMode.RELU else jnp.tanh
         def step(h, inp):
@@ -208,11 +211,11 @@ def _run_direction(
             h_new = _elementwise_cell(h, xp, w_h, act)
             h_new = jnp.where(v, h_new, h)
             return h_new, jnp.where(v, h_new, 0.0)
-        init = jnp.zeros((b, h_dim), x.dtype)
+        init = jnp.zeros((b, h_dim), jnp.float32)
 
     xs = (x_proj, valid)
     _, ys = jax.lax.scan(step, init, xs, reverse=reverse)
-    return ys  # [T, B, H]
+    return ys.astype(cd)  # [T, B, H], layer output in the compute dtype
 
 
 def rnn_forward(
@@ -320,7 +323,7 @@ def rnn_forward_stream(
         x_proj = (jnp.dot(out.reshape(t_max * b, -1).astype(cd),
                           p["w_x"].astype(cd),
                           preferred_element_type=jnp.float32)
-                  + p["b"]).reshape(t_max, b, -1)
+                  + p["b"]).astype(cd).reshape(t_max, b, -1)
         w_h = p["w_h"].astype(cd)
         if cfg.mode == RnnMode.LSTM:
             def step(carry, inp):
@@ -354,5 +357,5 @@ def rnn_forward_stream(
         xs = (x_proj, valid)
         st_new, ys = jax.lax.scan(step, st, xs)
         new_states.append(st_new)
-        out = ys
+        out = ys.astype(cd)  # layer output in the compute dtype
     return out, new_states

@@ -47,9 +47,13 @@ __all__ = ["lstm_sequence", "lstm_seq_fwd", "bilstm_layer"]
 
 
 def _lstm_cell_update(xp, wh_ref, h, c, valid):
-    """One LSTM cell step; returns (h_out, c_out, y)."""
-    gates = xp + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
-                         preferred_element_type=jnp.float32)
+    """One LSTM cell step; returns (h_out, c_out, y).
+
+    xp may be stored in bfloat16 (mixed-precision mode); gate math is
+    always f32 with f32 h/c carries."""
+    gates = xp.astype(jnp.float32) + jnp.dot(
+        h.astype(wh_ref.dtype), wh_ref[:],
+        preferred_element_type=jnp.float32)
     hdim = h.shape[-1]
     i = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
     f = jax.nn.sigmoid(gates[:, 1 * hdim:2 * hdim])
@@ -76,15 +80,20 @@ def _fwd_kernel(lens_ref, xp_ref, wh_ref, y_ref, c_ref,
     h, c, y = _lstm_cell_update(xp_ref[0], wh_ref, h_scr[:], c_scr[:], valid)
     h_scr[:] = h
     c_scr[:] = c
-    y_ref[0] = y
+    y_ref[0] = y.astype(y_ref.dtype)
     c_ref[0] = c
 
 
 def _recompute_gates(xp, hp, wh_ref):
-    """Re-run the forward gate computation (identical f32 ops)."""
+    """Re-run the forward gate computation (identical f32 ops).
+
+    With bf16-stored xp/y this is still bit-identical to the forward:
+    the forward read the same bf16 xp block, and hp only enters through
+    the same cast-to-w_h-dtype matmul operand the forward used."""
     hdim = hp.shape[-1]
-    raw = xp + jnp.dot(hp.astype(wh_ref.dtype), wh_ref[:],
-                       preferred_element_type=jnp.float32)
+    raw = xp.astype(jnp.float32) + jnp.dot(
+        hp.astype(wh_ref.dtype), wh_ref[:],
+        preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(raw[:, 0 * hdim:1 * hdim])
     f = jax.nn.sigmoid(raw[:, 1 * hdim:2 * hdim])
     g = jnp.tanh(raw[:, 2 * hdim:3 * hdim])
@@ -96,7 +105,7 @@ def _dgates_update(dy, ifgo, c, c_prev, wh_t_ref, dh, dc, valid):
     """One backward cell step; returns (dgates, dh_new, dc_new)."""
     i, f, g, o = ifgo
     tanh_c = jnp.tanh(c)
-    dh_total = dy + dh
+    dh_total = dy.astype(jnp.float32) + dh
     dc_total = dc + dh_total * o * (1.0 - tanh_c * tanh_c)
     do = dh_total * tanh_c * o * (1.0 - o)
     di = dc_total * g * i * (1.0 - i)
@@ -143,7 +152,7 @@ def _bwd_kernel(lens_ref, dy_ref, xp_ref, hp_ref, clast_ref, cp_ref,
     dh_scr[:] = dh
     dc_scr[:] = dc
     c_scr[:] = cp_raw
-    dgates_ref[0] = dgates
+    dgates_ref[0] = dgates.astype(dgates_ref.dtype)
 
 
 def _bifwd_kernel(lens_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
@@ -167,7 +176,7 @@ def _bifwd_kernel(lens_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
                                 cf_scr[:], valid_f)
     hf_scr[:] = h
     cf_scr[:] = c
-    yf_ref[0] = y
+    yf_ref[0] = y.astype(yf_ref.dtype)
     cf_ref[0] = c
 
     valid_b = lens_ref[:] > (t_max - 1 - step)
@@ -175,7 +184,7 @@ def _bifwd_kernel(lens_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
                                 cb_scr[:], valid_b)
     hb_scr[:] = h
     cb_scr[:] = c
-    yb_ref[0] = y
+    yb_ref[0] = y.astype(yb_ref.dtype)
     cb_ref[0] = c
 
 
@@ -214,7 +223,7 @@ def _bibwd_kernel(lens_ref, dyf_ref, xpf_ref, hpf_ref, cflast_ref, cpf_ref,
     dhf_scr[:] = dh
     dcf_scr[:] = dc
     ccf_scr[:] = cp_raw
-    dgf_ref[0] = dg
+    dgf_ref[0] = dg.astype(dgf_ref.dtype)
 
     valid_b = lens_ref[:] > step
     hp = _zero_at(first, hpb_ref[0])
@@ -226,7 +235,7 @@ def _bibwd_kernel(lens_ref, dyf_ref, xpf_ref, hpf_ref, cflast_ref, cpf_ref,
     dhb_scr[:] = dh
     dcb_scr[:] = dc
     ccb_scr[:] = cp_raw
-    dgb_ref[0] = dg
+    dgb_ref[0] = dg.astype(dgb_ref.dtype)
 
 
 def _time_spec(t_max: int, reverse: bool, block_shape):
@@ -299,7 +308,7 @@ def lstm_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False):
             _time_spec(t_max, reverse, (1, b, h)),            # c_seq
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, h), x_proj.dtype),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
         ],
         scratch_shapes=[
@@ -336,7 +345,7 @@ def _lstm_seq_bwd_dgates(dy, x_proj, y, c_seq, w_h, lens,
                          memory_space=pltpu.VMEM),            # w_h^T
         ],
         out_specs=[_time_spec(t_max, rev_order, (1, b, g4))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), x_proj.dtype)],
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((b, h), jnp.float32),
@@ -421,9 +430,9 @@ def _bilstm_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False):
         out_specs=[fw((1, b, h)), fw((1, b, h)),
                    bw((1, b, h)), bw((1, b, h))],
         out_shape=[
+            jax.ShapeDtypeStruct((t_max, b, h), xp.dtype),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, h), xp.dtype),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
@@ -472,8 +481,8 @@ def _bilstm_seq_bwd_dgates(dy_f, dy_b, xp, y_f, c_f, y_b, c_b,
                          memory_space=pltpu.VMEM),            # w_b^T
         ],
         out_specs=[fw((1, b, g4)), bw((1, b, g4))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32),
-                   jax.ShapeDtypeStruct((t_max, b, g4), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), xp.dtype),
+                   jax.ShapeDtypeStruct((t_max, b, g4), xp.dtype)],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 6,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None],
@@ -503,9 +512,11 @@ def bilstm_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False):
 
 def _bilstm_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
     t_max, b, d = x.shape
+    # f32-accumulated projection, stored in the compute dtype (bf16
+    # halves every later read of this — the largest stream in the layer)
     xp = (jnp.dot(x.reshape(t_max * b, d).astype(w_x.dtype), w_x,
                   preferred_element_type=jnp.float32)
-          + bias).reshape(t_max, b, -1)
+          + bias).astype(w_x.dtype).reshape(t_max, b, -1)
     y_f, c_f, y_b, c_b = _bilstm_seq_fwd(xp, w_h_f, w_h_b, lens, interpret)
     return y_f, c_f, y_b, c_b, xp
 
@@ -544,7 +555,8 @@ def _bilstm_layer_bwd(interpret, res, cot):
          jnp.dot(x2.astype(wd).T, dgb2.astype(wd),
                  preferred_element_type=jnp.float32)],
         axis=1).astype(wd)
-    dbias = jnp.concatenate([dgf2.sum(axis=0), dgb2.sum(axis=0)])
+    dbias = jnp.concatenate([dgf2.sum(axis=0, dtype=jnp.float32),
+                             dgb2.sum(axis=0, dtype=jnp.float32)])
     return dx, dw_x, dbias, dw_f, dw_b, None
 
 

@@ -233,6 +233,51 @@ class TestFusedBidirectional:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_bf16_mode_pallas_matches_scan(self):
+        """bfloat16 compute dtype: the Pallas layer and the scan path
+        quantize at the same points (bf16-stored projection, bf16 matmul
+        operands, f32 gate math and carries), so forwards agree to bf16
+        resolution and gradients stay close."""
+        import kaldi_ctc_tpu.ops.rnn as R
+        from kaldi_ctc_tpu.ops import rnn_pallas
+
+        cfg_x = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
+                          mode=RnnMode.LSTM, bidirectional=True,
+                          implementation="xla", compute_dtype="bfloat16")
+        params = init_rnn_params(jax.random.PRNGKey(3), cfg_x)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+        lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
+
+        def loss(params, cfg):
+            y = rnn_forward(params, x, cfg, lens).astype(jnp.float32)
+            return jnp.sum(y ** 2), y
+
+        (ref_l, ref_y), ref_g = jax.value_and_grad(
+            loss, has_aux=True)(params, cfg_x)
+
+        orig = rnn_pallas.bilstm_layer
+        try:
+            rnn_pallas.bilstm_layer = (
+                lambda x, wx, b, wf, wb, l, interpret=False:
+                orig(x, wx, b, wf, wb, l, True))
+            cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
+                              mode=RnnMode.LSTM, bidirectional=True,
+                              implementation="pallas",
+                              compute_dtype="bfloat16")
+            (got_l, got_y), got_g = jax.value_and_grad(
+                loss, has_aux=True)(params, cfg_p)
+        finally:
+            rnn_pallas.bilstm_layer = orig
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                                   rtol=0, atol=2e-2)
+        for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                        jax.tree_util.tree_leaves(ref_g)):
+            scale = float(np.abs(np.asarray(b)).max()) + 1e-3
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale,
+                                       rtol=0, atol=5e-2)
+
     def test_rnn_forward_fused_path_matches_xla(self):
         """rnn_forward with the fused bidirectional dispatch must equal
         the scan path on a full multi-layer BLSTM stack."""
