@@ -130,9 +130,11 @@ def main():
     if "--scaling" in sys.argv:
         tiny = "--tiny" in sys.argv
         devs = jax.devices()
+        suffix = ("_ds2" if ds2 else "") + ("_bf16" if bf16 else "")
         one = _measure(devs[:1], tiny=tiny, ds2=ds2, bf16=bf16)
         print(json.dumps({
-            "metric": "train_throughput_audio_seconds_per_second_per_chip",
+            "metric": "train_throughput_audio_seconds_per_second_per_chip"
+                      + suffix,
             "value": round(one, 2), "unit": "audio-s/s/chip",
             "devices": 1,
             "vs_baseline": round(one / BASELINE_AUDIO_S_PER_S_PER_CHIP,
@@ -141,7 +143,8 @@ def main():
             full = _measure(devs, tiny=tiny, ds2=ds2, bf16=bf16)
             print(json.dumps({
                 "metric":
-                    "train_throughput_audio_seconds_per_second_per_chip",
+                    "train_throughput_audio_seconds_per_second_per_chip"
+                    + suffix,
                 "value": round(full, 2), "unit": "audio-s/s/chip",
                 "devices": len(devs),
                 "scaling_efficiency": round(full / one, 3),

@@ -32,24 +32,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kaldi_ctc_tpu.ops.rnn_pallas import (
-    _const_spec, _prev_spec, _split_spec, _time_spec, _zero_at)
+    _const_spec, _dw_h, _prev_spec, _split_spec, _time_spec, _zero_at)
 
 __all__ = ["gru_sequence", "gru_seq_fwd", "bigru_layer"]
 
 
-def _gru_cell_update(xp, wh_ref, h, valid):
-    """One GRU step → (h_out, y).  xp may be bf16-stored; gate math is
-    f32 with an f32 h carry."""
+def _gru_gates(xp, h, wh_ref):
+    """Activated (r, z, n, hn) from the stored projection and the
+    previous output.  THE single definition of the gate computation:
+    the forward cell and the backward recomputation both call this, so
+    the recompute-instead-of-store bit-identity invariant holds by
+    construction.  xp may be bf16-stored; gate math is f32 and h enters
+    the matmul as the same cast-to-w_h-dtype operand in both passes."""
     h_proj = jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
                      preferred_element_type=jnp.float32)
     xp = xp.astype(jnp.float32)
-    hdim = h.shape[-1]
+    hdim = wh_ref.shape[0]
     r = jax.nn.sigmoid(xp[:, 0 * hdim:1 * hdim]
                        + h_proj[:, 0 * hdim:1 * hdim])
     z = jax.nn.sigmoid(xp[:, 1 * hdim:2 * hdim]
                        + h_proj[:, 1 * hdim:2 * hdim])
     hn = h_proj[:, 2 * hdim:3 * hdim]
     n = jnp.tanh(xp[:, 2 * hdim:3 * hdim] + r * hn)
+    return r, z, n, hn
+
+
+def _gru_cell_update(xp, wh_ref, h, valid):
+    """One GRU step → (h_out, y)."""
+    r, z, n, _hn = _gru_gates(xp, h, wh_ref)
     h_new = (1.0 - z) * n + z * h
     return jnp.where(valid, h_new, h), jnp.where(valid, h_new, 0.0)
 
@@ -74,18 +84,9 @@ def _dgru_update(dy, xp, hp, wh_ref, wh_t_ref, dh, valid):
 
     Recomputes r/z/n/hn from the projection and the previous output
     (identical f32 ops to the forward pass)."""
-    hdim = dh.shape[-1]
-    h_proj = jnp.dot(hp.astype(wh_ref.dtype), wh_ref[:],
-                     preferred_element_type=jnp.float32)
-    xp = xp.astype(jnp.float32)
+    r, z, n, hn = _gru_gates(xp, hp, wh_ref)
     hp = hp.astype(jnp.float32)
     dy = dy.astype(jnp.float32)
-    r = jax.nn.sigmoid(xp[:, 0 * hdim:1 * hdim]
-                       + h_proj[:, 0 * hdim:1 * hdim])
-    z = jax.nn.sigmoid(xp[:, 1 * hdim:2 * hdim]
-                       + h_proj[:, 1 * hdim:2 * hdim])
-    hn = h_proj[:, 2 * hdim:3 * hdim]
-    n = jnp.tanh(xp[:, 2 * hdim:3 * hdim] + r * hn)
 
     dh_total = dy + dh
     dn_hat = dh_total * (1.0 - z) * (1.0 - n * n)
@@ -233,23 +234,6 @@ def _gru_seq_bwd_dgates(dy, x_proj, y, w_h, lens,
     return dgx, dgh
 
 
-def _dw_h_gru(y, dgh, reverse, dtype):
-    """dW_h = Σ_t h_prev[t]ᵀ · dgh[t] as one sliced MXU matmul (the first
-    processed step has h_prev = 0 and contributes nothing)."""
-    t_max, b, h = y.shape
-    g3 = dgh.shape[-1]
-    if t_max == 1:
-        return jnp.zeros((h, g3), dtype)
-    if reverse:
-        hp, dg = y[1:], dgh[:-1]
-    else:
-        hp, dg = y[:-1], dgh[1:]
-    n = (t_max - 1) * b
-    return jnp.dot(hp.reshape(n, h).astype(dtype).T,
-                   dg.reshape(n, g3).astype(dtype),
-                   preferred_element_type=jnp.float32).astype(dtype)
-
-
 def _bigru_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False):
     """xp: fused [T, B, 2*3H] projection (fwd-direction half first)."""
     t_max, b, g6 = xp.shape
@@ -367,8 +351,8 @@ def _bigru_layer_bwd(interpret, res, cot):
     x2 = x.reshape(t_max * b, d)
     dgxf2 = dgx_f.reshape(t_max * b, g3)
     dgxb2 = dgx_b.reshape(t_max * b, g3)
-    dw_f = _dw_h_gru(y_f, dgh_f, False, w_h_f.dtype)
-    dw_b = _dw_h_gru(y_b, dgh_b, True, w_h_b.dtype)
+    dw_f = _dw_h(y_f, dgh_f, False, w_h_f.dtype)
+    dw_b = _dw_h(y_b, dgh_b, True, w_h_b.dtype)
     dx = (jnp.dot(dgxf2.astype(wd), w_x[:, :g3].T,
                   preferred_element_type=jnp.float32)
           + jnp.dot(dgxb2.astype(wd), w_x[:, g3:].T,
@@ -403,7 +387,7 @@ def _gru_sequence_bwd(reverse, interpret, res, dy):
     x_proj, w_h, lens, y = res
     dgx, dgh = _gru_seq_bwd_dgates(dy, x_proj, y, w_h, lens,
                                    reverse, interpret)
-    dw_h = _dw_h_gru(y, dgh, reverse, w_h.dtype)
+    dw_h = _dw_h(y, dgh, reverse, w_h.dtype)
     return dgx, dw_h, None
 
 

@@ -46,19 +46,29 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["lstm_sequence", "lstm_seq_fwd", "bilstm_layer"]
 
 
-def _lstm_cell_update(xp, wh_ref, h, c, valid):
-    """One LSTM cell step; returns (h_out, c_out, y).
-
-    xp may be stored in bfloat16 (mixed-precision mode); gate math is
-    always f32 with f32 h/c carries."""
+def _lstm_gates(xp, h, wh_ref):
+    """Activated gates (i, f, g, o) from the stored projection and the
+    previous output.  THE single definition of the gate computation:
+    both the forward cell and the backward recomputation call this, so
+    the recompute-instead-of-store design's bit-identity invariant holds
+    by construction.  xp may be stored in bfloat16 (mixed-precision
+    mode); gate math is always f32, and h enters only as the
+    cast-to-w_h-dtype matmul operand — so in backward, bf16-stored
+    y[t-1] yields exactly the forward's operand."""
     gates = xp.astype(jnp.float32) + jnp.dot(
         h.astype(wh_ref.dtype), wh_ref[:],
         preferred_element_type=jnp.float32)
-    hdim = h.shape[-1]
+    hdim = wh_ref.shape[0]
     i = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
     f = jax.nn.sigmoid(gates[:, 1 * hdim:2 * hdim])
     g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
     o = jax.nn.sigmoid(gates[:, 3 * hdim:4 * hdim])
+    return i, f, g, o
+
+
+def _lstm_cell_update(xp, wh_ref, h, c, valid):
+    """One LSTM cell step; returns (h_out, c_out, y)."""
+    i, f, g, o = _lstm_gates(xp, h, wh_ref)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     h_out = jnp.where(valid, h_new, h)
@@ -84,21 +94,7 @@ def _fwd_kernel(lens_ref, xp_ref, wh_ref, y_ref, c_ref,
     c_ref[0] = c
 
 
-def _recompute_gates(xp, hp, wh_ref):
-    """Re-run the forward gate computation (identical f32 ops).
 
-    With bf16-stored xp/y this is still bit-identical to the forward:
-    the forward read the same bf16 xp block, and hp only enters through
-    the same cast-to-w_h-dtype matmul operand the forward used."""
-    hdim = hp.shape[-1]
-    raw = xp.astype(jnp.float32) + jnp.dot(
-        hp.astype(wh_ref.dtype), wh_ref[:],
-        preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(raw[:, 0 * hdim:1 * hdim])
-    f = jax.nn.sigmoid(raw[:, 1 * hdim:2 * hdim])
-    g = jnp.tanh(raw[:, 2 * hdim:3 * hdim])
-    o = jax.nn.sigmoid(raw[:, 3 * hdim:4 * hdim])
-    return i, f, g, o
 
 
 def _dgates_update(dy, ifgo, c, c_prev, wh_t_ref, dh, dc, valid):
@@ -145,7 +141,7 @@ def _bwd_kernel(lens_ref, dy_ref, xp_ref, hp_ref, clast_ref, cp_ref,
     hp = _zero_at(first, hp_ref[0])
     cp_raw = cp_ref[0]
     cp = _zero_at(first, cp_raw)
-    ifgo = _recompute_gates(xp_ref[0], hp, wh_ref)
+    ifgo = _lstm_gates(xp_ref[0], hp, wh_ref)
     valid = lens_ref[:] > t
     dgates, dh, dc = _dgates_update(dy_ref[0], ifgo, c_scr[:], cp,
                                     wh_t_ref, dh_scr[:], dc_scr[:], valid)
@@ -217,7 +213,7 @@ def _bibwd_kernel(lens_ref, dyf_ref, xpf_ref, hpf_ref, cflast_ref, cpf_ref,
     hp = _zero_at(first, hpf_ref[0])
     cp_raw = cpf_ref[0]
     cp = _zero_at(first, cp_raw)
-    ifgo = _recompute_gates(xpf_ref[0], hp, whf_ref)
+    ifgo = _lstm_gates(xpf_ref[0], hp, whf_ref)
     dg, dh, dc = _dgates_update(dyf_ref[0], ifgo, ccf_scr[:], cp,
                                 whf_t_ref, dhf_scr[:], dcf_scr[:], valid_f)
     dhf_scr[:] = dh
@@ -229,7 +225,7 @@ def _bibwd_kernel(lens_ref, dyf_ref, xpf_ref, hpf_ref, cflast_ref, cpf_ref,
     hp = _zero_at(first, hpb_ref[0])
     cp_raw = cpb_ref[0]
     cp = _zero_at(first, cp_raw)
-    ifgo = _recompute_gates(xpb_ref[0], hp, whb_ref)
+    ifgo = _lstm_gates(xpb_ref[0], hp, whb_ref)
     dg, dh, dc = _dgates_update(dyb_ref[0], ifgo, ccb_scr[:], cp,
                                 whb_t_ref, dhb_scr[:], dcb_scr[:], valid_b)
     dhb_scr[:] = dh
@@ -355,15 +351,6 @@ def _lstm_seq_bwd_dgates(dy, x_proj, y, c_seq, w_h, lens,
     )(lens.astype(jnp.float32)[:, None], dy, x_proj, y, c_seq, c_seq,
       w_h, w_h.T)
     return dgates[0] if isinstance(dgates, (list, tuple)) else dgates
-
-
-def _shift_prev(seq, reverse):
-    """Previous-state sequence: zeros at the first processed step.
-    (Used by the GRU kernels' weight-grad path.)"""
-    t_max = seq.shape[0]
-    if reverse:
-        return jnp.concatenate([seq[1:], jnp.zeros_like(seq[:1])], axis=0)
-    return jnp.concatenate([jnp.zeros_like(seq[:1]), seq[:-1]], axis=0)
 
 
 def _dw_h(y, dgates, reverse, dtype):
