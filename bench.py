@@ -117,7 +117,117 @@ def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False,
     return audio_s_per_step * n_steps / elapsed / n_dev
 
 
+REFERENCE_DECODE_RTF = 0.055 / 3.0  # README.md:51-54: "(0.05-0.06) /
+# frame_subsampling_factor" with the headline fs=3 run — i.e. ~0.018
+# per second of audio, measured WITH the GPU forward pass included.
+
+
+def _decode_bench(words=100_000, ppw=6, phones=41, utts=16, frames=1000):
+    """Reproducible WFST decode RTF on a TLG-scale synthetic task.
+
+    Builds a `words`-word loop graph (each word a `ppw`-phone chain →
+    ~words*ppw*2 states after the CTC transform, the scale of a real
+    tgsmall TLG), synthesizes CTC-shaped posteriors (sharp label spikes
+    on a blank-dominated background), applies the reference's
+    blank-threshold frame skipping (nnet2-ctc-latgen-faster
+    --blank-threshold 0.98, run_ctc_phone.sh:38) and measures the native
+    token-passing decoder at the recipe's operating point (beam 16 is
+    decode.sh's effective best-path beam; max-active 7000).
+    """
+    import time
+
+    from kaldi_ctc_tpu.decoding.lattice import decode_lattice
+    from kaldi_ctc_tpu.decoding.wfst import (
+        NativeFst, decode_best_path, decode_best_path_batch)
+
+    rng = np.random.default_rng(0)
+    a_cols = phones + 1  # blank + phones
+
+    # deterministic word-loop graph: a phone-prefix trie over the
+    # lexicon (what L∘G determinization produces — bounded out-degree,
+    # unlike a naive per-word fan-out from the loop state), word olabel
+    # + unigram LM weight on the leaf arc back to the loop state
+    pron = rng.integers(1, phones + 1, size=(words, ppw)).astype(np.int32)
+    t0 = time.perf_counter()
+    trie = {}  # (state, phone) -> next state
+    arcs_l, weights_l = [], []
+    lm_cost = float(np.log(float(words)))
+    n_states = 1
+    for w in range(words):
+        s = 0
+        for p in range(ppw - 1):
+            key = (s, int(pron[w, p]))
+            nxt = trie.get(key)
+            if nxt is None:
+                nxt = n_states
+                n_states += 1
+                trie[key] = nxt
+                arcs_l.append((s, int(pron[w, p]), 0, nxt))
+                weights_l.append(0.0)
+            s = nxt
+        # leaf arc: last phone, word olabel, LM weight, back to loop
+        arcs_l.append((s, int(pron[w, ppw - 1]), w + 1, 0))
+        weights_l.append(lm_cost)
+    arcs = np.asarray(arcs_l, np.int32)
+    weights = np.asarray(weights_l, np.float32)
+    finals = np.full(n_states, np.inf, np.float32)
+    finals[0] = 0.0
+    graph = NativeFst.from_arrays(
+        0, n_states, arcs, weights, finals).make_ctc_graph()
+    build_s = time.perf_counter() - t0
+
+    # CTC-shaped posteriors: ~45% label-spike frames, rest blank>0.98
+    def make_scores():
+        labels = rng.integers(1, phones + 1, size=frames)
+        spike = rng.random(frames) < 0.45
+        post = np.full((frames, a_cols), 1e-4, np.float32)
+        post[:, 0] = 0.99
+        rows = np.where(spike)[0]
+        post[rows, 0] = 0.05
+        post[rows, labels[rows]] = 0.75
+        post /= post.sum(axis=1, keepdims=True)
+        logp = np.log(post)
+        # reference blank-skip: drop frames with blank post >= 0.98
+        return np.ascontiguousarray(logp[post[:, 0] < 0.98])
+
+    scores = [make_scores() for _ in range(utts)]
+    audio_s = utts * frames * SECONDS_PER_FRAME
+    kept = sum(s.shape[0] for s in scores) / (utts * frames)
+
+    for s in scores[:2]:
+        decode_best_path(graph, s)          # warm the code path
+    t0 = time.perf_counter()
+    for s in scores:
+        w, _, _, ok = decode_best_path(graph, s)
+        assert ok and len(w) > 0
+    rtf_1t = (time.perf_counter() - t0) / audio_s
+
+    t0 = time.perf_counter()
+    res = decode_best_path_batch(graph, scores)
+    assert all(r[3] for r in res)
+    rtf_batch = (time.perf_counter() - t0) / audio_s
+
+    t0 = time.perf_counter()
+    for s in scores[:4]:
+        decode_lattice(graph, s, lattice_beam=10.0)
+    rtf_lat = (time.perf_counter() - t0) / (4 * frames * SECONDS_PER_FRAME)
+
+    print(json.dumps({
+        "metric": "wfst_decode_rtf",
+        "value": round(rtf_1t, 4), "unit": "rtf",
+        "graph_states": graph.num_states, "graph_arcs": graph.num_arcs,
+        "graph_build_s": round(build_s, 2),
+        "kept_frame_fraction": round(kept, 3),
+        "rtf_batch_threaded": round(rtf_batch, 4),
+        "rtf_lattice": round(rtf_lat, 4),
+        "vs_baseline": round(REFERENCE_DECODE_RTF / rtf_1t, 3),
+    }))
+
+
 def main():
+    if "--decode" in sys.argv:
+        _decode_bench()
+        return
     if "--cpu" in sys.argv:
         n = int(sys.argv[sys.argv.index("--cpu") + 1])
         import jax
