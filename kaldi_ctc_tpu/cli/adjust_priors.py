@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--raw-labels", type=int, default=0,
                    help="treat --ali values as already-collapsed CTC "
                         "labels (no collapse/shift)")
+    p.add_argument("--frame-labels", type=int, default=0,
+                   help="treat --ali as align_ctc per-frame symbol ids "
+                        "(blank=0): count true frame occupancies instead "
+                        "of the one-blank-per-label approximation")
     p.add_argument("--cmvn", default=None)
     p.add_argument("--utt2spk", default=None)
     p.add_argument("--prior-floor", type=float, default=1.0e-15)
@@ -107,7 +111,7 @@ def main(argv=None):
             labels = np.asarray(ali, np.int32)
             if tid_map is not None:
                 labels = tid_map[labels.astype(np.int64)]
-            if not args.raw_labels:
+            if not args.raw_labels and not args.frame_labels:
                 labels = collapse_alignment(labels)
             if labels.size == 0:
                 continue
@@ -125,9 +129,11 @@ def main(argv=None):
                 n_oor += oor
             counts += np.bincount(labels, minlength=cfg.num_targets)[
                 :cfg.num_targets]
-            # the awk gsub inserts one blank per original space — one
-            # per label (train.sh:498)
-            counts[0] += labels.size
+            if not args.frame_labels:
+                # the awk gsub inserts one blank per original space —
+                # one per label (train.sh:498); frame-label input counts
+                # the true blank occupancy directly instead
+                counts[0] += labels.size
             n_utts += 1
         if n_utts == 0:
             log.error("no alignments loaded"); sys.exit(1)

@@ -139,6 +139,10 @@ def parse_args(argv=None):
     re_ = sub.add_parser("relabel", help="swap labels from new alignments")
     re_.add_argument("--egs", required=True)
     re_.add_argument("--ali", required=True)
+    re_.add_argument("--frame-labels", type=int, default=0,
+                     help="--ali holds align_ctc per-frame symbol ids "
+                          "(already shifted, blank=0): collapse runs and "
+                          "drop blanks instead of the GMM collapse+shift")
     re_.add_argument("--output", required=True)
     re_.add_argument("--compress", type=int, default=1)
 
@@ -409,7 +413,19 @@ def main(argv=None):
         log.info("wrote %d examples (perturbed)", len(egs))
 
     elif args.cmd == "relabel":
-        ali = {k: v for k, v in SequentialIntVectorReader(args.ali)}
+        if args.frame_labels:
+            # align_ctc output: runs of a symbol are one label instance
+            # (valid CTC paths always separate repeated labels with a
+            # blank), so collapse runs then drop blanks; no +1 shift
+            from kaldi_ctc_tpu.data.egs import collapse_alignment
+            ali = {}
+            for k, v in SequentialIntVectorReader(args.ali):
+                seq = collapse_alignment(np.asarray(v, np.int32), shift=0)
+                ali[k] = seq[seq != 0]
+            collapse = False
+        else:
+            ali = {k: v for k, v in SequentialIntVectorReader(args.ali)}
+            collapse = True
         n_in = n_out = 0
 
         def counted():
@@ -419,7 +435,7 @@ def main(argv=None):
                 yield eg
 
         with EgsWriter(args.output, compress=bool(args.compress)) as w:
-            for eg in relabel_egs(counted(), ali):
+            for eg in relabel_egs(counted(), ali, collapse=collapse):
                 w[eg.key] = eg; n_out += 1
         log.info("relabeled %d examples (%d dropped: no alignment)",
                  n_out, n_in - n_out)

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ctc_loss", "ctc_loss_and_grad", "extend_labels",
-           "greedy_collapse", "ctc_loss_forward_only"]
+           "greedy_collapse", "ctc_loss_forward_only",
+           "ctc_viterbi_align"]
 
 _NEG_INF = -1e30  # finite stand-in for log(0); avoids inf-inf NaNs
 
@@ -297,6 +298,98 @@ def ctc_loss_forward_only(logits, labels, input_lens, label_lens, blank=0):
     """
     loss, _ = _ctc_forward(logits, labels, input_lens, label_lens, blank)
     return loss
+
+
+def ctc_viterbi_align(logits, labels, input_lens, label_lens, blank=0):
+    """CTC forced alignment: the Viterbi path through the
+    blank-interleaved label lattice.
+
+    The CTC-native replacement for the reference's realignment flow
+    (``steps/nnet2/align.sh`` + ``steps/ctc/relabel_egs2.sh``; left as a
+    TODO in ``steps/ctc/train.sh:111-115``): instead of a GMM/HMM
+    Viterbi over compiled training graphs, the best path through the
+    same 2L+1 lattice the loss uses — batched, static-shape, one
+    ``lax.scan`` forward + one for the backtrace.
+
+    Args:
+      logits: [B, T, A] pre-softmax activations.
+      labels: [B, L] padded label ids (values in [1, A); `blank` free).
+      input_lens, label_lens: [B].
+    Returns:
+      (frame_labels [B, T] int32 — per-frame emitted symbol in the
+       model's output space (blank at pad frames and blank states),
+       path_logprob [B], feasible [B] — False when T < 2L+1).
+    """
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    b, t_max, _ = log_probs.shape
+    ext = extend_labels(labels, blank)  # [B, S]
+    s_max = ext.shape[1]
+    skip_ok = _transition_masks(ext, blank)
+    lp_ext = jnp.take_along_axis(
+        log_probs, ext[:, None, :].astype(jnp.int32), axis=2)
+    lp_ext_t = jnp.moveaxis(lp_ext, 1, 0)  # [T, B, S]
+
+    def shift1(x):
+        return jnp.pad(x, ((0, 0), (1, 0)),
+                       constant_values=_NEG_INF)[:, :x.shape[1]]
+
+    def shift2(x):
+        return jnp.pad(x, ((0, 0), (2, 0)),
+                       constant_values=_NEG_INF)[:, :x.shape[1]]
+
+    delta0 = jnp.full((b, s_max), _NEG_INF)
+    delta0 = delta0.at[:, 0].set(lp_ext_t[0, :, 0])
+    if s_max > 1:
+        delta0 = delta0.at[:, 1].set(lp_ext_t[0, :, 1])
+
+    def step(delta, inputs):
+        lp_t, t = inputs
+        cands = jnp.stack([
+            delta,
+            shift1(delta),
+            jnp.where(skip_ok, shift2(delta), _NEG_INF),
+        ])  # [3, B, S]
+        choice = jnp.argmax(cands, axis=0).astype(jnp.int8)
+        best = jnp.max(cands, axis=0)
+        new = jnp.maximum(best + lp_t, _NEG_INF)
+        active = (t < input_lens)[:, None]
+        new = jnp.where(active, new, delta)
+        choice = jnp.where(active, choice, jnp.int8(0))
+        return new, choice
+
+    ts = jnp.arange(1, t_max)
+    delta_last, bps = jax.lax.scan(step, delta0, (lp_ext_t[1:], ts))
+    # bps: [T-1, B, S] back-pointers (0: stay, 1: s-1, 2: s-2)
+
+    # terminal state: better of ext indices 2L (trailing blank) / 2L-1
+    idx_last = 2 * label_lens
+    d_last = jnp.take_along_axis(delta_last, idx_last[:, None], axis=1)[:, 0]
+    idx_prev = jnp.maximum(idx_last - 1, 0)
+    d_prev = jnp.take_along_axis(delta_last, idx_prev[:, None], axis=1)[:, 0]
+    d_prev = jnp.where(label_lens > 0, d_prev, _NEG_INF)
+    s_final = jnp.where(d_last >= d_prev, idx_last, idx_prev).astype(jnp.int32)
+    path_logprob = jnp.maximum(d_last, d_prev)
+    feasible = path_logprob > 0.5 * _NEG_INF
+
+    # backtrace: s[t-1] = s[t] - bp[t, s[t]] while t-1 is a real frame
+    def back(s, inputs):
+        bp_t, t = inputs
+        step_back = jnp.take_along_axis(
+            bp_t, s[:, None].astype(jnp.int32), axis=1)[:, 0]
+        s_prev = jnp.where(t < input_lens, s - step_back, s)
+        return s_prev.astype(jnp.int32), s_prev.astype(jnp.int32)
+
+    _, states_rev = jax.lax.scan(
+        back, s_final, (bps[::-1], jnp.arange(t_max - 1, 0, -1)))
+    states = jnp.concatenate(
+        [states_rev[::-1], s_final[None]], axis=0)  # [T, B]
+
+    frame_labels = jnp.take_along_axis(
+        ext, jnp.moveaxis(states, 0, 1).astype(jnp.int32), axis=1)
+    valid = jnp.arange(t_max)[None, :] < input_lens[:, None]
+    frame_labels = jnp.where(valid & feasible[:, None],
+                             frame_labels, blank).astype(jnp.int32)
+    return frame_labels, path_logprob, feasible
 
 
 def greedy_collapse(
