@@ -27,6 +27,10 @@ def parse_args(argv=None):
 
     i = sub.add_parser("info", help="print graph statistics")
     i.add_argument("--graph", required=True)
+    i.add_argument("--check-stochastic", type=int, default=0,
+                   help="also report per-state outgoing-probability-mass "
+                        "bounds (the fstisstochastic diagnostic of "
+                        "mkgraph.sh:98,110,130)")
 
     t = sub.add_parser(
         "make-tlg",
@@ -178,11 +182,43 @@ def main(argv=None):
                  args.graph, fst.num_states, fst.num_arcs,
                  args.output, ctc.num_states, ctc.num_arcs)
     elif args.cmd == "info":
-        print(json.dumps({
+        out = {
             "num_states": fst.num_states,
             "num_arcs": fst.num_arcs,
             "start": fst.start,
-        }))
+        }
+        if args.check_stochastic:
+            # fstisstochastic: per state, -log sum of outgoing arc
+            # probabilities (+ final) in the log semiring; 0 everywhere
+            # means stochastic.  Report the min/max residual like the
+            # OpenFst tool prints.
+            import numpy as np
+            start, arcs, weights, finals = fst.to_arrays()
+            n = fst.num_states
+            neg = np.full(n, np.inf)  # running -log mass per state
+            if len(arcs):
+                order = np.argsort(arcs[:, 0], kind="stable")
+                src = arcs[order, 0]
+                w = weights[order].astype(np.float64)
+                bounds = np.searchsorted(src, np.arange(n + 1))
+                for s in range(n):
+                    lo, hi = bounds[s], bounds[s + 1]
+                    mass = -w[lo:hi]
+                    if np.isfinite(finals[s]):
+                        mass = np.concatenate([mass, [-finals[s]]])
+                    if mass.size:
+                        m = mass.max()
+                        neg[s] = -(m + np.log(np.exp(mass - m).sum()))
+            elif np.isfinite(finals).any():
+                neg = np.where(np.isfinite(finals), finals, np.inf)
+            reachable = np.isfinite(neg)
+            out["is_stochastic"] = bool(
+                reachable.any()
+                and float(np.abs(neg[reachable]).max()) < 1e-3)
+            if reachable.any():
+                out["stochastic_min"] = float(neg[reachable].min())
+                out["stochastic_max"] = float(neg[reachable].max())
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -287,3 +287,34 @@ def test_flat_start_training(tmp_path):
     result = json.loads(buf.getvalue().strip().splitlines()[-1])
     # the OOV utterance has no hypothesis constraint; it counts 1 ref word
     assert result["label_error_rate"] < 0.15, result
+
+
+def test_graph_info_check_stochastic(tmp_path, capsys):
+    """fstisstochastic analogue: a stochastic 2-arc FST reports ~0
+    residuals; scaling one weight breaks it."""
+    import numpy as np
+
+    from kaldi_ctc_tpu.cli import graph_tool
+    from kaldi_ctc_tpu.decoding.wfst import NativeFst
+
+    half = float(np.log(2.0))  # -log(0.5)
+    arcs = np.asarray([[0, 1, 1, 1], [0, 2, 2, 1]], np.int32)
+    finals = np.asarray([np.inf, 0.0], np.float32)
+
+    good = str(tmp_path / "good.fst")
+    NativeFst.from_arrays(0, 2, arcs,
+                          np.asarray([half, half], np.float32),
+                          finals).write(good)
+    graph_tool.main(["info", "--graph", good, "--check-stochastic", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["is_stochastic"] is True
+    assert abs(out["stochastic_min"]) < 1e-6
+    assert abs(out["stochastic_max"]) < 1e-6
+
+    bad = str(tmp_path / "bad.fst")
+    NativeFst.from_arrays(0, 2, arcs,
+                          np.asarray([half, 3.0], np.float32),
+                          finals).write(bad)
+    graph_tool.main(["info", "--graph", bad, "--check-stochastic", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["is_stochastic"] is False
