@@ -107,6 +107,36 @@ def test_data_parallel_matches_single_device():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_tensor_parallel_matches_single_device():
+    """data×model (4×2) mesh with the gate/hidden dims sharded over the
+    'model' axis must reproduce the single-device step — the SPMD
+    correctness gate for the tensor-parallel sharding rules."""
+    from kaldi_ctc_tpu.parallel import param_sharding
+
+    rng = np.random.default_rng(4)
+    batch_np = _synthetic_batch(rng, b=8, t=16, d=8, num_targets=6, lmax=3)
+    batch_single = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    opts = TrainOptions(initial_learning_rate=1e-2, final_learning_rate=1e-2)
+    params = init_am_params(jax.random.PRNGKey(4), CFG)
+
+    step = make_train_step(CFG, opts)
+    state1, m1 = step(init_train_state(params), batch_single)
+
+    mesh = make_mesh(data=4, model=2)
+    params2 = init_am_params(jax.random.PRNGKey(4), CFG)
+    shardings = param_sharding(mesh, params2, tensor_parallel=True)
+    params2 = jax.tree_util.tree_map(jax.device_put, params2, shardings)
+    batch_sharded = shard_batch(batch_np, mesh)
+    state2, m2 = step(init_train_state(params2), batch_sharded)
+
+    np.testing.assert_allclose(float(m1["loss_total"]),
+                               float(m2["loss_total"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_exponential_lr_schedule():
     opts = TrainOptions(initial_learning_rate=5e-4, final_learning_rate=1e-5,
                         num_steps=100)
