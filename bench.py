@@ -134,8 +134,6 @@ def _decode_bench(words=100_000, ppw=6, phones=41, utts=16, frames=1000):
     token-passing decoder at the recipe's operating point (beam 16 is
     decode.sh's effective best-path beam; max-active 7000).
     """
-    import time
-
     from kaldi_ctc_tpu.decoding.lattice import decode_lattice
     from kaldi_ctc_tpu.decoding.wfst import (
         NativeFst, decode_best_path, decode_best_path_batch)
@@ -148,6 +146,11 @@ def _decode_bench(words=100_000, ppw=6, phones=41, utts=16, frames=1000):
     # unlike a naive per-word fan-out from the loop state), word olabel
     # + unigram LM weight on the leaf arc back to the loop state
     pron = rng.integers(1, phones + 1, size=(words, ppw)).astype(np.int32)
+    # dedupe identical pronunciations (expected ~1 collision at 100k
+    # draws): two words sharing a full pron would emit a nondeterministic
+    # arc pair from the same trie state
+    pron = np.unique(pron, axis=0)
+    words = pron.shape[0]
     t0 = time.perf_counter()
     trie = {}  # (state, phone) -> next state
     arcs_l, weights_l = [], []

@@ -80,24 +80,12 @@ def main(argv=None):
     if not args.frame_labels and not args.ctm:
         log.error("need --frame-labels and/or --ctm"); sys.exit(1)
 
-    if args.model:
-        from kaldi_ctc_tpu.models.artifact import load_inference_artifact
-        params, cfg, _ = load_inference_artifact(args.model)
-    elif args.dir:
-        from kaldi_ctc_tpu.training import init_train_state
-        from kaldi_ctc_tpu.training.checkpoint import (
-            cfg_for_checkpoint, restore_checkpoint)
-        with open(os.path.join(args.dir, "model_config.json")) as f:
-            cfg = AmConfig.from_dict(json.load(f))
-        cfg = cfg_for_checkpoint(os.path.join(args.dir, "checkpoints"),
-                                 cfg, step=args.step)
-        state = init_train_state(
-            init_am_params(jax.random.PRNGKey(0), cfg))
-        state, _ = restore_checkpoint(
-            os.path.join(args.dir, "checkpoints"), state, step=args.step)
-        params = state.params
-    else:
-        log.error("need --dir or --model"); sys.exit(1)
+    from kaldi_ctc_tpu.models.artifact import load_acoustic_model
+    try:
+        params, cfg, _, _ = load_acoustic_model(args.model, args.dir,
+                                                args.step)
+    except ValueError as e:
+        log.error("%s", e); sys.exit(1)
 
     # label sequences
     label_seqs = {}
@@ -139,6 +127,30 @@ def main(argv=None):
             log.warning("%d utterances had no labels; skipped", missing)
     else:
         log.error("need --feats or --egs"); sys.exit(1)
+
+    # range-check labels before the jitted gather clamps them silently
+    # (the adjust_priors guard: out-of-range ids mean the wrong input
+    # kind — e.g. transition-ids or unshifted labels — and aligning
+    # against a clamped column would write corrupt alignments)
+    kept = []
+    n_oor = 0
+    for e in egs:
+        labs = np.asarray(e.labels)
+        if labs.size and (labs.min() < 1 or labs.max() >= cfg.num_targets):
+            if n_oor == 0:
+                log.warning(
+                    "%s: label ids outside [1, %d) (unshifted labels or "
+                    "transition-ids?) — utterance skipped", e.key,
+                    cfg.num_targets)
+            n_oor += 1
+            continue
+        kept.append(e)
+    if n_oor:
+        log.warning("skipped %d utterances with out-of-range labels",
+                    n_oor)
+    egs = kept
+    # length-sorted groups: homogeneous pads, bounded recompiles
+    egs.sort(key=lambda e: e.num_frames)
 
     @jax.jit
     def align(feats, input_lens, labels, label_lens):

@@ -42,22 +42,15 @@ def main(argv=None):
     from kaldi_ctc_tpu.data import load_examples
     from kaldi_ctc_tpu.data.bucketing import make_buckets, pad_batch
     from kaldi_ctc_tpu.data.egs import CtcExample, example_ok, frame_subsample
-    from kaldi_ctc_tpu.models import AmConfig, init_am_params
-    from kaldi_ctc_tpu.training import (
-        accuracy_from_outputs, init_train_state, make_eval_step)
-    from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
+    from kaldi_ctc_tpu.training import accuracy_from_outputs, make_eval_step
     from kaldi_ctc_tpu.utils import MetricsLogger, get_logger
     from kaldi_ctc_tpu.utils.kaldi_io import SequentialTextReader
 
     args = parse_args(argv)
     log = get_logger("compute_prob")
-    with open(os.path.join(args.dir, "model_config.json")) as f:
-        cfg = AmConfig.from_dict(json.load(f))
-    # growth rewrites the config before a checkpoint at the new size
-    # exists; the checkpoint meta is the template's truth
-    from kaldi_ctc_tpu.training.checkpoint import cfg_for_checkpoint
-    cfg = cfg_for_checkpoint(os.path.join(args.dir, "checkpoints"),
-                             cfg, step=args.step)
+    from kaldi_ctc_tpu.models.artifact import load_acoustic_model
+    params, cfg, _, meta = load_acoustic_model(dir=args.dir,
+                                               step=args.step)
 
     if args.egs:
         from kaldi_ctc_tpu.data.egs_io import SequentialEgsReader
@@ -88,11 +81,6 @@ def main(argv=None):
     if n_skip:
         log.info("skipped %d examples (length filters)", n_skip)
 
-    params = init_am_params(jax.random.PRNGKey(0), cfg)
-    state = init_train_state(params)
-    state, meta = restore_checkpoint(
-        os.path.join(args.dir, "checkpoints"), state, step=args.step)
-
     eval_step = make_eval_step(cfg)
     examples.sort(key=lambda e: e.num_frames)
     frame_buckets = make_buckets()
@@ -103,7 +91,7 @@ def main(argv=None):
         batch = pad_batch(examples[i:i + args.minibatch_size],
                           frame_buckets, label_buckets)
         batch.pop("keys")
-        out = eval_step(state.params, batch)
+        out = eval_step(params, batch)
         _, e, r = accuracy_from_outputs(out, batch["labels"],
                                         batch["label_lens"])
         tot_err += e; tot_ref += r

@@ -98,34 +98,15 @@ def main(argv=None):
     if args.profile:
         profiling.enable()
     priors = None
-    if args.model:
-        from kaldi_ctc_tpu.models.artifact import load_inference_artifact
-        model_params, cfg, art_priors = load_inference_artifact(args.model)
-        if args.use_priors:
-            priors = (art_priors if art_priors is not None
-                      else default_priors(cfg.num_targets, args.blank_prior))
-    elif args.dir:
-        with open(os.path.join(args.dir, "model_config.json")) as f:
-            cfg = AmConfig.from_dict(json.load(f))
-        # growth rewrites the config before a checkpoint at the
-        # new size exists; the checkpoint meta is the template's truth
-        from kaldi_ctc_tpu.training.checkpoint import cfg_for_checkpoint
-        cfg = cfg_for_checkpoint(os.path.join(args.dir, "checkpoints"),
-                                 cfg, step=args.step)
-        params = init_am_params(jax.random.PRNGKey(0), cfg)
-        state = init_train_state(params)
-        state, meta = restore_checkpoint(
-            os.path.join(args.dir, "checkpoints"), state, step=args.step)
-        model_params = state.params
-        if args.use_priors:
-            priors_path = os.path.join(args.dir, "priors.npy")
-            if os.path.exists(priors_path):
-                priors = np.load(priors_path)
-                log.info("loaded priors from %s", priors_path)
-            else:
-                priors = default_priors(cfg.num_targets, args.blank_prior)
-    else:
-        log.error("need --dir or --model"); sys.exit(1)
+    from kaldi_ctc_tpu.models.artifact import load_acoustic_model
+    try:
+        model_params, cfg, loaded_priors, _ = load_acoustic_model(
+            args.model, args.dir, args.step)
+    except ValueError as e:
+        log.error("%s", e); sys.exit(1)
+    if args.use_priors:
+        priors = (loaded_priors if loaded_priors is not None
+                  else default_priors(cfg.num_targets, args.blank_prior))
 
     utt2spk = dict(SequentialTextReader(args.utt2spk)) if args.utt2spk else None
     cmvn = open_random_access_matrices(args.cmvn) if args.cmvn else None

@@ -190,34 +190,43 @@ def main(argv=None):
         if args.check_stochastic:
             # fstisstochastic: per state, -log sum of outgoing arc
             # probabilities (+ final) in the log semiring; 0 everywhere
-            # means stochastic.  Report the min/max residual like the
-            # OpenFst tool prints.
+            # means stochastic.  A state with no mass at all (dead end —
+            # the pathology a skipped fstconnect leaves behind) has
+            # residual +inf and fails the check, exactly like the
+            # OpenFst tool.  Vectorized segmented logsumexp (finals join
+            # the arcs as pseudo-arcs) — a per-state Python loop took
+            # ~10 s at real-TLG scale.
             import numpy as np
             start, arcs, weights, finals = fst.to_arrays()
             n = fst.num_states
-            neg = np.full(n, np.inf)  # running -log mass per state
-            if len(arcs):
-                order = np.argsort(arcs[:, 0], kind="stable")
-                src = arcs[order, 0]
-                w = weights[order].astype(np.float64)
+            fin_states = np.flatnonzero(np.isfinite(finals))
+            src_all = np.concatenate(
+                [arcs[:, 0], fin_states]) if len(arcs) else fin_states
+            w_all = np.concatenate(
+                [-weights.astype(np.float64),
+                 -finals[fin_states].astype(np.float64)]
+            ) if len(arcs) else -finals[fin_states].astype(np.float64)
+            neg = np.full(n, np.inf)
+            if src_all.size:
+                order = np.argsort(src_all, kind="stable")
+                src = src_all[order]
+                w = w_all[order]
                 bounds = np.searchsorted(src, np.arange(n + 1))
-                for s in range(n):
-                    lo, hi = bounds[s], bounds[s + 1]
-                    mass = -w[lo:hi]
-                    if np.isfinite(finals[s]):
-                        mass = np.concatenate([mass, [-finals[s]]])
-                    if mass.size:
-                        m = mass.max()
-                        neg[s] = -(m + np.log(np.exp(mass - m).sum()))
-            elif np.isfinite(finals).any():
-                neg = np.where(np.isfinite(finals), finals, np.inf)
-            reachable = np.isfinite(neg)
+                has = bounds[1:] > bounds[:-1]
+                starts = bounds[:-1][has]
+                mx = np.maximum.reduceat(w, starts)     # per nonempty seg
+                mx_per_arc = np.repeat(mx, np.diff(bounds)[has])
+                sums = np.add.reduceat(np.exp(w - mx_per_arc), starts)
+                neg[has] = -(mx + np.log(sums))
             out["is_stochastic"] = bool(
-                reachable.any()
-                and float(np.abs(neg[reachable]).max()) < 1e-3)
-            if reachable.any():
-                out["stochastic_min"] = float(neg[reachable].min())
-                out["stochastic_max"] = float(neg[reachable].max())
+                n > 0 and np.isfinite(neg).all()
+                and float(np.abs(neg).max()) < 1e-3)
+            if n:
+                finite = np.isfinite(neg)
+                out["stochastic_min"] = float(
+                    neg[finite].min()) if finite.any() else float("inf")
+                out["stochastic_max"] = (float(neg.max()) if finite.all()
+                                         else float("inf"))
         print(json.dumps(out))
 
 

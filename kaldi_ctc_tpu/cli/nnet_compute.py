@@ -55,26 +55,12 @@ def main(argv=None):
     args = parse_args(argv)
     log = get_logger("nnet_compute")
 
-    if args.model:
-        from kaldi_ctc_tpu.models.artifact import load_inference_artifact
-        params, cfg, _ = load_inference_artifact(args.model)
-    elif args.dir:
-        from kaldi_ctc_tpu.training import init_train_state
-        from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
-        with open(os.path.join(args.dir, "model_config.json")) as f:
-            cfg = AmConfig.from_dict(json.load(f))
-        # growth rewrites the config before a checkpoint at the
-        # new size exists; the checkpoint meta is the template's truth
-        from kaldi_ctc_tpu.training.checkpoint import cfg_for_checkpoint
-        cfg = cfg_for_checkpoint(os.path.join(args.dir, "checkpoints"),
-                                 cfg, step=args.step)
-        state = init_train_state(
-            init_am_params(jax.random.PRNGKey(0), cfg))
-        state, _ = restore_checkpoint(
-            os.path.join(args.dir, "checkpoints"), state, step=args.step)
-        params = state.params
-    else:
-        log.error("need --dir or --model"); sys.exit(1)
+    from kaldi_ctc_tpu.models.artifact import load_acoustic_model
+    try:
+        params, cfg, _, _ = load_acoustic_model(args.model, args.dir,
+                                                args.step)
+    except ValueError as e:
+        log.error("%s", e); sys.exit(1)
 
     utt2spk = (dict(SequentialTextReader(args.utt2spk))
                if args.utt2spk else None)

@@ -93,36 +93,12 @@ class Engine:
         from kaldi_ctc_tpu.models import AmConfig, am_forward
 
         self.args = args
-        if args.model:
-            from kaldi_ctc_tpu.models.artifact import load_inference_artifact
-            self.params, self.cfg, self.priors = \
-                load_inference_artifact(args.model)
-        elif args.dir:
-            import os
-
-            from kaldi_ctc_tpu.models import init_am_params
-            from kaldi_ctc_tpu.training import init_train_state
-            from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
-            from kaldi_ctc_tpu.training.checkpoint import (
-                cfg_for_checkpoint)
-            with open(os.path.join(args.dir, "model_config.json")) as f:
-                self.cfg = AmConfig.from_dict(json.load(f))
-            # the checkpoint, not model_config.json, is the truth for
-            # the layer count: layer-wise growth rewrites the config
-            # BEFORE the first checkpoint at the new size exists
-            self.cfg = cfg_for_checkpoint(
-                os.path.join(args.dir, "checkpoints"), self.cfg)
-            template = init_am_params(jax.random.PRNGKey(0), self.cfg)
-            state = init_train_state(template)
-            state, _ = restore_checkpoint(
-                os.path.join(args.dir, "checkpoints"), state)
-            self.params = state.params
-            self.priors = None
-            ppath = os.path.join(args.dir, "priors.npy")
-            if os.path.exists(ppath):
-                self.priors = np.load(ppath)
-        else:
-            raise SystemExit("serve: need --dir or --model")
+        from kaldi_ctc_tpu.models.artifact import load_acoustic_model
+        try:
+            self.params, self.cfg, self.priors, _ = load_acoustic_model(
+                args.model, args.dir)
+        except ValueError as e:
+            raise SystemExit(f"serve: {e}")
         if not args.use_priors:
             self.priors = None
 

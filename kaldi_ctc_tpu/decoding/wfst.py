@@ -24,17 +24,47 @@ _NATIVE_DIR = os.path.normpath(
 _lib = None
 
 
+def _host_arch_stamp() -> str:
+    """Identifies the CPU the library was built for.  The Makefile uses
+    -march=native, so a .so copied between machines (mtimes preserved)
+    could SIGILL; the stamp forces a rebuild when the host changes."""
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return platform.machine() + ":" + hashlib.sha256(
+        flags.encode()).hexdigest()[:16]
+
+
 def ensure_built() -> str:
     """Build the shared library if missing/stale; return its path."""
     srcs = [os.path.join(_NATIVE_DIR, n)
             for n in ("fst.cc", "determinize.cc", "decoder.cc",
                       "lattice.cc", "api.cc",
                       "fst.h", "decoder.h", "lattice.h", "Makefile")]
-    if (not os.path.exists(_LIB_PATH)
-            or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
-                   for s in srcs if os.path.exists(s))):
+    stamp_path = _LIB_PATH + ".buildinfo"
+    stamp = _host_arch_stamp()
+    stale = (not os.path.exists(_LIB_PATH)
+             or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+                    for s in srcs if os.path.exists(s)))
+    if not stale:
+        try:
+            with open(stamp_path) as f:
+                stale = f.read().strip() != stamp
+        except OSError:
+            stale = True
+    if stale:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
+        with open(stamp_path, "w") as f:
+            f.write(stamp + "\n")
     return _LIB_PATH
 
 

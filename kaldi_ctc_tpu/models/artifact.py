@@ -15,7 +15,8 @@ from typing import Any, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["save_inference_artifact", "load_inference_artifact"]
+__all__ = ["save_inference_artifact", "load_inference_artifact",
+           "load_acoustic_model"]
 
 
 def save_inference_artifact(path: str, params: Any, cfg,
@@ -53,3 +54,43 @@ def load_inference_artifact(path: str) -> Tuple[Any, "AmConfig",
         priors = (np.asarray(data["__priors__"])
                   if "__priors__" in data else None)
     return params, cfg, priors
+
+
+def load_acoustic_model(model: Optional[str] = None,
+                        dir: Optional[str] = None,
+                        step: Optional[int] = None):
+    """One loader for every CLI → (params, cfg, priors, meta).
+
+    `model`: single-file inference artifact (priors embedded, meta None).
+    `dir`: training directory — model_config.json reconciled with the
+    checkpoint's layer count first (cfg_for_checkpoint: layer-wise
+    growth rewrites the config before a checkpoint at the new size
+    exists), then the checkpoint restored; `priors.npy` is picked up
+    when present; meta is the checkpoint metadata (e.g. meta["step"]).
+
+    Raises ValueError when neither source is given.
+    """
+    if model:
+        params, cfg, priors = load_inference_artifact(model)
+        return params, cfg, priors, None
+    if not dir:
+        raise ValueError("need a model artifact (--model) or a "
+                         "training dir (--dir)")
+    import os
+
+    import jax
+
+    from kaldi_ctc_tpu.models.acoustic import AmConfig, init_am_params
+    from kaldi_ctc_tpu.training import init_train_state
+    from kaldi_ctc_tpu.training.checkpoint import (
+        cfg_for_checkpoint, restore_checkpoint)
+    with open(os.path.join(dir, "model_config.json")) as f:
+        cfg = AmConfig.from_dict(json.load(f))
+    cfg = cfg_for_checkpoint(os.path.join(dir, "checkpoints"), cfg,
+                             step=step)
+    state = init_train_state(init_am_params(jax.random.PRNGKey(0), cfg))
+    state, meta = restore_checkpoint(os.path.join(dir, "checkpoints"),
+                                     state, step=step)
+    ppath = os.path.join(dir, "priors.npy")
+    priors = np.load(ppath) if os.path.exists(ppath) else None
+    return state.params, cfg, priors, meta

@@ -318,3 +318,15 @@ def test_graph_info_check_stochastic(tmp_path, capsys):
     graph_tool.main(["info", "--graph", bad, "--check-stochastic", "1"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["is_stochastic"] is False
+
+    # dead-end state (non-final, no arcs): zero outgoing mass must fail
+    # the check like fstisstochastic's infinite residual, not be skipped
+    dead = str(tmp_path / "dead.fst")
+    NativeFst.from_arrays(
+        0, 3, np.asarray([[0, 1, 1, 1], [0, 2, 2, 2]], np.int32),
+        np.asarray([half, half], np.float32),
+        np.asarray([np.inf, 0.0, np.inf], np.float32)).write(dead)
+    graph_tool.main(["info", "--graph", dead, "--check-stochastic", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["is_stochastic"] is False
+    assert out["stochastic_max"] == float("inf")
