@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 
 import numpy as np
@@ -68,7 +67,7 @@ def main(argv=None):
     from kaldi_ctc_tpu.data.bucketing import make_buckets
     from kaldi_ctc_tpu.data.egs import collapse_alignment
     from kaldi_ctc_tpu.features.cmvn import apply_cmvn
-    from kaldi_ctc_tpu.models import AmConfig, am_forward, init_am_params
+    from kaldi_ctc_tpu.models import am_forward
     from kaldi_ctc_tpu.ops.ctc import ctc_viterbi_align
     from kaldi_ctc_tpu.utils import get_logger
     from kaldi_ctc_tpu.utils.kaldi_io import (

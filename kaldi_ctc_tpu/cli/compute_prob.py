@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 
 
@@ -37,8 +36,6 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    import jax
-
     from kaldi_ctc_tpu.data import load_examples
     from kaldi_ctc_tpu.data.bucketing import make_buckets, pad_batch
     from kaldi_ctc_tpu.data.egs import CtcExample, example_ok, frame_subsample

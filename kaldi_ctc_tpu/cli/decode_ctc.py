@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -82,10 +81,7 @@ def main(argv=None):
     from kaldi_ctc_tpu.decoding import (
         acoustic_scores, greedy_decode, prefix_beam_search)
     from kaldi_ctc_tpu.features.cmvn import apply_cmvn
-    from kaldi_ctc_tpu.models import (
-        AmConfig, am_forward, default_priors, init_am_params)
-    from kaldi_ctc_tpu.training import init_train_state
-    from kaldi_ctc_tpu.training.checkpoint import restore_checkpoint
+    from kaldi_ctc_tpu.models import am_forward, default_priors
     from kaldi_ctc_tpu.utils import get_logger
     from kaldi_ctc_tpu.utils.edit_distance import edit_distance
     from kaldi_ctc_tpu.utils.kaldi_io import (
@@ -124,7 +120,7 @@ def main(argv=None):
     ilabel_map = None
     lat_writer = None
     if args.method == "wfst":
-        from kaldi_ctc_tpu.decoding.wfst import NativeFst, decode_best_path
+        from kaldi_ctc_tpu.decoding.wfst import NativeFst
         if not args.graph:
             log.error("--method wfst requires --graph"); sys.exit(1)
         graph = NativeFst.load(args.graph)

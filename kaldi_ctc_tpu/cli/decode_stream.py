@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -39,12 +38,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    import jax
-
     from kaldi_ctc_tpu.data.egs import frame_subsample
     from kaldi_ctc_tpu.decoding.streaming import StreamingRecognizer
     from kaldi_ctc_tpu.features.cmvn import apply_cmvn
-    from kaldi_ctc_tpu.models import AmConfig, init_am_params
     from kaldi_ctc_tpu.utils import get_logger
     from kaldi_ctc_tpu.utils.edit_distance import edit_distance
     from kaldi_ctc_tpu.utils.kaldi_io import (

@@ -8,8 +8,6 @@ or external decoders.
 from __future__ import annotations
 
 import argparse
-import json
-import os
 import sys
 
 import numpy as np
@@ -46,7 +44,7 @@ def main(argv=None):
     from kaldi_ctc_tpu.data import CtcExample, frame_subsample, pad_batch
     from kaldi_ctc_tpu.data.bucketing import make_buckets
     from kaldi_ctc_tpu.features.cmvn import apply_cmvn
-    from kaldi_ctc_tpu.models import AmConfig, am_forward, init_am_params
+    from kaldi_ctc_tpu.models import am_forward
     from kaldi_ctc_tpu.utils import get_logger, kaldi_io
     from kaldi_ctc_tpu.utils.kaldi_io import (
         SequentialMatrixReader, SequentialTextReader,

@@ -86,8 +86,6 @@ class Engine:
     """Owns the model, feature extractor, streaming slots, and decoder."""
 
     def __init__(self, args):
-        import jax
-
         from kaldi_ctc_tpu.features import (
             FbankOptions, MfccOptions, compute_fbank, compute_mfcc)
         from kaldi_ctc_tpu.models import AmConfig, am_forward
