@@ -92,18 +92,18 @@ float GetCutoff(TokenStore& toks, const DecodeOptions& opts,
   return beam_cutoff;
 }
 
-void ProcessNonemitting(const Fst& fst, float cutoff,
-                        std::vector<BackPtr>* arena, TokenStore* toks,
-                        std::deque<int32_t>* queue) {
+void ProcessNonemitting(const Fst& fst, const DecodeIndex& idx,
+                        float cutoff, std::vector<BackPtr>* arena,
+                        TokenStore* toks, std::deque<int32_t>* queue) {
   queue->assign(toks->Active().begin(), toks->Active().end());
   while (!queue->empty()) {
     int32_t s = queue->front();
     queue->pop_front();
     const Token tok = toks->At(s);
     if (tok.cost > cutoff) continue;
-    for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
-      const Arc& a = fst.arcs[i];
-      if (a.ilabel != 0) continue;
+    const int64_t end = idx.eps_end[s];
+    for (int64_t i = fst.arc_offset[s]; i < end; ++i) {
+      const Arc& a = idx.arcs[i];
       float nc = tok.cost + a.weight;
       if (nc >= cutoff) continue;
       Token& nt = toks->Get(a.nextstate);
@@ -119,7 +119,34 @@ void ProcessNonemitting(const Fst& fst, float cutoff,
 
 }  // namespace
 
+DecodeIndex BuildDecodeIndex(const Fst& fst) {
+  DecodeIndex idx;
+  const int64_t n = fst.NumStates();
+  idx.eps_end.resize(n);
+  idx.arcs.resize(fst.arcs.size());
+  for (int64_t s = 0; s < n; ++s) {
+    int64_t lo = fst.arc_offset[s], hi = fst.arc_offset[s + 1];
+    int64_t w = lo;
+    for (int64_t i = lo; i < hi; ++i)
+      if (fst.arcs[i].ilabel == 0) idx.arcs[w++] = fst.arcs[i];
+    idx.eps_end[s] = w;
+    for (int64_t i = lo; i < hi; ++i)
+      if (fst.arcs[i].ilabel != 0) idx.arcs[w++] = fst.arcs[i];
+  }
+  return idx;
+}
+
 bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
+                    int64_t num_cols, const int32_t* ilabel_map,
+                    int64_t map_size, const DecodeOptions& opts,
+                    DecodeResult* result) {
+  DecodeIndex idx = BuildDecodeIndex(fst);
+  return DecodeBestPath(fst, idx, scores, num_frames, num_cols,
+                        ilabel_map, map_size, opts, result);
+}
+
+bool DecodeBestPath(const Fst& fst, const DecodeIndex& idx,
+                    const float* scores, int64_t num_frames,
                     int64_t num_cols, const int32_t* ilabel_map,
                     int64_t map_size, const DecodeOptions& opts,
                     DecodeResult* result) {
@@ -133,7 +160,7 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
 
   cur.Clear();
   cur.Get((int32_t)fst.start).cost = 0.0f;
-  ProcessNonemitting(fst, opts.beam, &arena, &cur, &queue);
+  ProcessNonemitting(fst, idx, opts.beam, &arena, &cur, &queue);
 
   for (int64_t t = 0; t < num_frames; ++t) {
     const float* row = scores + t * num_cols;
@@ -149,9 +176,9 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
     for (int32_t s : cur.Active()) {
       const Token tok = cur.At(s);
       if (tok.cost > cutoff) continue;
-      for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
-        const Arc& a = fst.arcs[i];
-        if (a.ilabel == 0) continue;  // emitting only
+      const int64_t hi = fst.arc_offset[s + 1];
+      for (int64_t i = idx.eps_end[s]; i < hi; ++i) {
+        const Arc& a = idx.arcs[i];   // emitting arcs only, by layout
         if (a.ilabel >= map_size) continue;
         int32_t col = ilabel_map[a.ilabel];
         if (col < 0 || col >= num_cols) continue;
@@ -175,7 +202,7 @@ bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
     // LM backoffs, determinization chains) must not expand past the
     // survivor budget
     float ne_cutoff = GetCutoff(next, opts, next_best, &cutoff_scratch);
-    ProcessNonemitting(fst, ne_cutoff, &arena, &next, &queue);
+    ProcessNonemitting(fst, idx, ne_cutoff, &arena, &next, &queue);
     std::swap(cur, next);
   }
 
@@ -224,10 +251,11 @@ int DecodeBestPathBatch(const Fst& fst, const float* scores,
   }
   num_threads = (int)std::min<int64_t>(num_threads, num_utts);
 
+  const DecodeIndex idx = BuildDecodeIndex(fst);  // shared, read-only
   auto worker = [&](int tid) {
     for (int64_t u = tid; u < num_utts; u += num_threads) {
       int64_t lo = frame_offsets[u], hi = frame_offsets[u + 1];
-      ok[u] = DecodeBestPath(fst, scores + lo * num_cols, hi - lo,
+      ok[u] = DecodeBestPath(fst, idx, scores + lo * num_cols, hi - lo,
                              num_cols, ilabel_map, map_size, opts,
                              &(*results)[u])
                   ? 1 : 0;

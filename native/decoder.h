@@ -32,11 +32,31 @@ struct DecodeResult {
   std::vector<int32_t> alignment;  // ilabel per frame (graph labels)
 };
 
+// Decoder-side arc index: per state, epsilon arcs first then emitting
+// arcs, with the split point recorded.  Both hot loops (epsilon closure
+// and emitting expansion) then iterate exactly the arcs they need with
+// no per-arc ilabel branch — on CTC graphs (every original state grows
+// an epsilon arc to its blank twin) roughly a third of all arc visits
+// were branch-and-skip.  O(arcs) to build; share across a batch.
+struct DecodeIndex {
+  std::vector<int64_t> eps_end;  // absolute index of first emitting arc
+  std::vector<Arc> arcs;         // fst.arcs, eps-first within each state
+};
+
+DecodeIndex BuildDecodeIndex(const Fst& fst);
+
 // scores: [num_frames, num_cols] row-major log-likelihood-style scores
 // (higher better).  ilabel_map: ilabel -> column (size max_ilabel+1);
 // entries < 0 mean "no score" (arc treated as non-emitting is NOT allowed;
 // ilabel 0 is epsilon and never looked up).
 bool DecodeBestPath(const Fst& fst, const float* scores, int64_t num_frames,
+                    int64_t num_cols, const int32_t* ilabel_map,
+                    int64_t map_size, const DecodeOptions& opts,
+                    DecodeResult* result);
+
+// As above with a prebuilt (shareable) arc index.
+bool DecodeBestPath(const Fst& fst, const DecodeIndex& idx,
+                    const float* scores, int64_t num_frames,
                     int64_t num_cols, const int32_t* ilabel_map,
                     int64_t map_size, const DecodeOptions& opts,
                     DecodeResult* result);

@@ -1,5 +1,7 @@
 #include "lattice.h"
 
+#include "decoder.h"
+
 #include <algorithm>
 #include <cmath>
 #include <deque>
@@ -93,7 +95,8 @@ float LatCutoff(const StateMap& m, const Builder& b,
 // termination argument as the best-path decoder); every traversal within
 // the cutoff adds a link so alternative epsilon paths survive into the
 // lattice.
-void LatProcessNonemitting(const Fst& fst, float cutoff, int32_t frame,
+void LatProcessNonemitting(const Fst& fst, const DecodeIndex& idx,
+                           float cutoff, int32_t frame,
                            Builder* b, StateMap* m,
                            std::deque<int32_t>* queue) {
   queue->assign(m->Active().begin(), m->Active().end());
@@ -103,9 +106,9 @@ void LatProcessNonemitting(const Fst& fst, float cutoff, int32_t frame,
     int32_t tid = m->Get(s);
     float cost = b->tokens[tid].alpha;
     if (cost > cutoff) continue;
-    for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
-      const Arc& a = fst.arcs[i];
-      if (a.ilabel != 0) continue;
+    const int64_t end = idx.eps_end[s];
+    for (int64_t i = fst.arc_offset[s]; i < end; ++i) {
+      const Arc& a = idx.arcs[i];
       float nc = cost + a.weight;
       if (nc >= cutoff) continue;
       int32_t nt;
@@ -137,10 +140,11 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
   std::deque<int32_t> queue;
   cur.Clear();
   next.Clear();
+  const DecodeIndex idx = BuildDecodeIndex(fst);
   int32_t t0 = b.NewToken(0);
   b.tokens[t0].alpha = 0.0f;
   cur.Put((int32_t)fst.start, t0);
-  LatProcessNonemitting(fst, opts.beam, 0, &b, &cur, &queue);
+  LatProcessNonemitting(fst, idx, opts.beam, 0, &b, &cur, &queue);
 
   for (int64_t t = 0; t < num_frames; ++t) {
     const float* row = scores + t * num_cols;
@@ -158,9 +162,9 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
       int32_t tid = cur.Get(s);
       float cost = b.tokens[tid].alpha;
       if (cost > cutoff) continue;
-      for (int64_t i = fst.arc_offset[s]; i < fst.arc_offset[s + 1]; ++i) {
-        const Arc& a = fst.arcs[i];
-        if (a.ilabel == 0) continue;
+      const int64_t hi = fst.arc_offset[s + 1];
+      for (int64_t i = idx.eps_end[s]; i < hi; ++i) {
+        const Arc& a = idx.arcs[i];   // emitting arcs only, by layout
         if (a.ilabel >= map_size) continue;
         int32_t col = ilabel_map[a.ilabel];
         if (col < 0 || col >= num_cols) continue;
@@ -188,7 +192,7 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
     if (next.Size() == 0) return false;
     // cap the epsilon closure by max_active as well
     float ne_cutoff = LatCutoff(next, b, opts, next_best);
-    LatProcessNonemitting(fst, ne_cutoff, (int32_t)t + 1, &b,
+    LatProcessNonemitting(fst, idx, ne_cutoff, (int32_t)t + 1, &b,
                           &next, &queue);
     std::swap(cur, next);
   }
