@@ -60,9 +60,21 @@ def ensure_built() -> str:
                 stale = f.read().strip() != stamp
         except OSError:
             stale = True
+        if stale:
+            # Arch mismatch: mtimes may still say "up to date" (a .so copied
+            # with preserved timestamps), so plain `make` would no-op and a
+            # rewritten stamp would mask the mismatch forever.  Remove the
+            # binary so the rebuild is unconditional.
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
     if stale:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
+        if not os.path.exists(_LIB_PATH):
+            raise RuntimeError(
+                f"native build did not produce {_LIB_PATH}")
         with open(stamp_path, "w") as f:
             f.write(stamp + "\n")
     return _LIB_PATH

@@ -180,3 +180,38 @@ def test_batch_decode_matches_single():
         assert list(w0) == list(w1)
         assert list(a0) == list(a1)
         assert abs(c0 - c1) < 1e-5
+
+
+def test_arch_stamp_mismatch_forces_real_rebuild(tmp_path, monkeypatch):
+    """A .so copied from another machine with preserved mtimes must be
+    rebuilt when the arch stamp mismatches — plain `make` would no-op on
+    mtimes, so ensure_built has to delete the binary first (ADVICE r1)."""
+    from kaldi_ctc_tpu.decoding import wfst
+
+    native = tmp_path / "native"
+    native.mkdir()
+    lib = tmp_path / "libfake.so"
+    # Fake sources older than the target, and a Makefile whose rule is
+    # mtime-based exactly like the real one.
+    for name in ("fst.cc", "determinize.cc", "decoder.cc", "lattice.cc",
+                 "api.cc", "fst.h", "decoder.h", "lattice.h"):
+        (native / name).write_text("// fake\n")
+    (native / "Makefile").write_text(
+        f"{lib}: fst.cc determinize.cc decoder.cc lattice.cc api.cc\n"
+        f"\tprintf built-%s $$$$ > {lib}\n")
+    lib.write_text("foreign-binary")
+    old = lib.read_text()
+    os.utime(lib, (2e9, 2e9))  # newer than every source
+    # Forged stamp from a different host.
+    (tmp_path / "libfake.so.buildinfo").write_text("other-arch:deadbeef\n")
+
+    monkeypatch.setattr(wfst, "_LIB_PATH", str(lib))
+    monkeypatch.setattr(wfst, "_NATIVE_DIR", str(native))
+    wfst.ensure_built()
+    assert lib.read_text() != old, "foreign binary survived stamp mismatch"
+    assert (tmp_path / "libfake.so.buildinfo").read_text().strip() == \
+        wfst._host_arch_stamp()
+    # Second call: stamp now matches, mtimes fresh -> no rebuild.
+    now = lib.read_text()
+    wfst.ensure_built()
+    assert lib.read_text() == now
