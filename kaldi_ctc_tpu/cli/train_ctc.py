@@ -87,6 +87,12 @@ def parse_args(argv=None):
     p.add_argument("--final-learning-rate", type=float, default=1e-5)
     p.add_argument("--momentum", type=float, default=0.0)
     p.add_argument("--clip-gradient", type=float, default=5.0)
+    p.add_argument("--nonfinite-action", default="abort",
+                   choices=["abort", "skip"],
+                   help="on a non-finite loss/grad: abort like the "
+                        "reference (ctc-nnet-update.cc:232-234 KALDI_ERR) "
+                        "or skip the batch (the update is suppressed on "
+                        "device either way, so state stays clean)")
     p.add_argument("--cv-period", type=int, default=10,
                    help="diagnostic eval every N steps x 10")
     p.add_argument("--checkpoint-period", type=int, default=200)
@@ -330,6 +336,22 @@ def main(argv=None):
                 with profiling.profiler.track("train_step"):
                     state, m = train_step(state, batch)
                 global_step += 1
+                if not bool(m["finite"]):
+                    # the device already suppressed this update; decide
+                    # whether the run survives (reference: KALDI_ERR)
+                    if args.nonfinite_action == "abort":
+                        log.error(
+                            "non-finite loss/gradient at step %d (batch "
+                            "keys %s); aborting — resume from the last "
+                            "checkpoint in %s", global_step,
+                            ",".join(keys[:4]), ckpt_dir)
+                        raise RuntimeError(
+                            f"non-finite loss/gradient at step {global_step}")
+                    log.warning("non-finite loss/gradient at step %d — "
+                                "batch skipped (keys %s)", global_step,
+                                ",".join(keys[:4]))
+                    metrics_log.log("skipped_nonfinite", step=global_step)
+                    continue
                 if (grow and cfg.num_layers < args.num_layers
                         and global_step % args.add_layers_period == 0):
                     new_params, cfg = grow_rnn_layer(

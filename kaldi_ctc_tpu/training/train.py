@@ -51,7 +51,13 @@ class TrainOptions:
     momentum: float = 0.0
     clip_elementwise: float = 5.0   # cudnn component clip ±5
     clip_norm: float = 0.0          # optional global-norm clip (0 = off)
-    objective_scale: float = 1.0    # 1/num_data_shards for reference parity
+    objective_scale: float = 1.0    # 1/num_data_shards for parity
+    # NaN/Inf guard (ctc-nnet-update.cc:232-234,254 kills the job on a
+    # non-finite objf/grad).  The update is ALWAYS suppressed on device
+    # when loss or grad norm is non-finite, so state stays clean either
+    # way; the driver decides abort-vs-skip from the exported "finite"
+    # metric.  guard=False removes the select entirely (bench ablation).
+    guard_nonfinite: bool = True
 
 
 class TrainState(NamedTuple):
@@ -118,13 +124,28 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
             loss_fn, has_aux=True)(state.params, batch, dkey)
         grads = _clip_tree(grads, opts)
         lr = exponential_lr(opts, state.step)
+        grad_norm = jnp.sqrt(sum(
+            jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads)))
+        # elementwise clip keeps NaN NaN, so grad_norm still detects it
+        finite = jnp.isfinite(jnp.sum(losses)) & jnp.isfinite(grad_norm)
         if opts.momentum > 0:
             velocity = jax.tree_util.tree_map(
                 lambda v, g: opts.momentum * v + g, state.velocity, grads)
         else:
             velocity = grads
-        params = jax.tree_util.tree_map(
-            lambda p, v: p - lr * v, state.params, velocity)
+        if opts.guard_nonfinite:
+            # suppress the whole update on a poisoned batch: params AND
+            # velocity keep their previous values (a NaN velocity would
+            # re-poison every later step through momentum)
+            params = jax.tree_util.tree_map(
+                lambda p, v: jnp.where(finite, p - lr * v, p),
+                state.params, velocity)
+            velocity = jax.tree_util.tree_map(
+                lambda v_new, v_old: jnp.where(finite, v_new, v_old),
+                velocity, state.velocity)
+        else:
+            params = jax.tree_util.tree_map(
+                lambda p, v: p - lr * v, state.params, velocity)
         new_state = TrainState(params=params,
                                velocity=(velocity if opts.momentum > 0
                                          else state.velocity),
@@ -138,8 +159,8 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
             "loss_per_frame": jnp.sum(losses) / num_frames.astype(jnp.float32),
             "num_frames": num_frames,
             "lr": lr,
-            "grad_norm": jnp.sqrt(sum(
-                jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))),
+            "grad_norm": grad_norm,
+            "finite": finite,
             "hyp_ids": hyp_ids,
             "hyp_lens": hyp_lens,
         }

@@ -363,3 +363,36 @@ def test_init_model_graph_tool_nnet_compute(tmp_path):
         graph_tool.main(["info", "--graph", cp])
     info = json.loads(buf.getvalue())
     assert info["num_states"] > 1
+
+
+def test_nonfinite_action_cli(tmp_path):
+    """train_ctc --nonfinite-action: abort raises (reference KALDI_ERR
+    semantics), skip completes and records the skipped batch."""
+    from kaldi_ctc_tpu.cli import train_ctc
+
+    fark, aark, _ = _make_dataset(tmp_path, n_utts=8, seed=3)
+    # poison one utterance with a NaN feature
+    feats = dict(kaldi_io.SequentialMatrixReader(f"ark:{fark}"))
+    k = sorted(feats)[0]
+    feats[k] = feats[k].copy()
+    feats[k][0, 0] = np.nan
+    bad = tmp_path / "feats_nan.ark"
+    with kaldi_io.MatrixWriter(f"ark:{bad}") as w:
+        for key, m in feats.items():
+            w[key] = m
+
+    common = ["--ali", f"ark:{aark}", "--num-targets", str(NUM_TARGETS),
+              "--hidden-dim", "8", "--num-layers", "1",
+              "--epochs", "2", "--minibatch-size", "8",
+              "--checkpoint-period", "1000"]
+    with pytest.raises(RuntimeError, match="non-finite"):
+        train_ctc.main(["--feats", f"ark:{bad}",
+                        "--dir", str(tmp_path / "exp_abort"),
+                        "--nonfinite-action", "abort"] + common)
+
+    exp = tmp_path / "exp_skip"
+    train_ctc.main(["--feats", f"ark:{bad}", "--dir", str(exp),
+                    "--nonfinite-action", "skip"] + common)
+    lines = [json.loads(l) for l in
+             (exp / "metrics.jsonl").read_text().splitlines()]
+    assert any(l.get("event") == "skipped_nonfinite" for l in lines)

@@ -229,3 +229,41 @@ def test_ft_model_with_splice_overfits():
     logits = am_forward(state.params, batch["feats"], cfg,
                         batch["input_lens"])
     assert logits.shape == (4, 24, 6)
+
+
+def test_nonfinite_guard_suppresses_update():
+    """A NaN batch must leave params+velocity untouched and flag finite=False
+    (reference kills the job on non-finite objf, ctc-nnet-update.cc:232-234;
+    the on-device guard makes the surviving state clean either way)."""
+    rng = np.random.default_rng(3)
+    batch_np = _synthetic_batch(rng, b=4, t=24, d=8, num_targets=6, lmax=4)
+    opts = TrainOptions(initial_learning_rate=1e-2, final_learning_rate=1e-3,
+                        num_steps=100, momentum=0.9)
+    params = init_am_params(jax.random.PRNGKey(0), CFG)
+    state = init_train_state(params)
+    step = make_train_step(CFG, opts)
+
+    # one clean step so velocity is nonzero
+    clean = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state, m = step(state, clean)
+    assert bool(m["finite"])
+    before = jax.device_get(state)
+
+    poisoned = dict(batch_np)
+    poisoned["feats"] = batch_np["feats"].copy()
+    poisoned["feats"][0, 0, 0] = np.nan
+    state, m = step(state, {k: jnp.asarray(v) for k, v in poisoned.items()})
+    assert not bool(m["finite"])
+    after = jax.device_get(state)
+    for a, b in zip(jax.tree_util.tree_leaves(before.params),
+                    jax.tree_util.tree_leaves(after.params)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree_util.tree_leaves(before.velocity),
+                    jax.tree_util.tree_leaves(after.velocity)):
+        np.testing.assert_array_equal(a, b)
+    assert int(after.step) == int(before.step) + 1
+
+    # and a following clean step trains normally from the preserved state
+    state, m = step(state, clean)
+    assert bool(m["finite"])
+    assert np.isfinite(float(m["loss_total"]))
