@@ -35,6 +35,12 @@ def parse_args(argv=None):
     p.add_argument("--num-ceps", type=int, default=None)
     p.add_argument("--dither", type=float, default=0.0,
                    help="dither amount (deterministic seed per utterance)")
+    p.add_argument("--htk-compat", type=int, default=0,
+                   help="HTK output order: energy/C0 last; C0 scaled by "
+                        "sqrt(2) when no energy (feature-mfcc.h:47-49)")
+    p.add_argument("--vtln-warp", type=float, default=1.0,
+                   help="VTLN warp factor (mel-computations.cc "
+                        "VtlnWarpFreq)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True,
                    help="output like ark,scp:feats.ark,feats.scp")
@@ -81,10 +87,13 @@ def main(argv=None):
             opts = MfccOptions(frame_opts=frame_opts, mel_opts=opts.mel_opts,
                                num_ceps=opts.num_ceps,
                                use_energy=opts.use_energy)
+        if args.htk_compat:
+            opts = MfccOptions(**{**opts.__dict__, "htk_compat": True})
         compute = compute_mfcc
     else:
         mel = MelOptions(num_bins=args.num_mel_bins or 23)
-        opts = FbankOptions(frame_opts=frame_opts, mel_opts=mel)
+        opts = FbankOptions(frame_opts=frame_opts, mel_opts=mel,
+                            htk_compat=bool(args.htk_compat))
         compute = compute_fbank
 
     factors = ([float(x) for x in args.speed_perturb.split(",")]
@@ -146,7 +155,8 @@ def main(argv=None):
                         args.seed + zlib.crc32(out_key.encode()))
                         if args.dither > 0 else None)
                     feats = np.asarray(compute(wave, opts,
-                                               dither_key=key_rng))
+                                               dither_key=key_rng,
+                                               vtln_warp=args.vtln_warp))
                     if args.add_pitch:
                         pf = compute_and_process_pitch(wave_np,
                                                        seed=args.seed)

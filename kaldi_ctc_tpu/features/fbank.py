@@ -37,6 +37,7 @@ class FbankOptions:
     raw_energy: bool = True
     use_log_fbank: bool = True
     use_power: bool = True
+    htk_compat: bool = False  # energy last, not first (feature-fbank.h:47)
 
     @property
     def dim(self) -> int:
@@ -48,6 +49,7 @@ def compute_fbank(
     opts: FbankOptions = FbankOptions(),
     dither_key: Optional[jax.Array] = None,
     implementation: str = "auto",
+    vtln_warp: float = 1.0,
 ) -> jnp.ndarray:
     """Fbank features for one waveform [num_samples] → [num_frames, dim].
 
@@ -59,7 +61,11 @@ def compute_fbank(
     """
     fo = opts.frame_opts
     window = jnp.asarray(feature_window(fo))
-    mel = jnp.asarray(mel_banks(opts.mel_opts, fo))
+    mel = jnp.asarray(mel_banks(opts.mel_opts, fo, vtln_warp=vtln_warp))
+    if opts.mel_opts.htk_mode:
+        # 1.0 mel-energy floor sits pre-log; the fused kernel logs
+        # in-kernel, so this (test-only) mode goes through XLA
+        implementation = "xla"
 
     frames = frame_signal(wave, fo)
 
@@ -84,7 +90,7 @@ def compute_fbank(
             if opts.energy_floor > 0.0:
                 energy = jnp.maximum(energy,
                                      float(np.log(opts.energy_floor)))
-            return jnp.concatenate([energy[:, None], mel_energies], axis=1)
+            return _with_energy(mel_energies, energy, opts)
         return mel_energies
     need_raw = opts.use_energy and opts.raw_energy
     frames, raw_energy = process_frames(
@@ -100,6 +106,9 @@ def compute_fbank(
     # bins are defined over fft bins [0, padded/2); drop the Nyquist bin
     mel_energies = jnp.dot(power[:, :-1], mel.T,
                            precision=jax.lax.Precision.HIGHEST)
+    if opts.mel_opts.htk_mode:
+        # HTK-like flooring (mel-computations.cc:238)
+        mel_energies = jnp.maximum(mel_energies, 1.0)
     if opts.use_log_fbank:
         eps = jnp.finfo(jnp.float32).eps
         mel_energies = jnp.log(jnp.maximum(mel_energies, eps))
@@ -107,5 +116,13 @@ def compute_fbank(
         energy = raw_energy
         if opts.energy_floor > 0.0:
             energy = jnp.maximum(energy, float(np.log(opts.energy_floor)))
-        return jnp.concatenate([energy[:, None], mel_energies], axis=1)
+        return _with_energy(mel_energies, energy, opts)
     return mel_energies
+
+
+def _with_energy(mel_energies, energy, opts: FbankOptions):
+    """Energy column first (Kaldi) or last (htk_compat),
+    feature-fbank.cc:102-121."""
+    if opts.htk_compat:
+        return jnp.concatenate([mel_energies, energy[:, None]], axis=1)
+    return jnp.concatenate([energy[:, None], mel_energies], axis=1)

@@ -26,6 +26,10 @@ class MelOptions:
     high_freq: float = 0.0  # <=0: offset from Nyquist
     vtln_low: float = 100.0
     vtln_high: float = -500.0
+    # HTK bug replication for golden tests (mel-computations.h:52-55):
+    # zeroes bin 0's first coefficient when low_freq != 0 and floors mel
+    # energies at 1.0 before the log (consumed by compute_fbank/mfcc).
+    htk_mode: bool = False
 
 
 def mel_scale(freq):
@@ -120,5 +124,10 @@ def mel_banks(
         weight = np.where((fft_mels > left) & (fft_mels < right), weight, 0.0)
         if not weight.any():
             raise ValueError("Empty mel bin: --num-mel-bins too large?")
+        if opts.htk_mode and b == 0 and mel_low > 0.0:
+            # "Replicate a bug in HTK" (mel-computations.cc:133-135): the
+            # first nonzero coefficient of bin 0 is zeroed.
+            nz = np.flatnonzero(weight)
+            weight[nz[0]] = 0.0
         out[b] = weight.astype(np.float32)
     return out

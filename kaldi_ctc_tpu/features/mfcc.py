@@ -38,6 +38,9 @@ class MfccOptions:
     energy_floor: float = 0.0
     raw_energy: bool = True
     cepstral_lifter: float = 22.0
+    # HTK output order: [c1..c{n-1}, c0_or_energy]; C0 scaled by sqrt(2)
+    # when use_energy=False (feature-mfcc.h:47-49, .cc:70-79).
+    htk_compat: bool = False
 
     @property
     def dim(self) -> int:
@@ -75,6 +78,7 @@ def compute_mfcc(
     opts: MfccOptions = MfccOptions(),
     dither_key: Optional[jax.Array] = None,
     implementation: str = "auto",
+    vtln_warp: float = 1.0,
 ) -> jnp.ndarray:
     """MFCCs for one waveform [num_samples] → [num_frames, num_ceps].
 
@@ -85,7 +89,12 @@ def compute_mfcc(
     """
     fo = opts.frame_opts
     window = jnp.asarray(feature_window(fo))
-    mel = jnp.asarray(mel_banks(opts.mel_opts, fo))
+    mel = jnp.asarray(mel_banks(opts.mel_opts, fo, vtln_warp=vtln_warp))
+    if opts.mel_opts.htk_mode:
+        # the 1.0 mel-energy floor lives between the mel matmul and the
+        # log; the fused Pallas kernel applies log in-kernel, so the
+        # (test-only) htk_mode path routes through XLA
+        implementation = "xla"
     dct = dct_matrix(opts.num_ceps, opts.mel_opts.num_bins)
     if opts.cepstral_lifter != 0.0:
         dct = dct * lifter_coeffs(opts.cepstral_lifter, opts.num_ceps)[:, None]
@@ -116,7 +125,7 @@ def compute_mfcc(
                 energy = jnp.maximum(energy,
                                      float(np.log(opts.energy_floor)))
             feats = feats.at[:, 0].set(energy)
-        return feats
+        return _htk_reorder(feats, opts)
     need_raw = opts.use_energy and opts.raw_energy
     frames, raw_energy = process_frames(
         frames, fo, window, dither_key=dither_key, need_raw_energy=need_raw)
@@ -129,12 +138,27 @@ def compute_mfcc(
     # full-precision matmuls: TPU's default bf16-pass matmul visibly
     # quantizes log-mel values (~0.1 steps at typical magnitudes)
     hi = jax.lax.Precision.HIGHEST
-    log_mel = jnp.log(jnp.maximum(
-        jnp.dot(power[:, :-1], mel.T, precision=hi), eps))
+    mel_energies = jnp.dot(power[:, :-1], mel.T, precision=hi)
+    if opts.mel_opts.htk_mode:
+        # HTK-like flooring (mel-computations.cc:238)
+        mel_energies = jnp.maximum(mel_energies, 1.0)
+    log_mel = jnp.log(jnp.maximum(mel_energies, eps))
     feats = jnp.dot(log_mel, dct.T, precision=hi)
     if opts.use_energy:
         energy = raw_energy
         if opts.energy_floor > 0.0:
             energy = jnp.maximum(energy, float(np.log(opts.energy_floor)))
         feats = feats.at[:, 0].set(energy)
-    return feats
+    return _htk_reorder(feats, opts)
+
+
+def _htk_reorder(feats: jnp.ndarray, opts: MfccOptions) -> jnp.ndarray:
+    """htk_compat output order (feature-mfcc.cc:70-79): rotate c0/energy to
+    the last column; scale C0 by sqrt(2) when it is a cepstrum (removes the
+    1/sqrt(2) the normalized DCT put on row 0)."""
+    if not opts.htk_compat:
+        return feats
+    first = feats[:, :1]
+    if not opts.use_energy:
+        first = first * math.sqrt(2.0)
+    return jnp.concatenate([feats[:, 1:], first], axis=1)
