@@ -28,8 +28,8 @@ import numpy as np
 from kaldi_ctc_tpu.decoding.lattice import Lattice
 
 __all__ = ["CompactLattice", "determinize_lattice",
-           "determinize_lattice_pruned", "write_compact_lattice_text",
-           "read_compact_lattice_text_ark"]
+           "determinize_lattice_native", "determinize_lattice_pruned",
+           "write_compact_lattice_text", "read_compact_lattice_text_ark"]
 
 _INF = float("inf")
 
@@ -276,19 +276,101 @@ def determinize_lattice(lat: Lattice, det_beam: float = 10.0,
     return out
 
 
-def determinize_lattice_pruned(lat: Lattice, det_beam: float = 10.0,
+def determinize_lattice_native(lat: Lattice, det_beam: float = 10.0,
                                max_states: int = 200000) -> CompactLattice:
+    """C++ subset determinization (native/det_lattice.cc) — the same
+    algorithm as determinize_lattice (which remains the tested reference
+    implementation), built for decode-pipeline throughput.  Raises
+    RuntimeError on blowup like the Python version."""
+    import ctypes
+
+    from kaldi_ctc_tpu.decoding.wfst import _load
+    lib = _load()
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    f32 = ctypes.POINTER(ctypes.c_float)
+
+    def arr(x, dt):
+        return np.ascontiguousarray(x, dt)
+
+    fr = arr(lat.arc_from, np.int32)
+    to = arr(lat.arc_to, np.int32)
+    il = arr(lat.arc_ilabel, np.int32)
+    ol = arr(lat.arc_olabel, np.int32)
+    gc = arr(lat.arc_graph_cost, np.float32)
+    ac = arr(lat.arc_acoustic_cost, np.float32)
+    fc = arr(lat.final_cost, np.float32)
+    h = lib.ctcn_det_lattice(
+        lat.num_states, lat.start, lat.num_arcs,
+        fr.ctypes.data_as(i32), to.ctypes.data_as(i32),
+        il.ctypes.data_as(i32), ol.ctypes.data_as(i32),
+        gc.ctypes.data_as(f32), ac.ctypes.data_as(f32),
+        fc.ctypes.data_as(f32), det_beam, max_states)
+    if not h:
+        raise RuntimeError(
+            "determinization did not converge (try a smaller "
+            "det_beam or prune the lattice first)")
+    try:
+        n_states = lib.ctcn_clat_num_states(h)
+        n_arcs = lib.ctcn_clat_num_arcs(h)
+        a_fr = np.zeros(n_arcs, np.int32)
+        a_to = np.zeros(n_arcs, np.int32)
+        a_w = np.zeros(n_arcs, np.int32)
+        a_g = np.zeros(n_arcs, np.float32)
+        a_a = np.zeros(n_arcs, np.float32)
+        a_off = np.zeros(n_arcs + 1, np.int64)
+        a_il = np.zeros(max(lib.ctcn_clat_arc_ilabels_size(h), 1), np.int32)
+        lib.ctcn_clat_get_arcs(
+            h, a_fr.ctypes.data_as(i32), a_to.ctypes.data_as(i32),
+            a_w.ctypes.data_as(i32), a_g.ctypes.data_as(f32),
+            a_a.ctypes.data_as(f32), a_off.ctypes.data_as(i64),
+            a_il.ctypes.data_as(i32))
+        f_g = np.zeros(n_states, np.float32)
+        f_a = np.zeros(n_states, np.float32)
+        f_off = np.zeros(n_states + 1, np.int64)
+        f_il = np.zeros(max(lib.ctcn_clat_final_ilabels_size(h), 1),
+                        np.int32)
+        lib.ctcn_clat_get_finals(
+            h, f_g.ctypes.data_as(f32), f_a.ctypes.data_as(f32),
+            f_off.ctypes.data_as(i64), f_il.ctypes.data_as(i32))
+        start = int(lib.ctcn_clat_start(h))
+    finally:
+        lib.ctcn_clat_free(h)
+    return CompactLattice(
+        start=start, num_states=int(n_states),
+        arc_from=a_fr.tolist(), arc_to=a_to.tolist(),
+        arc_word=a_w.tolist(),
+        arc_graph_cost=a_g.astype(float).tolist(),
+        arc_acoustic_cost=a_a.astype(float).tolist(),
+        arc_ilabels=[tuple(a_il[a_off[i]:a_off[i + 1]].tolist())
+                     for i in range(n_arcs)],
+        final_graph_cost=[float(x) if np.isfinite(x) else _INF
+                          for x in f_g],
+        final_acoustic_cost=[float(x) if np.isfinite(x) else _INF
+                             for x in f_a],
+        final_ilabels=[tuple(f_il[f_off[i]:f_off[i + 1]].tolist())
+                       for i in range(n_states)])
+
+
+def determinize_lattice_pruned(lat: Lattice, det_beam: float = 10.0,
+                               max_states: int = 200000,
+                               implementation: str = "native",
+                               ) -> CompactLattice:
     """Determinize with beam backoff on blowup: halve the beam (pruning
     the input lattice to match) and retry, like the reference wrapper's
     retry loop (DeterminizeLatticePhonePrunedWrapper / ...WrapperCtc,
     ctc/ctc-graph.cc:245-269).  Always succeeds: at a small enough beam
-    the lattice collapses toward its best path."""
+    the lattice collapses toward its best path.
+
+    implementation: "native" (C++, default) or "python" (the reference
+    implementation the native one is parity-tested against)."""
+    det = (determinize_lattice_native if implementation == "native"
+           else determinize_lattice)
     beam = det_beam
     cur = lat
     while True:
         try:
-            return determinize_lattice(cur, det_beam=beam,
-                                       max_states=max_states)
+            return det(cur, det_beam=beam, max_states=max_states)
         except RuntimeError:
             if beam <= 0.26:
                 raise

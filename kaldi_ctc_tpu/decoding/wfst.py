@@ -121,6 +121,29 @@ def _load():
     lib.ctcn_fst_get_arrays.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.ctcn_det_lattice.restype = ctypes.c_void_p
+    lib.ctcn_det_lattice.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_int64]
+    lib.ctcn_clat_free.argtypes = [ctypes.c_void_p]
+    for name in ("ctcn_clat_num_states", "ctcn_clat_num_arcs",
+                 "ctcn_clat_start", "ctcn_clat_arc_ilabels_size",
+                 "ctcn_clat_final_ilabels_size"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.ctcn_clat_get_arcs.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+    lib.ctcn_clat_get_finals.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32)]
     lib.ctcn_decode_best_path.restype = ctypes.c_int
     lib.ctcn_decode_best_path.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),

@@ -4,6 +4,7 @@
 #include <string>
 
 #include "decoder.h"
+#include "det_lattice.h"
 #include "fst.h"
 #include "lattice.h"
 
@@ -275,6 +276,81 @@ void ctcn_lat_get_frames(void* lat_ptr, int32_t* out) {
   const RawLattice& l = *static_cast<RawLattice*>(lat_ptr);
   std::memcpy(out, l.state_frame.data(),
               l.state_frame.size() * sizeof(int32_t));
+}
+
+// ---- Pruned lattice determinization ----
+
+void* ctcn_det_lattice(int64_t num_states, int64_t start, int64_t num_arcs,
+                       const int32_t* arc_from, const int32_t* arc_to,
+                       const int32_t* arc_ilabel, const int32_t* arc_olabel,
+                       const float* arc_graph_cost,
+                       const float* arc_acoustic_cost,
+                       const float* final_cost, float det_beam,
+                       int64_t max_states) {
+  RawLatticeView in;
+  in.num_states = num_states;
+  in.start = start;
+  in.num_arcs = num_arcs;
+  in.arc_from = arc_from;
+  in.arc_to = arc_to;
+  in.arc_ilabel = arc_ilabel;
+  in.arc_olabel = arc_olabel;
+  in.arc_graph_cost = arc_graph_cost;
+  in.arc_acoustic_cost = arc_acoustic_cost;
+  in.final_cost = final_cost;
+  auto* out = new CompactLat();
+  if (!DeterminizeLatticePruned(in, det_beam, max_states, out)) {
+    delete out;
+    return nullptr;  // blowup: caller halves the beam and retries
+  }
+  return out;
+}
+
+void ctcn_clat_free(void* p) { delete static_cast<CompactLat*>(p); }
+
+int64_t ctcn_clat_num_states(void* p) {
+  return static_cast<CompactLat*>(p)->num_states;
+}
+int64_t ctcn_clat_num_arcs(void* p) {
+  return (int64_t)static_cast<CompactLat*>(p)->arc_from.size();
+}
+int64_t ctcn_clat_start(void* p) {
+  return static_cast<CompactLat*>(p)->start;
+}
+int64_t ctcn_clat_arc_ilabels_size(void* p) {
+  return (int64_t)static_cast<CompactLat*>(p)->arc_ilabels.size();
+}
+int64_t ctcn_clat_final_ilabels_size(void* p) {
+  return (int64_t)static_cast<CompactLat*>(p)->final_ilabels.size();
+}
+
+void ctcn_clat_get_arcs(void* p, int32_t* from, int32_t* to, int32_t* word,
+                        float* graph_cost, float* acoustic_cost,
+                        int64_t* il_offset, int32_t* ilabels) {
+  const CompactLat& c = *static_cast<CompactLat*>(p);
+  int64_t n = (int64_t)c.arc_from.size();
+  std::memcpy(from, c.arc_from.data(), n * sizeof(int32_t));
+  std::memcpy(to, c.arc_to.data(), n * sizeof(int32_t));
+  std::memcpy(word, c.arc_word.data(), n * sizeof(int32_t));
+  std::memcpy(graph_cost, c.arc_graph_cost.data(), n * sizeof(float));
+  std::memcpy(acoustic_cost, c.arc_acoustic_cost.data(), n * sizeof(float));
+  std::memcpy(il_offset, c.arc_il_offset.data(),
+              (n + 1) * sizeof(int64_t));
+  std::memcpy(ilabels, c.arc_ilabels.data(),
+              c.arc_ilabels.size() * sizeof(int32_t));
+}
+
+void ctcn_clat_get_finals(void* p, float* graph_cost, float* acoustic_cost,
+                          int64_t* il_offset, int32_t* ilabels) {
+  const CompactLat& c = *static_cast<CompactLat*>(p);
+  std::memcpy(graph_cost, c.final_graph_cost.data(),
+              c.num_states * sizeof(float));
+  std::memcpy(acoustic_cost, c.final_acoustic_cost.data(),
+              c.num_states * sizeof(float));
+  std::memcpy(il_offset, c.final_il_offset.data(),
+              (c.num_states + 1) * sizeof(int64_t));
+  std::memcpy(ilabels, c.final_ilabels.data(),
+              c.final_ilabels.size() * sizeof(int32_t));
 }
 
 }  // extern "C"

@@ -12,6 +12,7 @@
 
 #include "decoder.h"
 #include "fst.h"
+#include "det_lattice.h"
 #include "lattice.h"
 
 using namespace ctc_native;
@@ -192,6 +193,65 @@ void TestDeterminizeMinimizePush() {
   std::printf("TestDeterminizeMinimizePush ok\n");
 }
 
+void TestDetLattice() {
+  // two state-paths with the same word (1) at costs 1 and 5, plus word 2
+  // at cost 1.5 — at det_beam 2 the cost-5 duplicate is beam-pruned from
+  // the word-1 subset, word 2 survives, exactly one arc per word leaves
+  // the start state, and the winning alignment (5,8) survives end to end
+  // (common-prefix extraction runs before beam pruning, so here it rides
+  // the target state's final string rather than the arc)
+  std::vector<int32_t> fr = {0, 0, 0, 1, 2, 3};
+  std::vector<int32_t> to = {1, 2, 3, 4, 4, 4};
+  std::vector<int32_t> il = {5, 6, 7, 8, 9, 9};
+  std::vector<int32_t> ol = {1, 1, 2, 0, 0, 0};
+  std::vector<float> g = {1.0f, 5.0f, 1.5f, 0.0f, 0.0f, 0.0f};
+  std::vector<float> a(6, 0.0f);
+  std::vector<float> fc(5, Fst::kInfinity);
+  fc[4] = 0.0f;
+  RawLatticeView v;
+  v.num_states = 5;
+  v.start = 0;
+  v.num_arcs = 6;
+  v.arc_from = fr.data();
+  v.arc_to = to.data();
+  v.arc_ilabel = il.data();
+  v.arc_olabel = ol.data();
+  v.arc_graph_cost = g.data();
+  v.arc_acoustic_cost = a.data();
+  v.final_cost = fc.data();
+  CompactLat out;
+  bool ok = DeterminizeLatticePruned(v, 2.0f, 100000, &out);
+  assert(ok);
+  // start state must have exactly one arc per word (determinism)
+  int arcs_from_start = 0;
+  bool saw1 = false, saw2 = false;
+  for (size_t i = 0; i < out.arc_from.size(); ++i) {
+    if (out.arc_from[i] == out.start) {
+      ++arcs_from_start;
+      if (out.arc_word[i] == 1) {
+        saw1 = true;
+        assert(std::abs(out.arc_graph_cost[i] + out.arc_acoustic_cost[i] -
+                        1.0f) < 1e-3);
+        // winning alignment (5,8): arc prefix + target final string
+        std::vector<int32_t> align(
+            out.arc_ilabels.begin() + out.arc_il_offset[i],
+            out.arc_ilabels.begin() + out.arc_il_offset[i + 1]);
+        int32_t t = out.arc_to[i];
+        align.insert(align.end(),
+                     out.final_ilabels.begin() + out.final_il_offset[t],
+                     out.final_ilabels.begin() + out.final_il_offset[t + 1]);
+        assert((align == std::vector<int32_t>{5, 8}));
+      }
+      if (out.arc_word[i] == 2) saw2 = true;
+    }
+  }
+  assert(arcs_from_start == 2 && saw1 && saw2);
+  // blowup contract: tiny max_states fails cleanly
+  CompactLat small;
+  assert(!DeterminizeLatticePruned(v, 2.0f, 1, &small));
+  std::printf("TestDetLattice ok\n");
+}
+
 int main() {
   TestBestPath();
   TestBatchMatchesSingle();
@@ -199,6 +259,7 @@ int main() {
   TestComposeConnect();
   TestVectorFstRoundTrip();
   TestDeterminizeMinimizePush();
+  TestDetLattice();
   std::printf("ALL NATIVE TESTS PASSED\n");
   return 0;
 }

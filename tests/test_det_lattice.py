@@ -180,3 +180,113 @@ def test_compact_text_reader_weightless_arc(tmp_path):
     assert lat.arc_graph_cost[0] == 0.0
     assert math.isinf(lat.final_graph_cost[0])
     assert lat.final_graph_cost[1] == 0.0
+
+
+def _parity_check(lat, det_beam):
+    """Native vs Python determinization must agree on the word-path set
+    (with costs), the best path (words + alignment + cost), and sizes."""
+    from kaldi_ctc_tpu.decoding.det_lattice import determinize_lattice_native
+    py = determinize_lattice(lat, det_beam=det_beam)
+    nat = determinize_lattice_native(lat, det_beam=det_beam)
+    assert nat.num_states == py.num_states
+    assert nat.num_arcs == py.num_arcs
+    pp, pn = _all_word_paths(py), _all_word_paths(nat)
+    assert set(pp) == set(pn)
+    for k in pp:
+        assert abs(pp[k] - pn[k]) < 1e-3, (k, pp[k], pn[k])
+    w0, a0, c0 = py.best_path()
+    w1, a1, c1 = nat.best_path()
+    assert list(w0) == list(w1)
+    assert list(a0) == list(a1)
+    assert abs(c0 - c1) < 1e-3
+
+
+def test_native_parity_hand_lattices():
+    arcs = [
+        (0, 1, 5, 1, 1.0, 0.0),
+        (0, 2, 6, 1, 2.0, 0.0),
+        (0, 3, 7, 2, 3.0, 0.0),
+        (1, 4, 8, 0, 0.0, 0.0),
+        (2, 4, 9, 0, 0.0, 0.0),
+        (3, 4, 9, 0, 0.0, 0.0),
+    ]
+    _parity_check(_lat(arcs, {4: 0.0}), det_beam=10.0)
+    arcs = [
+        (0, 1, 5, 1, 0.5, -0.25),
+        (1, 2, 8, 0, 0.0, 0.0),
+        (0, 3, 6, 2, 2.0, 1.0),
+        (3, 2, 9, 0, 0.0, 0.0),
+    ]
+    _parity_check(_lat(arcs, {2: 0.75}), det_beam=10.0)
+
+
+def _ctc_scores(rng, frames, labels=5):
+    """CTC-shaped log posteriors: blank-dominated with label spikes —
+    what decode-time lattices actually see (raw N(0,1) scores make the
+    word-sequence count per beam explode and test nothing realistic)."""
+    post = np.full((frames, labels + 1), 1e-3, np.float32)
+    post[:, 0] = 0.9
+    spikes = rng.random(frames) < 0.4
+    rows = np.where(spikes)[0]
+    labs = rng.integers(1, labels + 1, size=rows.shape[0])
+    post[rows, 0] = 0.1
+    post[rows, labs] = 0.6
+    # weak second-best on ~30% of spikes (cost delta ~2): keeps the det
+    # output diverse without the exponential word-sequence blowup a
+    # strong alternative on every spike causes at beam 10
+    sel = rng.random(rows.shape[0]) < 0.3
+    alt = rng.integers(1, labels + 1, size=rows.shape[0])
+    post[rows[sel], alt[sel]] += 0.08
+    post /= post.sum(axis=1, keepdims=True)
+    return np.log(post)
+
+
+def test_native_parity_decoder_lattices():
+    """Decoder-produced lattices over a CTC word-loop graph with
+    CTC-shaped posteriors, at several det beams."""
+    arcs, weights = [], []
+    for lab in range(1, 6):
+        s = lab
+        arcs.append([0, lab, lab, s]); weights.append(1.0)
+        arcs.append([s, lab, 0, s]); weights.append(0.0)
+        arcs.append([s, 0, 0, 0]); weights.append(0.0)
+    finals = np.full(6, INF, np.float32)
+    finals[0] = 0.0
+    g = NativeFst.from_arrays(0, 6, np.asarray(arcs, np.int32),
+                              np.asarray(weights, np.float32),
+                              finals).make_ctc_graph()
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        scores = _ctc_scores(rng, 40).astype(np.float32)
+        lat = decode_lattice(g, scores, lattice_beam=10.0)
+        # beam 10 only on the first trial: the Python side costs ~15 s
+        # there (that cost is exactly why the native impl exists)
+        for beam in ((2.0, 5.0, 10.0) if trial == 0 else (2.0, 5.0)):
+            _parity_check(lat, det_beam=beam)
+
+
+def test_native_blowup_signals_runtime_error():
+    from kaldi_ctc_tpu.decoding.det_lattice import determinize_lattice_native
+    arcs, weights = [], []
+    for lab in range(1, 6):
+        s = lab
+        arcs.append([0, lab, lab, s]); weights.append(1.0)
+        arcs.append([s, lab, 0, s]); weights.append(0.0)
+        arcs.append([s, 0, 0, 0]); weights.append(0.0)
+    finals = np.full(6, INF, np.float32)
+    finals[0] = 0.0
+    g = NativeFst.from_arrays(0, 6, np.asarray(arcs, np.int32),
+                              np.asarray(weights, np.float32),
+                              finals).make_ctc_graph()
+    rng = np.random.default_rng(3)
+    scores = rng.standard_normal((24, 6)).astype(np.float32)
+    lat = decode_lattice(g, scores, lattice_beam=15.0)
+    import pytest
+    with pytest.raises(RuntimeError):
+        determinize_lattice_native(lat, det_beam=15.0, max_states=3)
+    # and the wrapper backs off to success with the native impl
+    clat = determinize_lattice_pruned(lat, det_beam=10.0, max_states=20000,
+                                      implementation="native")
+    w0, _, c0 = lat.best_path()
+    w1, _, c1 = clat.best_path()
+    assert list(w0) == list(w1) and abs(c0 - c1) < 1e-3
