@@ -89,16 +89,11 @@ def main(argv=None):
     log = get_logger("graph_tool")
 
     if args.cmd == "make-tlg":
-        from kaldi_ctc_tpu.lm import arpa_to_fst_arrays, parse_arpa
-        from kaldi_ctc_tpu.lm.lexicon import (
-            add_lex_disambig, lexicon_to_fst_arrays, parse_lexicon)
+        from kaldi_ctc_tpu.decoding.graph import build_tlg
+        from kaldi_ctc_tpu.lm import parse_arpa
+        from kaldi_ctc_tpu.lm.lexicon import parse_lexicon
 
         lexicon = parse_lexicon(args.lexicon)
-        num_disambig = 0
-        if args.determinize:
-            # homophone/prefix disambiguation so LG is determinizable
-            # (utils/add_lex_disambig.pl + L_disambig.fst, mkgraph.sh:92)
-            lexicon, num_disambig = add_lex_disambig(lexicon)
         phone_to_id = None
         if args.phones:
             phone_to_id = {}
@@ -107,35 +102,16 @@ def main(argv=None):
                     parts = line.split()
                     if len(parts) >= 2:
                         phone_to_id[parts[0]] = int(parts[1])
-        l_start, l_n, l_arcs, l_w, l_fin, phone_to_id, word_to_id = \
-            lexicon_to_fst_arrays(lexicon, phone_to_id=phone_to_id,
-                                  sil_phone=args.sil_phone,
-                                  sil_prob=args.sil_prob)
-        L = NativeFst.from_arrays(l_start, l_n, l_arcs, l_w, l_fin)
-        lm = parse_arpa(args.arpa)
-        g_start, g_n, g_arcs, g_w, g_fin, word_to_id = \
-            arpa_to_fst_arrays(lm, dict(word_to_id))
-        G = NativeFst.from_arrays(g_start, g_n, g_arcs, g_w, g_fin)
-        LG = L.compose(G)
-        if args.determinize:
-            # mkgraph.sh:92-98 chain on LG: determinize-star |
-            # minimize-encoded | push-special, then strip disambig ids
-            LG = LG.determinize_star().minimize()
-            if args.push:
-                LG = LG.push_special()
-            if num_disambig:
-                first = min(i for p, i in phone_to_id.items()
-                            if p.startswith("#") and p[1:].isdigit())
-                LG = LG.remove_disambig(first).connect()
+        tree = None
         if args.tree:
-            # context-dependency expansion (triphone route): phone
-            # ilabels -> tree pdf+1 before the H/CTC steps
-            from kaldi_ctc_tpu.decoding.context import context_expand
             from kaldi_ctc_tpu.utils.tree import read_tree
             tree = read_tree(args.tree)
-            LG = context_expand(LG, tree)
-        # H step: self-loops (sustained frames), then the CTC transform
-        tlg = LG.add_self_loops().make_ctc_graph()
+        timings = {}
+        tlg, word_to_id, phone_to_id = build_tlg(
+            lexicon, parse_arpa(args.arpa), phone_to_id=phone_to_id,
+            sil_phone=args.sil_phone, sil_prob=args.sil_prob,
+            determinize=bool(args.determinize), push=bool(args.push),
+            tree=tree, timings=timings)
         tlg.write(args.output)
         words_out = args.write_words or args.output + ".words.txt"
         with open(words_out, "w") as f:
@@ -146,11 +122,9 @@ def main(argv=None):
             for ph, i in sorted(phone_to_id.items(), key=lambda kv: kv[1]):
                 if not (ph.startswith("#") and ph[1:].isdigit()):
                     print(ph, i, file=f)
-        log.info("L: %d/%d  G: %d/%d  LG: %d/%d (det=%d, disambig=%d)  "
-                 "TLG: %d states / %d arcs",
-                 L.num_states, L.num_arcs, G.num_states, G.num_arcs,
-                 LG.num_states, LG.num_arcs, args.determinize,
-                 num_disambig, tlg.num_states, tlg.num_arcs)
+        log.info("TLG: %d states / %d arcs (det=%d)  stage seconds: %s",
+                 tlg.num_states, tlg.num_arcs, args.determinize,
+                 {k: round(v, 2) for k, v in timings.items()})
         return
 
     if args.cmd == "compose":
