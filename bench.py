@@ -143,7 +143,7 @@ def _build_or_load_tlg(vocab, seed=0):
 
     cache = os.path.join(
         os.environ.get("KCTPU_BENCH_CACHE", "/tmp/kaldi_ctc_tpu_bench"),
-        f"tlg_v{vocab}_s{seed}")
+        f"tlg2_v{vocab}_s{seed}")
     fst_path = os.path.join(cache, "TLG.fst")
     meta_path = os.path.join(cache, "meta.json")
 
@@ -163,8 +163,12 @@ def _build_or_load_tlg(vocab, seed=0):
     lm = parse_arpa(io.StringIO(lang.arpa_text))
     timings = {}
     t0 = time.perf_counter()
+    # graph ilabels must be the generator's own phone ids (synth
+    # posterior column p is phone p), not order-of-appearance ids
+    phone_to_id = {f"p{i:02d}": i
+                   for i in range(1, lang.num_phones + 1)}
     graph, word_to_id, phone_to_id = build_tlg(
-        lang.lexicon, lm, timings=timings)
+        lang.lexicon, lm, phone_to_id=phone_to_id, timings=timings)
     build_s = time.perf_counter() - t0
     meta = {
         "vocab": vocab,
