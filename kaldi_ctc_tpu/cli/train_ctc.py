@@ -93,6 +93,11 @@ def parse_args(argv=None):
                         "reference (ctc-nnet-update.cc:232-234 KALDI_ERR) "
                         "or skip the batch (the update is suppressed on "
                         "device either way, so state stays clean)")
+    p.add_argument("--realign-epochs", default="",
+                   help="comma-separated epoch indices at whose start the "
+                        "current model realigns the training set: Viterbi "
+                        "align -> relabel -> data-driven priors "
+                        "(steps/ctc/train.sh:111-115 realign loop)")
     p.add_argument("--cv-period", type=int, default=10,
                    help="diagnostic eval every N steps x 10")
     p.add_argument("--checkpoint-period", type=int, default=200)
@@ -319,11 +324,65 @@ def main(argv=None):
         arr = np.asarray(arr).reshape(-1, 2)
         return int(arr[:, 0].sum()), int(arr[:, 1].sum())
 
+    realign_epochs = None
+    if args.realign_epochs:
+        from kaldi_ctc_tpu.training.realign import (
+            parse_realign_epochs, realign_examples)
+        realign_epochs = parse_realign_epochs(args.realign_epochs)
+
+    def run_realign(epoch):
+        # align->relabel->priors with the current params (the train.sh
+        # realign loop); infeasible utterances drop, so the pipeline is
+        # rebuilt and (multi-host) shards re-truncated to equal length
+        nonlocal examples, pipe
+        ps = jax.device_get(state.params)
+        new_exs, counts, stats = realign_examples(
+            examples, ps, cfg,
+            frame_subsampling_factor=args.frame_subsampling_factor,
+            log=log)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            sizes = np.asarray(multihost_utils.process_allgather(
+                np.asarray([len(new_exs)], np.int64))).reshape(-1)
+            new_exs = new_exs[:int(sizes.min())]
+            counts = np.asarray(multihost_utils.process_allgather(
+                counts[None])).reshape(-1, counts.shape[0]).sum(axis=0)
+        if not new_exs:
+            log.error("realignment dropped every utterance; keeping the "
+                      "previous training set")
+            return
+        examples = new_exs
+        pipe = EgsPipeline(
+            examples, minibatch_size=host_mb,
+            max_allow_frames=args.max_allow_frames,
+            frame_subsampling_factor=args.frame_subsampling_factor,
+            seed=args.seed, fixed_shape=fixed_shape,
+            time_stride=model_stride)
+        priors = np.maximum((counts / counts.sum()).astype(np.float32),
+                            1.0e-15)
+        if is_primary():
+            np.save(os.path.join(args.dir, "priors.npy"), priors)
+        metrics_log.log("realign", step=global_step, epoch=epoch,
+                        aligned=stats["aligned"],
+                        dropped=stats["dropped"],
+                        avg_logprob_per_frame=stats[
+                            "avg_logprob_per_frame"])
+        log.info("realign @epoch %d: %d utterances kept, priors updated "
+                 "(blank prior %.3f)", epoch, len(examples), priors[0])
+
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     try:
         for epoch in range(start_epoch, args.epochs):
             log.info("epoch %d", epoch)
+            if (realign_epochs and epoch in realign_epochs
+                    and not (epoch == start_epoch
+                             and start_epoch_step > 0)):
+                # skipped when resuming into the middle of this epoch:
+                # the params that produced the in-flight epoch's
+                # alignment are gone, and realigning with newer params
+                # would double-apply the epoch's realignment
+                run_realign(epoch)
             epoch_step = 0
             skip = start_epoch_step if epoch == start_epoch else 0
             for batch_np in Prefetcher(pipe.epoch(epoch)):

@@ -233,6 +233,78 @@ class TestFusedBidirectional:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+    def test_in_kernel_projection_path(self, dtype):
+        """D=128, H=32 → both D and 4H lane-aligned: the in-kernel
+        input-projection kernels (x streamed instead of the hoisted
+        [T,B,2*4H] projection — the flagship model's inner-layer path on
+        TPU) must match the unidirectional kernels fed the hoisted
+        projection, in both passes and in both compute dtypes."""
+        from kaldi_ctc_tpu.ops import rnn_pallas
+        from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_layer
+        H2, D2 = 32, 128
+        assert rnn_pallas._use_in_kernel_proj(D2, 4 * H2)
+        cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((T, B, D2)).astype(np.float32))
+        w_x = jnp.asarray(
+            (rng.standard_normal((D2, 8 * H2)) * 0.2).astype(np.float32)
+        ).astype(cd)
+        bias = jnp.asarray(
+            (rng.standard_normal(8 * H2) * 0.1).astype(np.float32))
+        w_f = jnp.asarray(
+            (rng.standard_normal((H2, 4 * H2)) * 0.3).astype(np.float32)
+        ).astype(cd)
+        w_b = jnp.asarray(
+            (rng.standard_normal((H2, 4 * H2)) * 0.3).astype(np.float32)
+        ).astype(cd)
+        lens = jnp.asarray(rng.integers(3, T + 1, size=B).astype(np.int32))
+
+        def proj(x, w_x, bias, half):
+            g4 = 4 * H2
+            sl = slice(0, g4) if half == 0 else slice(g4, 8 * H2)
+            p = (jnp.dot(x.reshape(-1, D2).astype(w_x.dtype), w_x[:, sl],
+                         preferred_element_type=jnp.float32)
+                 + bias[sl]).astype(w_x.dtype)
+            return p.reshape(T, B, -1)
+
+        y_f, y_b = bilstm_layer(x, w_x, bias, w_f, w_b, lens,
+                                interpret=True)
+        ref_f = lstm_sequence(proj(x, w_x, bias, 0), w_f, lens,
+                              False, True)
+        ref_b = lstm_sequence(proj(x, w_x, bias, 1), w_b, lens,
+                              True, True)
+        tol = 1e-5 if dtype == np.float32 else 5e-2
+        np.testing.assert_allclose(
+            np.asarray(y_f, np.float32), np.asarray(ref_f, np.float32),
+            rtol=tol, atol=tol)
+        np.testing.assert_allclose(
+            np.asarray(y_b, np.float32), np.asarray(ref_b, np.float32),
+            rtol=tol, atol=tol)
+
+        def loss_fused(x, w_x, bias, wf, wb):
+            y_f, y_b = bilstm_layer(x, w_x, bias, wf, wb, lens, True)
+            return (jnp.sum(y_f.astype(jnp.float32) ** 2)
+                    + jnp.sum(jnp.cos(y_b.astype(jnp.float32))))
+
+        def loss_split(x, w_x, bias, wf, wb):
+            y_f = lstm_sequence(proj(x, w_x, bias, 0), wf, lens,
+                                False, True)
+            y_b = lstm_sequence(proj(x, w_x, bias, 1), wb, lens,
+                                True, True)
+            return (jnp.sum(y_f.astype(jnp.float32) ** 2)
+                    + jnp.sum(jnp.cos(y_b.astype(jnp.float32))))
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            x, w_x, bias, w_f, w_b)
+        g2 = jax.grad(loss_split, argnums=(0, 1, 2, 3, 4))(
+            x, w_x, bias, w_f, w_b)
+        gtol = 1e-4 if dtype == np.float32 else 1e-1
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=gtol, atol=gtol)
+
     def test_bf16_mode_pallas_matches_scan(self):
         """bfloat16 compute dtype: the Pallas layer and the scan path
         quantize at the same points (bf16-stored projection, bf16 matmul
