@@ -128,11 +128,13 @@ REFERENCE_DECODE_RTF = 0.055 / 3.0  # README.md:51-54: "(0.05-0.06) /
 # per second of audio, measured WITH the GPU forward pass included.
 
 
-def _build_or_load_tlg(vocab, seed=0):
+def _build_or_load_tlg(vocab, seed=0, trigram=True):
     """Build (once, cached under /tmp) a genuine pruned-trigram TLG via
     the full native mkgraph chain (decoding/graph.py) on a synthetic
-    language (data/synth_lang.py).  → (graph, lang, word_to_id,
-    build_info)."""
+    language (data/synth_lang.py).  trigram=False builds the
+    bigram-only graph of the SAME language (identical lexicon/unigrams/
+    bigrams; the tgsmall-class decode graph for the rescoring demo).
+    → (graph, lang, word_to_id, build_info)."""
     import os
 
     from kaldi_ctc_tpu.data.synth_lang import make_language
@@ -143,12 +145,13 @@ def _build_or_load_tlg(vocab, seed=0):
 
     cache = os.path.join(
         os.environ.get("KCTPU_BENCH_CACHE", "/tmp/kaldi_ctc_tpu_bench"),
-        f"tlg2_v{vocab}_s{seed}")
+        f"tlg2{'' if trigram else 'bg'}_v{vocab}_s{seed}")
     fst_path = os.path.join(cache, "TLG.fst")
     meta_path = os.path.join(cache, "meta.json")
 
     t0 = time.perf_counter()
-    lang = make_language(vocab=vocab, seed=seed)  # deterministic
+    kw = {} if trigram else {"trigram_hist_frac": 0.0}
+    lang = make_language(vocab=vocab, seed=seed, **kw)  # deterministic
     gen_s = time.perf_counter() - t0
 
     if os.path.exists(fst_path) and os.path.exists(meta_path):
@@ -302,16 +305,23 @@ def _decode_bench(vocab=20_000, utts=16, with_forward=False, seed=0):
                 for c in clats]
     rtf_mbr = (time.perf_counter() - t0) / audio_s
 
-    # LM rescore (lmrescore_compact, the steps/lmrescore.sh stage; same
-    # LM here — the timing exercises the identical code path a bigger
-    # rescoring LM would)
+    # LM rescore — the two-call lmrescore pipeline (steps/lmrescore.sh
+    # semantics, decoding/rescore.py:3-10): subtract the decoding LM at
+    # lm_scale=-1, then add the rescoring LM at +1.  With the same LM
+    # the round trip must leave the one-best unchanged (neutrality
+    # invariant, asserted in tests/test_mbr.py); timing covers both
+    # passes, the cost a real tgsmall->tglarge rescore pays.
     from kaldi_ctc_tpu.decoding.rescore import lmrescore_compact
     from kaldi_ctc_tpu.lm import parse_arpa
     import io
     lm = parse_arpa(io.StringIO(lang.arpa_text))
     id_to_word = {i: w for w, i in word_to_id.items()}
     t0 = time.perf_counter()
-    rescored = [lmrescore_compact(c, lm, id_to_word) for c in clats]
+    rescored = [
+        lmrescore_compact(
+            lmrescore_compact(c, lm, id_to_word, lm_scale=-1.0),
+            lm, id_to_word, lm_scale=1.0)
+        for c in clats]
     rtf_resc = (time.perf_counter() - t0) / audio_s
 
     t0 = time.perf_counter()
@@ -325,6 +335,34 @@ def _decode_bench(vocab=20_000, utts=16, with_forward=False, seed=0):
         zip(truth, rescored))
     wer_resc = 100.0 * errs_resc / max(n_ref, 1)
     score_s = time.perf_counter() - t0
+
+    # rescoring-helps demo (tgsmall->tglarge analogue): decode the same
+    # posteriors through the bigram-only TLG of the same language, then
+    # rescore with the full trigram LM via the two-call pipeline — the
+    # trigram LM must recover accuracy the weaker decode graph lost.
+    graph_bg, lang_bg, word_to_id_bg, meta_bg = _build_or_load_tlg(
+        vocab, seed=seed, trigram=False)
+    lm_bg = parse_arpa(io.StringIO(lang_bg.arpa_text))
+    id_to_word_bg = {i: w for w, i in word_to_id_bg.items()}
+    truth_words = [[id_to_word[i] for i in t] for t in truth]
+    clats_bg = [determinize_lattice_pruned(
+        decode_lattice(graph_bg, s, lattice_beam=8.0), det_beam=8.0)
+        for s in scores]
+    errs_bg = sum(
+        edit_distance(t, [id_to_word_bg[int(w)]
+                          for w in c.best_path()[0]])
+        for t, c in zip(truth_words, clats_bg))
+    wer_bg = 100.0 * errs_bg / max(n_ref, 1)
+    resc_bg = [
+        lmrescore_compact(
+            lmrescore_compact(c, lm_bg, id_to_word_bg, lm_scale=-1.0),
+            lm, id_to_word_bg, lm_scale=1.0)
+        for c in clats_bg]
+    errs_bg_r = sum(
+        edit_distance(t, [id_to_word_bg[int(w)]
+                          for w in r.best_path()[0]])
+        for t, r in zip(truth_words, resc_bg))
+    wer_bg_resc = 100.0 * errs_bg_r / max(n_ref, 1)
 
     full = rtf_lat + rtf_det + rtf_mbr + rtf_resc
     out = {
@@ -347,12 +385,18 @@ def _decode_bench(vocab=20_000, utts=16, with_forward=False, seed=0):
         "det_fraction_of_pipeline": round(rtf_det / full, 3),
         "wer_bestpath": round(wer, 2), "wer_mbr": round(wer_mbr, 2),
         "wer_rescored": round(wer_resc, 2),
+        "wer_bigram_graph": round(wer_bg, 2),
+        "wer_bigram_rescored_trigram": round(wer_bg_resc, 2),
+        "bigram_graph_states": meta_bg["graph_states"],
         "score_s": round(score_s, 2),
         "vs_baseline": round(REFERENCE_DECODE_RTF / rtf_1t, 3),
     }
     if rtf_fwd is not None:
-        out["rtf_tpu_forward"] = round(rtf_fwd, 4)
-        out["rtf_forward_plus_bestpath"] = round(rtf_fwd + rtf_1t, 4)
+        # the TPU forward RTF is ~1e-5 — 4-decimal rounding would print
+        # 0.0 (round-2 VERDICT weak #2); report 6 decimals + throughput
+        out["rtf_tpu_forward"] = round(rtf_fwd, 6)
+        out["forward_audio_s_per_s"] = round(1.0 / rtf_fwd, 1)
+        out["rtf_forward_plus_bestpath"] = round(rtf_fwd + rtf_1t, 6)
         out["vs_baseline_with_forward"] = round(
             REFERENCE_DECODE_RTF / (rtf_fwd + rtf_1t), 3)
     print(json.dumps(out))

@@ -217,9 +217,12 @@ def main(argv=None):
                   args.minibatch_size, n_proc)
         sys.exit(1)
     host_mb = args.minibatch_size // n_proc
-    if n_proc > 1 and len(examples) < host_mb:
-        log.error("only %d utterances per host for a per-host batch of "
-                  "%d: reduce --minibatch-size", len(examples), host_mb)
+    if len(examples) < host_mb:
+        # the final short batch is dropped (static shapes for XLA), so
+        # fewer examples than one batch would train ZERO steps silently
+        log.error("only %d utterances for a per-host batch of %d: every "
+                  "epoch would yield zero batches — reduce "
+                  "--minibatch-size", len(examples), host_mb)
         sys.exit(1)
 
     pipe = EgsPipeline(
@@ -252,6 +255,14 @@ def main(argv=None):
     grow = args.add_layers_period > 0 and args.start_layers < args.num_layers
     start_layers = args.start_layers if grow else args.num_layers
     ckpt_dir = os.path.join(args.dir, "checkpoints")
+    if not args.resume and latest_step(ckpt_dir) is not None:
+        # stale checkpoints from an earlier run would be silently picked
+        # up by compute_prob/decode over this run's model — clear them
+        log.warning("removing stale checkpoints in %s (pass --resume to "
+                    "continue the previous run)", ckpt_dir)
+        if is_primary():
+            import shutil
+            shutil.rmtree(ckpt_dir)
     if args.resume and latest_step(ckpt_dir) is not None:
         # rebuild the template at the layer count the checkpoint was saved at
         start_layers = read_meta(ckpt_dir)["extra"].get(
@@ -330,11 +341,14 @@ def main(argv=None):
             parse_realign_epochs, realign_examples)
         realign_epochs = parse_realign_epochs(args.realign_epochs)
 
+    realign_labels_path = os.path.join(
+        args.dir, f"realign_labels.host{_jax_mod.process_index()}.json")
+
     def run_realign(epoch):
         # align->relabel->priors with the current params (the train.sh
         # realign loop); infeasible utterances drop, so the pipeline is
         # rebuilt and (multi-host) shards re-truncated to equal length
-        nonlocal examples, pipe
+        nonlocal examples, pipe, opts, train_step
         ps = jax.device_get(state.params)
         new_exs, counts, stats = realign_examples(
             examples, ps, cfg,
@@ -345,12 +359,22 @@ def main(argv=None):
             sizes = np.asarray(multihost_utils.process_allgather(
                 np.asarray([len(new_exs)], np.int64))).reshape(-1)
             new_exs = new_exs[:int(sizes.min())]
+            # occupancies must cover only utterances that stay in the
+            # training set — truncate first, then sum per-utt counts
+            counts = np.zeros_like(counts)
+            for e in new_exs:
+                counts += stats["counts_by_key"][e.key]
             counts = np.asarray(multihost_utils.process_allgather(
                 counts[None])).reshape(-1, counts.shape[0]).sum(axis=0)
         if not new_exs:
             log.error("realignment dropped every utterance; keeping the "
                       "previous training set")
             return
+        if len(new_exs) < host_mb:
+            log.error("realignment left only %d utterances for a "
+                      "per-host batch of %d: every remaining epoch "
+                      "would yield zero batches", len(new_exs), host_mb)
+            raise RuntimeError("realignment left too few utterances")
         examples = new_exs
         pipe = EgsPipeline(
             examples, minibatch_size=host_mb,
@@ -358,6 +382,23 @@ def main(argv=None):
             frame_subsampling_factor=args.frame_subsampling_factor,
             seed=args.seed, fixed_shape=fixed_shape,
             time_stride=model_stride)
+        # persist the relabeled/pruned set so a --resume past this epoch
+        # keeps it (otherwise dropped utterances silently rejoin)
+        with open(realign_labels_path, "w") as f:
+            json.dump({"epoch": epoch,
+                       "labels": {e.key: e.labels.tolist()
+                                  for e in examples}}, f)
+        # the lr decay horizon was sized on the pre-realign example
+        # count; recompute it over the remaining epochs or the schedule
+        # never reaches --final-learning-rate
+        new_num_steps = global_step + max(len(examples) // host_mb, 1) * (
+            args.epochs - epoch)
+        if new_num_steps != opts.num_steps:
+            import dataclasses as _dc
+            opts = _dc.replace(opts, num_steps=new_num_steps)
+            train_step = make_train_step(cfg, opts)
+            log.info("lr decay horizon recomputed after realign: "
+                     "%d steps", new_num_steps)
         priors = np.maximum((counts / counts.sum()).astype(np.float32),
                             1.0e-15)
         if is_primary():
@@ -369,6 +410,33 @@ def main(argv=None):
                             "avg_logprob_per_frame"])
         log.info("realign @epoch %d: %d utterances kept, priors updated "
                  "(blank prior %.3f)", epoch, len(examples), priors[0])
+
+    if (args.resume and realign_epochs
+            and any(e <= start_epoch for e in realign_epochs)):
+        # a realign epoch already fired before the checkpoint: restore
+        # the relabeled/pruned training set it produced, or re-run the
+        # alignment with the restored params if nothing was persisted
+        if os.path.exists(realign_labels_path):
+            with open(realign_labels_path) as f:
+                saved = json.load(f)
+            by_key = saved["labels"]
+            examples = [CtcExample(e.key, e.feats,
+                                   np.asarray(by_key[e.key], np.int32))
+                        for e in examples if e.key in by_key]
+            pipe = EgsPipeline(
+                examples, minibatch_size=host_mb,
+                max_allow_frames=args.max_allow_frames,
+                frame_subsampling_factor=args.frame_subsampling_factor,
+                seed=args.seed, fixed_shape=fixed_shape,
+                time_stride=model_stride)
+            log.info("resume: reapplied persisted realignment from epoch "
+                     "%d (%d utterances)", saved["epoch"], len(examples))
+        else:
+            log.warning("resume past realign epoch %s with no persisted "
+                        "labels — re-running realignment with the "
+                        "restored params",
+                        max(e for e in realign_epochs if e <= start_epoch))
+            run_realign(max(e for e in realign_epochs if e <= start_epoch))
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
@@ -462,8 +530,19 @@ def main(argv=None):
                     apply_retention(ckpt_dir)
             # per-epoch accuracy line (parseable contract), global counts
             g_err, g_ref = global_counts(tot_err, tot_ref)
-            epoch_acc = 1.0 - g_err / max(g_ref, 1)
-            metrics_log.log_accuracy(epoch_acc, epoch=epoch, step=global_step)
+            if g_ref == 0 and skip == 0:
+                # an epoch that trained nothing must not report a vanity
+                # accuracy of 1.0 — it means every batch was filtered or
+                # skipped, which is a configuration error (a resume that
+                # skips the whole start epoch is the one legitimate case)
+                log.error("epoch %d produced zero training batches "
+                          "(all examples filtered or skipped)", epoch)
+                raise RuntimeError(
+                    f"epoch {epoch} produced zero training batches")
+            if g_ref > 0:
+                epoch_acc = 1.0 - g_err / max(g_ref, 1)
+                metrics_log.log_accuracy(epoch_acc, epoch=epoch,
+                                         step=global_step)
             tot_err = tot_ref = 0
             if is_primary():
                 save_checkpoint(ckpt_dir, global_step, state,

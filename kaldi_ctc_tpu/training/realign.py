@@ -82,6 +82,7 @@ def realign_examples(
     frame_buckets = make_buckets()
     label_buckets = make_buckets(min_len=8, max_len=640, growth=1.5)
     counts = np.zeros(cfg.num_targets, np.float64)
+    counts_by_key: dict = {}
     new_labels: dict = {}
     dropped: List[str] = []
     tot_lp = tot_frames = 0.0
@@ -102,8 +103,10 @@ def realign_examples(
                 dropped.append(subs[j].key)
                 continue
             fl = frame_labels[row, :t]
-            counts += np.bincount(fl, minlength=cfg.num_targets)[
-                :cfg.num_targets]
+            c = np.bincount(fl, minlength=cfg.num_targets)[
+                :cfg.num_targets].astype(np.float64)
+            counts += c
+            counts_by_key[subs[j].key] = c
             # relabel rule: run-collapse + blank-drop (valid CTC paths
             # separate repeated labels with a blank, so runs == labels)
             runs = fl[np.concatenate([[True], np.diff(fl) != 0])]
@@ -116,6 +119,9 @@ def realign_examples(
     stats = {
         "aligned": len(kept), "dropped": len(dropped),
         "dropped_keys": dropped[:8],
+        # per-utterance occupancies, so a caller that truncates the kept
+        # list (multi-host equal-shard rule) can re-sum over survivors
+        "counts_by_key": counts_by_key,
         "avg_logprob_per_frame": tot_lp / tot_frames if tot_frames else 0.0,
     }
     if log is not None:

@@ -330,3 +330,54 @@ def test_graph_info_check_stochastic(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["is_stochastic"] is False
     assert out["stochastic_max"] == float("inf")
+
+
+def test_build_tlg_phone_id_contract():
+    """Regression guard for the WER-100 id-drift class (commit 659cfef):
+    build_tlg must emit graph ilabels at the CALLER-supplied phone ids,
+    not lexicon order-of-appearance ids.  Posterior columns are written
+    at the supplied ids (the bench/recipe contract: column p scores
+    phone p, graph ilabel p+1 after the CTC shift); decoding must
+    recover every word exactly.  Before the fix, build_tlg renumbered
+    phones by appearance so every column fed the wrong ilabel and the
+    beam floundered (WER 100)."""
+    from kaldi_ctc_tpu.data.synth_lang import synth_posteriors
+    from kaldi_ctc_tpu.decoding.graph import build_tlg
+
+    # ids deliberately NOT in order of lexicon appearance: first-seen
+    # phone p9 gets id 9, etc. — appearance-order numbering would
+    # assign p9 -> 1 and scramble every ilabel
+    num_phones = 9
+    lexicon = [("alpha", ["p9", "p2"]), ("beta", ["p5"]),
+               ("gamma", ["p1", "p7", "p3"]), ("delta", ["p4", "p8"])]
+    phone_to_id = {f"p{i}": i for i in range(1, num_phones + 1)}
+    arpa = ("\\data\\\nngram 1=6\n\n\\1-grams:\n"
+            "-99 <s>\n-0.9 </s>\n-0.6 alpha\n-0.6 beta\n"
+            "-0.6 gamma\n-0.6 delta\n\n\\end\\\n")
+    lm = parse_arpa(io.StringIO(arpa))
+    tlg, word_to_id, p2i_out = build_tlg(
+        lexicon, lm, phone_to_id=dict(phone_to_id))
+    # the returned map must preserve every supplied id verbatim
+    for p, i in phone_to_id.items():
+        assert p2i_out[p] == i, (p, i, p2i_out[p])
+
+    pron = dict(lexicon)
+    id_to_word = {i: w for w, i in word_to_id.items()}
+    rng = np.random.default_rng(3)
+    errs = n_ref = 0
+    for _ in range(8):
+        ws = [lexicon[int(rng.integers(4))][0] for _ in range(5)]
+        phone_seq = [phone_to_id[p] for w in ws for p in pron[w]]
+        post = synth_posteriors(phone_seq, num_phones, rng)
+        scores = np.log(post).astype(np.float32)
+        words, _, _, ok = decode_best_path(tlg, scores)
+        assert ok
+        hyp = [id_to_word[int(w)] for w in words]
+        n_ref += len(ws)
+        errs += sum(a != b for a, b in zip(hyp, ws)) + abs(
+            len(hyp) - len(ws))
+    # id drift makes ~every word wrong; the synthetic posteriors'
+    # competitor mass allows the odd genuine beam error, so the guard
+    # is a 10% ceiling, far below the ~100% failure mode it pins
+    assert errs / n_ref < 0.10, (
+        f"{errs}/{n_ref} word errors — ilabel/id drift")
