@@ -22,7 +22,8 @@ def parse_args(argv=None):
                         "(seconds; end -1 = recording end)")
     p.add_argument("--min-segment-length", type=float, default=0.1,
                    help="skip segments shorter than this (seconds)")
-    p.add_argument("--type", choices=["mfcc", "fbank", "pitch"],
+    p.add_argument("--type", choices=["mfcc", "fbank", "plp",
+                                      "spectrogram", "pitch"],
                    default="mfcc",
                    help="pitch = compute-kaldi-pitch-feats | "
                         "process-kaldi-pitch-feats (3-dim)")
@@ -90,6 +91,18 @@ def main(argv=None):
         if args.htk_compat:
             opts = MfccOptions(**{**opts.__dict__, "htk_compat": True})
         compute = compute_mfcc
+    elif args.type == "plp":
+        from kaldi_ctc_tpu.features.plp import PlpOptions, compute_plp
+        mel = MelOptions(num_bins=args.num_mel_bins or 23)
+        opts = PlpOptions(frame_opts=frame_opts, mel_opts=mel,
+                          num_ceps=args.num_ceps or 13,
+                          htk_compat=bool(args.htk_compat))
+        compute = compute_plp
+    elif args.type == "spectrogram":
+        from kaldi_ctc_tpu.features.spectrogram import (
+            SpectrogramOptions, compute_spectrogram)
+        opts = SpectrogramOptions(frame_opts=frame_opts)
+        compute = compute_spectrogram
     else:
         mel = MelOptions(num_bins=args.num_mel_bins or 23)
         opts = FbankOptions(frame_opts=frame_opts, mel_opts=mel,

@@ -27,6 +27,11 @@ from kaldi_ctc_tpu.features.functions import (  # noqa: F401
 )
 from kaldi_ctc_tpu.features.wave import read_wave  # noqa: F401
 from kaldi_ctc_tpu.features.htk import read_htk, write_htk  # noqa: F401
+from kaldi_ctc_tpu.features.plp import PlpOptions, compute_plp  # noqa: F401
+from kaldi_ctc_tpu.features.spectrogram import (  # noqa: F401
+    SpectrogramOptions,
+    compute_spectrogram,
+)
 from kaldi_ctc_tpu.features.pitch import (  # noqa: F401
     PitchOptions, ProcessPitchOptions, compute_and_process_pitch,
     compute_kaldi_pitch, process_pitch)

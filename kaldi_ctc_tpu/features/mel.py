@@ -14,7 +14,8 @@ import numpy as np
 
 from kaldi_ctc_tpu.features.window import FrameOptions
 
-__all__ = ["MelOptions", "mel_scale", "inverse_mel_scale", "mel_banks"]
+__all__ = ["MelOptions", "mel_scale", "inverse_mel_scale", "mel_banks",
+           "mel_center_freqs"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,3 +132,31 @@ def mel_banks(
             weight[nz[0]] = 0.0
         out[b] = weight.astype(np.float32)
     return out
+
+
+def mel_center_freqs(
+    opts: MelOptions,
+    frame_opts: FrameOptions,
+    vtln_warp: float = 1.0,
+) -> np.ndarray:
+    """Center frequency (Hz) of each mel bin — MelBanks::GetCenterFreqs
+    (mel-computations.cc:148-150), consumed by the PLP equal-loudness
+    curve (GetEqualLoudnessVector, mel-computations.cc:313-325)."""
+    nyquist = 0.5 * frame_opts.samp_freq
+    low_freq = opts.low_freq
+    high_freq = (opts.high_freq if opts.high_freq > 0.0
+                 else nyquist + opts.high_freq)
+    mel_low = mel_scale(low_freq)
+    mel_high = mel_scale(high_freq)
+    mel_delta = (mel_high - mel_low) / (opts.num_bins + 1)
+    vtln_high = opts.vtln_high
+    if vtln_high < 0.0:
+        vtln_high += nyquist
+    centers = np.empty(opts.num_bins, np.float64)
+    for b in range(opts.num_bins):
+        center = mel_low + (b + 1) * mel_delta
+        if vtln_warp != 1.0:
+            center = _vtln_warp_mel(opts.vtln_low, vtln_high, low_freq,
+                                    high_freq, vtln_warp, center)
+        centers[b] = inverse_mel_scale(center)
+    return centers.astype(np.float32)

@@ -686,17 +686,38 @@ def bilstm_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False):
     return y_f, y_b
 
 
-def _use_in_kernel_proj(d: int, g4: int) -> bool:
+def _use_in_kernel_proj(d: int, g4: int,
+                        dtype=jnp.float32) -> bool:
     """In-kernel projection needs lane-aligned zero-copy half views of
     w_x/bias and a lane-aligned x block.  The first BLSTM layer's raw
-    feature dim (e.g. 40) falls back to the hoisted-projection path."""
-    return d % 128 == 0 and g4 % 128 == 0
+    feature dim (e.g. 40) falls back to the hoisted-projection path.
+
+    KCTPU_RNN_PROJ=in_kernel|hoisted overrides the choice (the bench
+    A/B toggle); the default also checks a VMEM budget — the backward
+    proj kernel pins w_x (both halves), w_h_f/w_h_b and their
+    transposes in VMEM, which overflows for large-d float32 configs."""
+    import os
+    mode = os.environ.get("KCTPU_RNN_PROJ", "auto")
+    aligned = d % 128 == 0 and g4 % 128 == 0
+    if mode == "hoisted":
+        return False
+    if mode == "in_kernel":
+        return aligned
+    if not aligned:
+        return False
+    # resident weights in the bwd kernel: w_x [d,2*g4] + 2x recurrent
+    # [h,g4] + their transposes; leave ~8 MB of the ~16 MB VMEM for the
+    # double-buffered time blocks and scratch
+    h = g4 // 4
+    itemsize = jnp.dtype(dtype).itemsize
+    resident = (d * 2 * g4 + 4 * h * g4) * itemsize
+    return resident <= 8 * 1024 * 1024
 
 
 def _bilstm_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
     t_max, b, d = x.shape
     g4 = w_x.shape[1] // 2
-    if _use_in_kernel_proj(d, g4):
+    if _use_in_kernel_proj(d, g4, x.dtype):
         # projection fused into the kernel: x streams once per direction
         # and no [T,B,2*4H] projection residual is written, read, or
         # saved between passes (the hoisted design's dominant stream)
