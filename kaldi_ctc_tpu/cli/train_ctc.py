@@ -87,6 +87,14 @@ def parse_args(argv=None):
     p.add_argument("--final-learning-rate", type=float, default=1e-5)
     p.add_argument("--momentum", type=float, default=0.0)
     p.add_argument("--clip-gradient", type=float, default=5.0)
+    p.add_argument("--affine-type", choices=["simple", "natural"],
+                   default="simple",
+                   help="natural: online NG-SGD preconditioning of the "
+                        "affine fronts (NaturalGradientAffineComponent, "
+                        "components.py:30-33)")
+    p.add_argument("--ng-rank-in", type=int, default=30)
+    p.add_argument("--ng-rank-out", type=int, default=80)
+    p.add_argument("--ng-update-period", type=int, default=1)
     p.add_argument("--nonfinite-action", default="abort",
                    choices=["abort", "skip"],
                    help="on a non-finite loss/grad: abort like the "
@@ -301,11 +309,15 @@ def main(argv=None):
         num_steps=num_steps,
         momentum=args.momentum,
         clip_elementwise=args.clip_gradient,
+        affine_type=args.affine_type,
+        ng_rank_in=args.ng_rank_in,
+        ng_rank_out=args.ng_rank_out,
+        ng_update_period=args.ng_update_period,
     )
 
     mesh = make_mesh()
     params = init_am_params(jax.random.PRNGKey(args.seed), cfg)
-    state = init_train_state(params)
+    state = init_train_state(params, opts)
     start_epoch = 0
     start_epoch_step = 0
     if args.resume and latest_step(ckpt_dir) is not None:
@@ -486,7 +498,8 @@ def main(argv=None):
                         jax.random.PRNGKey(args.seed + 100 + cfg.num_layers))
                     # pytree structure changed: fresh velocity, rebuilt steps
                     step_count = state.step
-                    state = init_train_state(new_params)._replace(step=step_count)
+                    state = init_train_state(new_params,
+                                             opts)._replace(step=step_count)
                     train_step = make_train_step(cfg, opts)
                     eval_step = make_eval_step(cfg)
                     write_cfg(cfg)

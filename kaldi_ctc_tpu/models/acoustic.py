@@ -209,11 +209,20 @@ def am_forward(
     cfg: AmConfig,
     input_lens: Optional[jnp.ndarray] = None,
     dropout_key: Optional[jax.Array] = None,
+    probes: Optional[Dict[str, jnp.ndarray]] = None,
+    taps: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Forward pass → logits [B, T, num_targets].
 
     Internally time-major for the scan; the final projection is one large
     [T*B, H] @ [H, A] matmul.
+
+    probes/taps serve the natural-gradient affine updates
+    (training/natural_gradient.py): a zero probe added to an affine
+    pre-activation makes ``grad wrt probe`` the layer's output
+    derivative, and ``taps`` (a dict the caller passes in) receives the
+    layer's input rows — together the two factors
+    AffineComponentPreconditionedOnline::Update preconditions.
     """
     if cfg.conv_layers:
         # DS2 conv front end, batch-major: [B, T, F, 1] NHWC convs on
@@ -280,9 +289,13 @@ def am_forward(
         # FT front layer: Affine + ReLU + renormalize to unit RMS
         # (AddAffRelNormLayer, make_configs.py:269-274)
         cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if taps is not None:
+            taps["front_in"] = x
         h = (jnp.dot(x.astype(cd), params["front_w"].astype(cd),
                      preferred_element_type=jnp.float32)
              + params["front_b"])
+        if probes is not None and "front" in probes:
+            h = h + probes["front"]
         h = jax.nn.relu(h)
         rms = jnp.sqrt(jnp.mean(h * h, axis=-1, keepdims=True) + 1e-20)
         x = h / rms
@@ -293,8 +306,14 @@ def am_forward(
         y = jnp.where(mask, y / keep, 0.0)
     t, b, h = y.shape
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if taps is not None:
+        taps["out_in"] = y
     logits = (jnp.dot(y.reshape(t * b, h).astype(cd),
                       params["out_w"].astype(cd),
                       preferred_element_type=jnp.float32)
               + params["out_b"]).reshape(t, b, -1)
+    if probes is not None and "out" in probes:
+        # probe rows are [T*B, A], the same layout the out_deriv rows
+        # feed ng_affine_update in
+        logits = logits + probes["out"].reshape(logits.shape)
     return jnp.swapaxes(logits, 0, 1)  # [B, T, A]

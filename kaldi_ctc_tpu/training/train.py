@@ -58,18 +58,44 @@ class TrainOptions:
     # way; the driver decides abort-vs-skip from the exported "finite"
     # metric.  guard=False removes the select entirely (bench ablation).
     guard_nonfinite: bool = True
+    # "simple" (plain SGD on affine fronts) or "natural" (online NG-SGD
+    # preconditioning of the affine updates — NaturalGradientAffine /
+    # --affine-type natural, steps/ctc/nnet2/components.py:30-33)
+    affine_type: str = "simple"
+    ng_rank_in: int = 30
+    ng_rank_out: int = 80
+    ng_update_period: int = 1
+    ng_num_samples_history: float = 2000.0
+    ng_alpha: float = 4.0
 
 
 class TrainState(NamedTuple):
     params: Any
     velocity: Any
     step: jnp.ndarray
+    # natural-gradient preconditioner states ({} for plain affine —
+    # an empty dict adds no pytree leaves, so checkpoints stay
+    # layout-compatible with pre-NG runs)
+    ng: Any = None
 
 
-def init_train_state(params: Any) -> TrainState:
+def init_train_state(params: Any,
+                     opts: "TrainOptions" = None) -> TrainState:
     velocity = jax.tree_util.tree_map(jnp.zeros_like, params)
+    ng = None
+    if opts is not None and opts.affine_type == "natural":
+        from kaldi_ctc_tpu.training.natural_gradient import ng_init
+        ng = {}
+        for name in ("front", "out"):
+            w = params.get(f"{name}_w")
+            if w is None:
+                continue
+            d_in, d_out = int(w.shape[0]), int(w.shape[1])
+            ng[name] = {
+                "in": ng_init(d_in + 1, opts.ng_rank_in, opts.ng_alpha),
+                "out": ng_init(d_out, opts.ng_rank_out, opts.ng_alpha)}
     return TrainState(params=params, velocity=velocity,
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32), ng=ng)
 
 
 def exponential_lr(opts: TrainOptions, step) -> jnp.ndarray:
@@ -104,24 +130,68 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
     backends with high per-dispatch overhead.
     """
 
-    def loss_fn(params, batch, dropout_key):
+    use_ng = opts.affine_type == "natural"
+    if use_ng:
+        from kaldi_ctc_tpu.training.natural_gradient import (
+            NgOptions, ng_affine_update)
+        ng_opts = NgOptions(
+            rank_in=opts.ng_rank_in, rank_out=opts.ng_rank_out,
+            update_period=opts.ng_update_period,
+            num_samples_history=opts.ng_num_samples_history,
+            alpha=opts.ng_alpha)
+
+    def loss_fn(params, probes, batch, dropout_key):
+        taps = {}
         logits = am_forward(params, batch["feats"], cfg,
                             input_lens=batch["input_lens"],
-                            dropout_key=dropout_key)
+                            dropout_key=dropout_key,
+                            probes=probes or None,
+                            taps=taps if use_ng else None)
         # conv time stride shrinks the logit sequence (identity otherwise)
         out_lens = cfg.output_lens(batch["input_lens"])
         losses = ctc_loss(logits, batch["labels"], out_lens,
                           batch["label_lens"])
         total = jnp.sum(losses) * opts.objective_scale
-        return total, (losses, logits)
+        return total, (losses, logits, taps)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         # per-step dropout key derived from the step counter (deterministic,
         # resume-stable); unused when cfg.dropout == 0
         dkey = (jax.random.fold_in(jax.random.PRNGKey(0), state.step)
                 if cfg.dropout > 0.0 else None)
-        (total, (losses, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, dkey)
+        b, t = batch["feats"].shape[0], batch["feats"].shape[1]
+        probes = {}
+        if use_ng:
+            # zero probes on the affine pre-activations: grad wrt each
+            # probe is that layer's out_deriv rows, the second factor
+            # of the NG update
+            t_out = -(-t // cfg.time_stride)
+            probes["out"] = jnp.zeros((t_out * b, cfg.num_targets),
+                                      jnp.float32)
+            if cfg.front_affine_dim:
+                probes["front"] = jnp.zeros(
+                    (t, b, cfg.front_affine_dim), jnp.float32)
+        (total, (losses, logits, taps)), (grads, pgrads) = \
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, probes, batch, dkey)
+        new_ng = state.ng
+        if use_ng:
+            new_ng = dict(state.ng)
+            y = taps["out_in"]
+            gw, gb, s_in, s_out = ng_affine_update(
+                state.ng["out"]["in"], state.ng["out"]["out"],
+                y.reshape(-1, y.shape[-1]), pgrads["out"], ng_opts)
+            grads["out_w"], grads["out_b"] = gw, gb
+            new_ng["out"] = {"in": s_in, "out": s_out}
+            if cfg.front_affine_dim:
+                xf = taps["front_in"]
+                gw, gb, s_in, s_out = ng_affine_update(
+                    state.ng["front"]["in"], state.ng["front"]["out"],
+                    xf.reshape(-1, xf.shape[-1]),
+                    pgrads["front"].reshape(-1, cfg.front_affine_dim),
+                    ng_opts)
+                grads["front_w"], grads["front_b"] = gw, gb
+                new_ng["front"] = {"in": s_in, "out": s_out}
         grads = _clip_tree(grads, opts)
         lr = exponential_lr(opts, state.step)
         grad_norm = jnp.sqrt(sum(
@@ -146,10 +216,15 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
         else:
             params = jax.tree_util.tree_map(
                 lambda p, v: p - lr * v, state.params, velocity)
+        if use_ng and opts.guard_nonfinite:
+            # a poisoned batch must not corrupt the preconditioners
+            new_ng = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_ng, state.ng)
         new_state = TrainState(params=params,
                                velocity=(velocity if opts.momentum > 0
                                          else state.velocity),
-                               step=state.step + 1)
+                               step=state.step + 1,
+                               ng=new_ng)
         out_lens = cfg.output_lens(batch["input_lens"])
         hyp_ids, hyp_lens = greedy_collapse(
             jnp.argmax(logits, axis=-1), out_lens)
