@@ -464,6 +464,7 @@ def main(argv=None):
                 # would double-apply the epoch's realignment
                 run_realign(epoch)
             epoch_step = 0
+            trained_batches = skipped_nonfinite = 0
             skip = start_epoch_step if epoch == start_epoch else 0
             for batch_np in Prefetcher(pipe.epoch(epoch)):
                 if epoch_step < skip:
@@ -490,7 +491,9 @@ def main(argv=None):
                                 "batch skipped (keys %s)", global_step,
                                 ",".join(keys[:4]))
                     metrics_log.log("skipped_nonfinite", step=global_step)
+                    skipped_nonfinite += 1
                     continue
+                trained_batches += 1
                 if (grow and cfg.num_layers < args.num_layers
                         and global_step % args.add_layers_period == 0):
                     new_params, cfg = grow_rnn_layer(
@@ -543,15 +546,23 @@ def main(argv=None):
                     apply_retention(ckpt_dir)
             # per-epoch accuracy line (parseable contract), global counts
             g_err, g_ref = global_counts(tot_err, tot_ref)
-            if g_ref == 0 and skip == 0:
-                # an epoch that trained nothing must not report a vanity
-                # accuracy of 1.0 — it means every batch was filtered or
-                # skipped, which is a configuration error (a resume that
-                # skips the whole start epoch is the one legitimate case)
+            if (trained_batches == 0 and skipped_nonfinite == 0
+                    and skip == 0):
+                # an epoch that formed no batches at all must not report
+                # a vanity accuracy of 1.0 — it means every example was
+                # filtered out before batching, which is a configuration
+                # error (a resume that skips the whole start epoch is the
+                # one legitimate case).  An epoch whose batches all hit
+                # non-finite skips is different: --nonfinite-action skip
+                # explicitly asked to survive those, so warn and go on.
                 log.error("epoch %d produced zero training batches "
-                          "(all examples filtered or skipped)", epoch)
+                          "(all examples filtered before batching)", epoch)
                 raise RuntimeError(
                     f"epoch {epoch} produced zero training batches")
+            if trained_batches == 0 and skipped_nonfinite > 0:
+                log.warning("epoch %d: every batch (%d) was skipped as "
+                            "non-finite — no parameters were updated",
+                            epoch, skipped_nonfinite)
             if g_ref > 0:
                 epoch_acc = 1.0 - g_err / max(g_ref, 1)
                 metrics_log.log_accuracy(epoch_acc, epoch=epoch,

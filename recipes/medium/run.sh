@@ -39,6 +39,27 @@ blank_threshold=${blank_threshold:-0.98}
 
 cd "$(dirname "$0")"
 export PYTHONPATH="$(cd ../.. && pwd)${PYTHONPATH:+:$PYTHONPATH}"
+
+# Every CLI stage is a fresh process attaching to the (possibly remote)
+# TPU.  A remotely-attached runtime can wedge — at device init, or on the
+# first kernel execution of a fresh process — leaving the stage at 0% CPU
+# forever (observed repeatedly on a tunneled chip; a relaunched process
+# then succeeds).  pyrun runs the CLI under the devwatch wrapper (exit 66
+# = device-init hang) AND a hard wall-clock timeout (exit 124), retrying
+# either failure with a fresh process.  KCTPU_STAGE_TIMEOUT bounds one
+# attempt; raise it for big training stages.
+pyrun() {
+  local attempt rc
+  for attempt in 1 2 3; do
+    timeout -k 10 "${KCTPU_STAGE_TIMEOUT:-600}" \
+      python -m kaldi_ctc_tpu.cli.devwatch "$@"; rc=$?
+    { [ "$rc" -ne 66 ] && [ "$rc" -ne 124 ]; } && return "$rc"
+    echo "pyrun: stage wedged (rc=$rc, attempt $attempt); retrying in 15s" >&2
+    sleep 15
+  done
+  echo "pyrun: stage failed after 3 wedged attempts" >&2
+  return 1
+}
 data="$work/data"; exp="$work/exp"; graph="$work/graph"
 mkdir -p "$data" "$exp" "$graph"
 
@@ -52,19 +73,20 @@ fi
 if [ "$stage" -le 1 ]; then
   echo "=== stage 1: egs archives (get_egs2.sh analogue)"
   mkdir -p "$exp/egs"
-  python -m kaldi_ctc_tpu.cli.prepare_egs get \
+  pyrun kaldi_ctc_tpu.cli.prepare_egs get \
     --feats "ark:$data/train/feats.ark" --ali "ark:$data/train/ali.ark" \
     --max-allow-frames $((700 * fs_factor)) \
     --output "ark,scp:$exp/egs/egs.1.ark,$exp/egs/egs.1.scp" \
     --num-archives 1
-  python -m kaldi_ctc_tpu.cli.prepare_egs sort \
+  pyrun kaldi_ctc_tpu.cli.prepare_egs sort \
     --egs "ark:$exp/egs/egs.1.ark" \
     --output "ark,scp:$exp/egs/sorted.1.ark,$exp/egs/egs.scp"
 fi
 
 if [ "$stage" -le 2 ]; then
   echo "=== stage 2: train (+in-loop realignment at epoch $realign_epochs)"
-  python -m kaldi_ctc_tpu.cli.train_ctc \
+  KCTPU_STAGE_TIMEOUT=${train_timeout:-2400} \
+  pyrun kaldi_ctc_tpu.cli.train_ctc \
     --egs "scp:$exp/egs/egs.scp" --num-targets "$num_targets" \
     --hidden-dim "$hidden_dim" --num-layers "$num_layers" \
     --bidirectional 1 --epochs "$epochs" \
@@ -78,21 +100,21 @@ fi
 
 if [ "$stage" -le 3 ]; then
   echo "=== stage 3: diagnostics (compute_prob on train egs)"
-  python -m kaldi_ctc_tpu.cli.compute_prob \
+  pyrun kaldi_ctc_tpu.cli.compute_prob \
     --egs "ark:$exp/egs/sorted.1.ark" --dir "$exp" \
     --frame-subsampling-factor "$fs_factor" | tee "$work/train_prob.json"
 fi
 
 if [ "$stage" -le 4 ]; then
   echo "=== stage 4: TLG graph (mkgraph analogue, full native chain)"
-  python -m kaldi_ctc_tpu.cli.graph_tool make-tlg \
+  pyrun kaldi_ctc_tpu.cli.graph_tool make-tlg \
     --lexicon "$data/lexicon.txt" --arpa "$data/lm.arpa" \
     --phones "$data/phones.txt" --output "$graph/TLG.fst"
 fi
 
 if [ "$stage" -le 5 ]; then
   echo "=== stage 5: WFST lattice decode + score (decode.sh + score.sh)"
-  python -m kaldi_ctc_tpu.cli.decode_ctc \
+  pyrun kaldi_ctc_tpu.cli.decode_ctc \
     --feats "ark:$data/test/feats.ark" --dir "$exp" \
     --method wfst --graph "$graph/TLG.fst" \
     --words "$graph/TLG.fst.words.txt" \
@@ -102,12 +124,12 @@ if [ "$stage" -le 5 ]; then
     --frame-subsampling-factor "$fs_factor" \
     --text "$data/test/text" \
     --output "$exp/hyps.test.txt" | tee "$work/decode.json"
-  python -m kaldi_ctc_tpu.cli.score_lattices \
+  pyrun kaldi_ctc_tpu.cli.score_lattices \
     --lattices "$exp/lat.test.ark.txt" --text "$data/test/text" \
     --words "$graph/TLG.fst.words.txt" --compact 1 \
     --min-lmwt 5 --max-lmwt 15 \
     --output "$exp/best_hyps.test.txt" | tee "$work/wer.json"
-  python -m kaldi_ctc_tpu.cli.lattice_tool mbr \
+  pyrun kaldi_ctc_tpu.cli.lattice_tool mbr \
     --lattices "$exp/lat.test.ark.txt" --compact 1 \
     --words "$graph/TLG.fst.words.txt" \
     --output "$exp/mbr_hyps.test.txt"
@@ -127,6 +149,6 @@ fi
 
 if [ "$stage" -le 6 ]; then
   echo "=== stage 6: report"
-  python -m kaldi_ctc_tpu.cli.generate_report --dir "$exp" || true
+  pyrun kaldi_ctc_tpu.cli.generate_report --dir "$exp" || true
   echo "WER sweep:"; cat "$work/wer.json"
 fi
