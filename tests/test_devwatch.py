@@ -1,0 +1,49 @@
+"""devwatch launcher: pass-through, exit-code propagation, hang exit.
+
+The wrapper is the failure-detection surface recipes rely on
+(recipes/medium/run.sh pyrun): a wedged device init must turn into exit
+66 (retryable) instead of an infinite hang, and a healthy run must be
+indistinguishable from running the CLI directly.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, env_extra=None, timeout=120):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(env_extra or {})
+    return subprocess.run(
+        [sys.executable, "-m", "kaldi_ctc_tpu.cli.devwatch"] + args,
+        capture_output=True, text=True, env=env, timeout=timeout)
+
+
+def test_passthrough_stdout_and_exit_zero(tmp_path):
+    # model_info on a prepared dir would need a model; use compute_feats
+    # --help style surface instead: run a trivial module end-to-end
+    r = _run(["kaldi_ctc_tpu.cli.model_info", "--help"])
+    assert r.returncode == 0
+    assert "--dir" in r.stdout
+
+
+def test_propagates_failure_exit_code():
+    r = _run(["kaldi_ctc_tpu.cli.model_info", "--dir",
+              "/nonexistent-kctpu-test-dir"])
+    assert r.returncode not in (0, 66)
+
+
+def test_wedged_device_init_exits_66():
+    r = _run(["kaldi_ctc_tpu.cli.model_info", "--help"],
+             env_extra={"KCTPU_DEVICE_TIMEOUT": "0.0001"})
+    assert r.returncode == 66
+    assert "wedged" in r.stderr
+
+
+def test_usage_error_without_module():
+    r = _run([])
+    assert r.returncode == 2
