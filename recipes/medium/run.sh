@@ -22,14 +22,19 @@ train_utts=${train_utts:-400}
 test_utts=${test_utts:-40}
 num_targets=${num_targets:-42}     # 41 phones + blank
 
-# training knobs (scaled-down flagship: same family, bounded runtime)
+# training knobs (scaled-down flagship: same family, bounded runtime).
+# lr: updates are lr*sum over the global minibatch (reference semantics,
+# run_ctc_phone.sh:32-33 uses 5e-4); a 4-config on-chip sweep showed
+# 1e-3 converges to train acc 1.0 in ~150 steps while 4e-3 thrashes
+# (elementwise-clipped updates reach the weight-init scale) and never
+# escapes blank collapse.
 hidden_dim=${hidden_dim:-128}
 num_layers=${num_layers:-3}
 epochs=${epochs:-40}
 minibatch_size=${minibatch_size:-48}
 fs_factor=${fs_factor:-3}
-lr_initial=${lr_initial:-4e-3}
-lr_final=${lr_final:-4e-4}
+lr_initial=${lr_initial:-1e-3}
+lr_final=${lr_final:-1e-4}
 realign_epochs=${realign_epochs:-20}   # exercise the realign loop
 
 # decode knobs (run_ctc_phone.sh:36-40)
