@@ -695,7 +695,15 @@ def _use_in_kernel_proj(d: int, g4: int,
     KCTPU_RNN_PROJ=in_kernel|hoisted overrides the choice (the bench
     A/B toggle); the default also checks a VMEM budget — the backward
     proj kernel pins w_x (both halves), w_h_f/w_h_b and their
-    transposes in VMEM, which overflows for large-d float32 configs."""
+    transposes in VMEM, which overflows for large-d float32 configs.
+
+    Measured A/B at the flagship shapes (TPU v5 lite, bench.py with
+    KCTPU_RNN_PROJ forced, 2026-08-21): f32 33,299 hoisted vs 33,351
+    in-kernel audio-s/s/chip (a wash, +0.2% in-kernel); bf16 42,121
+    hoisted vs 38,765 in-kernel (-8%: in bf16 the hoisted projection
+    residual is half-width, so the HBM bytes the fused path saves no
+    longer pay for its extra weight residency and recompute).  auto
+    therefore dispatches in-kernel only for float32."""
     import os
     mode = os.environ.get("KCTPU_RNN_PROJ", "auto")
     aligned = d % 128 == 0 and g4 % 128 == 0
@@ -704,6 +712,8 @@ def _use_in_kernel_proj(d: int, g4: int,
     if mode == "in_kernel":
         return aligned
     if not aligned:
+        return False
+    if jnp.dtype(dtype) == jnp.bfloat16:
         return False
     # resident weights in the bwd kernel: w_x [d,2*g4] + 2x recurrent
     # [h,g4] + their transposes; leave ~8 MB of the ~16 MB VMEM for the
