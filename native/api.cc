@@ -1,7 +1,10 @@
 // C API for the native FST + decoder (consumed from Python via ctypes).
 
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <string>
+#include <unordered_map>
 
 #include "decoder.h"
 #include "det_lattice.h"
@@ -9,6 +12,41 @@
 #include "lattice.h"
 
 using namespace ctc_native;
+
+namespace {
+
+// Per-graph decoder index cache.  BuildDecodeIndex is O(arcs) in time
+// AND memory (an eps-first copy of the whole arc array) — rebuilding it
+// per decode call is invisible on small graphs but dominates on big
+// ones (measured: a 33M-state / 80M-arc 20k-vocab TLG spends ~80% of
+// single-utterance decode wall time rebuilding a 1.3 GB index, RTF
+// 0.45 vs 0.10 once shared).  Fst handles are immutable after
+// construction, so the index is built once per handle and dropped with
+// it in ctcn_fst_free.
+std::mutex g_idx_mu;
+std::unordered_map<const Fst*,
+                   std::shared_ptr<const DecodeIndex>> g_idx_cache;
+
+std::shared_ptr<const DecodeIndex> CachedIndex(const Fst* fst) {
+  {
+    std::lock_guard<std::mutex> lk(g_idx_mu);
+    auto it = g_idx_cache.find(fst);
+    if (it != g_idx_cache.end()) return it->second;
+  }
+  // build outside the lock (seconds on big graphs); a racing second
+  // builder just wastes one build, last insert wins
+  auto idx = std::make_shared<const DecodeIndex>(BuildDecodeIndex(*fst));
+  std::lock_guard<std::mutex> lk(g_idx_mu);
+  auto [it, inserted] = g_idx_cache.emplace(fst, idx);
+  return it->second;
+}
+
+void DropCachedIndex(const Fst* fst) {
+  std::lock_guard<std::mutex> lk(g_idx_mu);
+  g_idx_cache.erase(fst);
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -48,7 +86,10 @@ void* ctcn_fst_from_arrays(int64_t start, int64_t num_states,
   return fst;
 }
 
-void ctcn_fst_free(void* fst) { delete static_cast<Fst*>(fst); }
+void ctcn_fst_free(void* fst) {
+  DropCachedIndex(static_cast<Fst*>(fst));
+  delete static_cast<Fst*>(fst);
+}
 
 int64_t ctcn_fst_num_states(void* fst) {
   return static_cast<Fst*>(fst)->NumStates();
@@ -164,7 +205,8 @@ int ctcn_decode_best_path(void* fst_ptr, const float* scores,
   opts.max_active = max_active;
   opts.acoustic_scale = acoustic_scale;
   DecodeResult res;
-  if (!DecodeBestPath(fst, scores, num_frames, num_cols, ilabel_map,
+  auto idx = CachedIndex(&fst);
+  if (!DecodeBestPath(fst, *idx, scores, num_frames, num_cols, ilabel_map,
                       map_size, opts, &res))
     return -1;
   *num_words = (int64_t)res.words.size();
@@ -195,9 +237,10 @@ int ctcn_decode_best_path_batch(
   opts.acoustic_scale = acoustic_scale;
   std::vector<DecodeResult> results;
   std::vector<int> ok;
-  int n_ok = DecodeBestPathBatch(fst, scores, frame_offsets, num_utts,
-                                 num_cols, ilabel_map, map_size, opts,
-                                 &results, &ok, num_threads);
+  auto idx = CachedIndex(&fst);
+  int n_ok = DecodeBestPathBatch(fst, *idx, scores, frame_offsets,
+                                 num_utts, num_cols, ilabel_map, map_size,
+                                 opts, &results, &ok, num_threads);
   for (int64_t u = 0; u < num_utts; ++u) {
     const DecodeResult& r = results[u];
     num_words[u] = (int64_t)r.words.size();
@@ -226,7 +269,8 @@ void* ctcn_decode_lattice(void* fst_ptr, const float* scores,
   opts.acoustic_scale = acoustic_scale;
   opts.lattice_beam = lattice_beam;
   auto* lat = new RawLattice();
-  if (!DecodeLattice(fst, scores, num_frames, num_cols, ilabel_map,
+  auto idx = CachedIndex(&fst);
+  if (!DecodeLattice(fst, *idx, scores, num_frames, num_cols, ilabel_map,
                      map_size, opts, lat)) {
     delete lat;
     return nullptr;

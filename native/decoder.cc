@@ -242,6 +242,19 @@ int DecodeBestPathBatch(const Fst& fst, const float* scores,
                         int64_t map_size, const DecodeOptions& opts,
                         std::vector<DecodeResult>* results,
                         std::vector<int>* ok_flags, int num_threads) {
+  const DecodeIndex idx = BuildDecodeIndex(fst);  // shared, read-only
+  return DecodeBestPathBatch(fst, idx, scores, frame_offsets, num_utts,
+                             num_cols, ilabel_map, map_size, opts,
+                             results, ok_flags, num_threads);
+}
+
+int DecodeBestPathBatch(const Fst& fst, const DecodeIndex& idx,
+                        const float* scores,
+                        const int64_t* frame_offsets, int64_t num_utts,
+                        int64_t num_cols, const int32_t* ilabel_map,
+                        int64_t map_size, const DecodeOptions& opts,
+                        std::vector<DecodeResult>* results,
+                        std::vector<int>* ok_flags, int num_threads) {
   results->assign(num_utts, DecodeResult());
   std::vector<int>& ok = *ok_flags;
   ok.assign(num_utts, 0);
@@ -251,7 +264,6 @@ int DecodeBestPathBatch(const Fst& fst, const float* scores,
   }
   num_threads = (int)std::min<int64_t>(num_threads, num_utts);
 
-  const DecodeIndex idx = BuildDecodeIndex(fst);  // shared, read-only
   auto worker = [&](int tid) {
     for (int64_t u = tid; u < num_utts; u += num_threads) {
       int64_t lo = frame_offsets[u], hi = frame_offsets[u + 1];

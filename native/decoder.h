@@ -74,4 +74,13 @@ int DecodeBestPathBatch(const Fst& fst, const float* scores,
                         std::vector<DecodeResult>* results,
                         std::vector<int>* ok_flags, int num_threads);
 
+// As above with a prebuilt (shareable) arc index.
+int DecodeBestPathBatch(const Fst& fst, const DecodeIndex& idx,
+                        const float* scores,
+                        const int64_t* frame_offsets, int64_t num_utts,
+                        int64_t num_cols, const int32_t* ilabel_map,
+                        int64_t map_size, const DecodeOptions& opts,
+                        std::vector<DecodeResult>* results,
+                        std::vector<int>* ok_flags, int num_threads);
+
 }  // namespace ctc_native

@@ -133,6 +133,16 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
                    int64_t num_cols, const int32_t* ilabel_map,
                    int64_t map_size, const LatticeOptions& opts,
                    RawLattice* out) {
+  const DecodeIndex idx = BuildDecodeIndex(fst);
+  return DecodeLattice(fst, idx, scores, num_frames, num_cols,
+                       ilabel_map, map_size, opts, out);
+}
+
+bool DecodeLattice(const Fst& fst, const DecodeIndex& idx,
+                   const float* scores, int64_t num_frames,
+                   int64_t num_cols, const int32_t* ilabel_map,
+                   int64_t map_size, const LatticeOptions& opts,
+                   RawLattice* out) {
   if (fst.start < 0) return false;
   Builder b;
   StateMap cur(fst.NumStates());
@@ -140,7 +150,6 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
   std::deque<int32_t> queue;
   cur.Clear();
   next.Clear();
-  const DecodeIndex idx = BuildDecodeIndex(fst);
   int32_t t0 = b.NewToken(0);
   b.tokens[t0].alpha = 0.0f;
   cur.Put((int32_t)fst.start, t0);

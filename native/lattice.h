@@ -59,4 +59,11 @@ bool DecodeLattice(const Fst& fst, const float* scores, int64_t num_frames,
                    int64_t map_size, const LatticeOptions& opts,
                    RawLattice* out);
 
+// As above with a prebuilt (shareable) arc index.
+bool DecodeLattice(const Fst& fst, const DecodeIndex& idx,
+                   const float* scores, int64_t num_frames,
+                   int64_t num_cols, const int32_t* ilabel_map,
+                   int64_t map_size, const LatticeOptions& opts,
+                   RawLattice* out);
+
 }  // namespace ctc_native
