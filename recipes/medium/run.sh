@@ -35,7 +35,9 @@ minibatch_size=${minibatch_size:-48}
 fs_factor=${fs_factor:-3}
 lr_initial=${lr_initial:-1e-3}
 lr_final=${lr_final:-1e-4}
-realign_epochs=${realign_epochs:-20}   # exercise the realign loop
+# exercise the realign loop; realign_epochs= (set-but-empty) disables it
+# for the no-realign ablation, hence ${-} not ${:-}
+realign_epochs=${realign_epochs-20}
 
 # decode knobs (run_ctc_phone.sh:36-40)
 wfst_beam=${wfst_beam:-16}
@@ -56,8 +58,10 @@ export PYTHONPATH="$(cd ../.. && pwd)${PYTHONPATH:+:$PYTHONPATH}"
 pyrun() {
   local attempt rc
   for attempt in 1 2 3; do
+    # '&& rc=0 || rc=$?' keeps set -e from aborting the subshell on the
+    # very failure this loop exists to retry
     timeout -k 10 "${KCTPU_STAGE_TIMEOUT:-600}" \
-      python -m kaldi_ctc_tpu.cli.devwatch "$@"; rc=$?
+      python -m kaldi_ctc_tpu.cli.devwatch "$@" && rc=0 || rc=$?
     { [ "$rc" -ne 66 ] && [ "$rc" -ne 124 ]; } && return "$rc"
     echo "pyrun: stage wedged (rc=$rc, attempt $attempt); retrying in 15s" >&2
     sleep 15
