@@ -28,17 +28,16 @@ std::unordered_map<const Fst*,
                    std::shared_ptr<const DecodeIndex>> g_idx_cache;
 
 std::shared_ptr<const DecodeIndex> CachedIndex(const Fst* fst) {
-  {
-    std::lock_guard<std::mutex> lk(g_idx_mu);
-    auto it = g_idx_cache.find(fst);
-    if (it != g_idx_cache.end()) return it->second;
-  }
-  // build outside the lock (seconds on big graphs); a racing second
-  // builder just wastes one build, last insert wins
-  auto idx = std::make_shared<const DecodeIndex>(BuildDecodeIndex(*fst));
+  // Build under the lock: canonicalization mutates the arc array in
+  // place, so no concurrent first-decode may observe it mid-reorder.
+  // Happens once per graph; after that every lookup is a map hit.
   std::lock_guard<std::mutex> lk(g_idx_mu);
-  auto [it, inserted] = g_idx_cache.emplace(fst, idx);
-  return it->second;
+  auto it = g_idx_cache.find(fst);
+  if (it != g_idx_cache.end()) return it->second;
+  CanonicalizeEpsFirst(const_cast<Fst*>(fst));
+  auto idx = std::make_shared<const DecodeIndex>(BuildDecodeIndex(*fst));
+  g_idx_cache.emplace(fst, idx);
+  return idx;
 }
 
 void DropCachedIndex(const Fst* fst) {

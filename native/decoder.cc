@@ -119,20 +119,60 @@ void ProcessNonemitting(const Fst& fst, const DecodeIndex& idx,
 
 }  // namespace
 
+bool CanonicalizeEpsFirst(Fst* fst) {
+  const int64_t n = fst->NumStates();
+  bool moved = false;
+  std::vector<Arc> tmp;
+  for (int64_t s = 0; s < n; ++s) {
+    int64_t lo = fst->arc_offset[s], hi = fst->arc_offset[s + 1];
+    int64_t w = lo;
+    while (w < hi && fst->arcs[w].ilabel == 0) ++w;
+    bool ok = true;
+    for (int64_t i = w; i < hi; ++i)
+      if (fst->arcs[i].ilabel == 0) { ok = false; break; }
+    if (ok) continue;
+    tmp.assign(fst->arcs.begin() + lo, fst->arcs.begin() + hi);
+    int64_t o = lo;
+    for (const Arc& a : tmp) if (a.ilabel == 0) fst->arcs[o++] = a;
+    for (const Arc& a : tmp) if (a.ilabel != 0) fst->arcs[o++] = a;
+    moved = true;
+  }
+  return moved;
+}
+
 DecodeIndex BuildDecodeIndex(const Fst& fst) {
   DecodeIndex idx;
   const int64_t n = fst.NumStates();
   idx.eps_end.resize(n);
-  idx.arcs.resize(fst.arcs.size());
+  // pass 1: eps-first split points, and whether the layout is already
+  // canonical (it is after CanonicalizeEpsFirst, and usually anyway:
+  // the CTC transform emits the blank-twin epsilon arc first)
+  bool canonical = true;
+  for (int64_t s = 0; s < n; ++s) {
+    int64_t lo = fst.arc_offset[s], hi = fst.arc_offset[s + 1];
+    int64_t w = lo;
+    while (w < hi && fst.arcs[w].ilabel == 0) ++w;
+    idx.eps_end[s] = w;
+    for (int64_t i = w; i < hi && canonical; ++i)
+      if (fst.arcs[i].ilabel == 0) canonical = false;
+    if (!canonical) break;
+  }
+  if (canonical) {
+    idx.arcs = fst.arcs.data();
+    return idx;
+  }
+  // fallback: reordered copy (const input that is not eps-first)
+  idx.owned.resize(fst.arcs.size());
   for (int64_t s = 0; s < n; ++s) {
     int64_t lo = fst.arc_offset[s], hi = fst.arc_offset[s + 1];
     int64_t w = lo;
     for (int64_t i = lo; i < hi; ++i)
-      if (fst.arcs[i].ilabel == 0) idx.arcs[w++] = fst.arcs[i];
+      if (fst.arcs[i].ilabel == 0) idx.owned[w++] = fst.arcs[i];
     idx.eps_end[s] = w;
     for (int64_t i = lo; i < hi; ++i)
-      if (fst.arcs[i].ilabel != 0) idx.arcs[w++] = fst.arcs[i];
+      if (fst.arcs[i].ilabel != 0) idx.owned[w++] = fst.arcs[i];
   }
+  idx.arcs = idx.owned.data();
   return idx;
 }
 

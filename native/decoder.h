@@ -40,8 +40,19 @@ struct DecodeResult {
 // were branch-and-skip.  O(arcs) to build; share across a batch.
 struct DecodeIndex {
   std::vector<int64_t> eps_end;  // absolute index of first emitting arc
-  std::vector<Arc> arcs;         // fst.arcs, eps-first within each state
+  // Canonical eps-first arc view.  Usually points straight at fst.arcs
+  // (zero copy — on an 80M-arc graph the old always-copy design added
+  // 1.3 GB to the decode working set, which is what a bandwidth-bound
+  // decode streams); `owned` holds a reordered copy only when the FST
+  // was not already eps-first and could not be reordered in place.
+  const Arc* arcs = nullptr;
+  std::vector<Arc> owned;
 };
+
+// Stable-reorders each state's arcs eps-first IN PLACE and returns true
+// if anything moved.  Per-state arc order is semantically free, so this
+// is safe on any FST that is not being concurrently read.
+bool CanonicalizeEpsFirst(Fst* fst);
 
 DecodeIndex BuildDecodeIndex(const Fst& fst);
 
