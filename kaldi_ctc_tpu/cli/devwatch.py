@@ -29,6 +29,7 @@ import threading
 
 
 EXIT_DEVICE_HANG = 66
+EXIT_DEVICE_ERROR = 65
 
 
 def main(argv=None):
@@ -39,21 +40,37 @@ def main(argv=None):
         return 2
     timeout = float(os.environ.get("KCTPU_DEVICE_TIMEOUT", "120"))
 
-    ready = threading.Event()
+    done = threading.Event()
+    failure = []  # exception from the probe thread, if any
 
     def probe():
         # enumeration alone is not enough: a wedged remote runtime can
         # list devices fine and then hang on the first real operation,
-        # so the probe round-trips an actual tiny computation
-        import jax
-        import jax.numpy as jnp
-        jax.devices()
-        jnp.zeros((8,), jnp.float32).block_until_ready()
-        ready.set()
+        # so the probe round-trips an actual tiny computation.  A fast
+        # deterministic failure (ImportError, backend init error) must
+        # NOT be classified as a wedge — it would otherwise eat the full
+        # timeout and trigger pointless caller retries — so exceptions
+        # are stashed and reported as a distinct exit code immediately.
+        try:
+            import jax
+            import jax.numpy as jnp
+            jax.devices()
+            jnp.zeros((8,), jnp.float32).block_until_ready()
+        except BaseException as e:  # noqa: BLE001 - report, don't mask
+            failure.append(e)
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True, name="devwatch-probe")
     t.start()
-    if not ready.wait(timeout):
+    completed = done.wait(timeout)
+    if completed and failure:
+        print(f"devwatch: device probe failed deterministically "
+              f"({type(failure[0]).__name__}: {failure[0]}); exiting "
+              f"{EXIT_DEVICE_ERROR} (not a wedge — do not retry)",
+              file=sys.stderr, flush=True)
+        return EXIT_DEVICE_ERROR
+    if not completed:
         print(f"devwatch: jax.devices() did not complete within "
               f"{timeout:.0f}s — device acquisition is wedged; exiting "
               f"{EXIT_DEVICE_HANG} so the caller can retry",

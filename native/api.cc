@@ -28,13 +28,17 @@ std::unordered_map<const Fst*,
                    std::shared_ptr<const DecodeIndex>> g_idx_cache;
 
 std::shared_ptr<const DecodeIndex> CachedIndex(const Fst* fst) {
-  // Build under the lock: canonicalization mutates the arc array in
-  // place, so no concurrent first-decode may observe it mid-reorder.
-  // Happens once per graph; after that every lookup is a map hit.
+  // Build under the lock; happens once per graph, after that every
+  // lookup is a map hit.  The Fst is NOT mutated here: an in-place
+  // CanonicalizeEpsFirst through const_cast would race with concurrent
+  // reads (ctypes releases the GIL) and would make serialization depend
+  // on whether a decode happened first.  Graphs from the CTC transform
+  // are already eps-first (canonicalized at construction in
+  // ctcn_make_ctc_graph), so BuildDecodeIndex stays zero-copy for the
+  // common decode path; anything else pays a one-off reordered copy.
   std::lock_guard<std::mutex> lk(g_idx_mu);
   auto it = g_idx_cache.find(fst);
   if (it != g_idx_cache.end()) return it->second;
-  CanonicalizeEpsFirst(const_cast<Fst*>(fst));
   auto idx = std::make_shared<const DecodeIndex>(BuildDecodeIndex(*fst));
   g_idx_cache.emplace(fst, idx);
   return idx;
@@ -163,7 +167,12 @@ void* ctcn_add_self_loops(void* fst) {
 void* ctcn_make_ctc_graph(void* fst) {
   MutableFst m = MutableFst::FromCsr(*static_cast<Fst*>(fst));
   ShiftLabelsAndAddBlanks(&m);
-  return new Fst(m.ToCsr());
+  auto* out = new Fst(m.ToCsr());
+  // Eps-first arc order at construction (safe: freshly built, no other
+  // reader) so BuildDecodeIndex is zero-copy and serialization of the
+  // graph never depends on decode history.
+  CanonicalizeEpsFirst(out);
+  return out;
 }
 
 // Copy the FST out as flat arrays (inverse of ctcn_fst_from_arrays);

@@ -47,6 +47,15 @@ struct DecodeIndex {
   // was not already eps-first and could not be reordered in place.
   const Arc* arcs = nullptr;
   std::vector<Arc> owned;
+
+  // `arcs` may point into `owned`: a copy would duplicate the vector
+  // but alias the source's buffer (dangling once the source dies).
+  // Move keeps the pointer valid (vector move preserves data()).
+  DecodeIndex() = default;
+  DecodeIndex(const DecodeIndex&) = delete;
+  DecodeIndex& operator=(const DecodeIndex&) = delete;
+  DecodeIndex(DecodeIndex&&) = default;
+  DecodeIndex& operator=(DecodeIndex&&) = default;
 };
 
 // Stable-reorders each state's arcs eps-first IN PLACE and returns true

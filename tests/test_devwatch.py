@@ -44,6 +44,18 @@ def test_wedged_device_init_exits_66():
     assert "wedged" in r.stderr
 
 
+def test_deterministic_probe_failure_exits_65_fast():
+    # A hard backend error must NOT be classified as a wedge: it exits
+    # 65 (non-retryable) immediately instead of eating the full
+    # KCTPU_DEVICE_TIMEOUT and triggering pointless caller retries.
+    r = _run(["kaldi_ctc_tpu.cli.model_info", "--help"],
+             env_extra={"JAX_PLATFORMS": "no_such_backend",
+                        "KCTPU_DEVICE_TIMEOUT": "60"},
+             timeout=55)  # must come back well before the 60s "wedge"
+    assert r.returncode == 65
+    assert "not a wedge" in r.stderr
+
+
 def test_usage_error_without_module():
     r = _run([])
     assert r.returncode == 2
