@@ -41,7 +41,18 @@ SECONDS_PER_FRAME = 0.03  # 10 ms shift × frame_subsampling_factor 3
 # per-call overhead (a dev-harness artifact, not chip time) is < 2% of
 # the measurement: at ~12 ms/step, 40 steps ≈ 480 ms per dispatch.
 STEPS_PER_CALL = 40
-TIMED_CALLS = 3
+# Every mode times each dispatch separately and reports median + min/max
+# over TIMED_CALLS dispatches (round-3 verdict: single-run numbers made
+# a ~7% run-to-run spread indistinguishable from regressions).
+TIMED_CALLS = 5
+
+
+def _stats(samples):
+    """{median, min, max, n} over a list of per-call measurements."""
+    s = sorted(samples)
+    return {"median": s[len(s) // 2] if len(s) % 2 else
+            0.5 * (s[len(s) // 2 - 1] + s[len(s) // 2]),
+            "min": s[0], "max": s[-1], "n": len(s)}
 
 
 def _bench_cfg(tiny=False, ds2=False, bf16=False):
@@ -112,15 +123,15 @@ def _measure(devices, batch_per_chip=BATCH, tiny=False, ds2=False,
 
     state, loss = run_k(state, batch)   # warmup (compile)
     _ = float(loss)
-    t0 = time.perf_counter()
+    audio_s_per_call = b * frames * SECONDS_PER_FRAME * steps_per_call
+    samples = []
     for _ in range(timed_calls):
+        t0 = time.perf_counter()
         state, loss = run_k(state, batch)
         _ = float(loss)                 # sync point
-    elapsed = time.perf_counter() - t0
-
-    n_steps = steps_per_call * timed_calls
-    audio_s_per_step = b * frames * SECONDS_PER_FRAME
-    return audio_s_per_step * n_steps / elapsed / n_dev
+        samples.append(audio_s_per_call / (time.perf_counter() - t0)
+                       / n_dev)
+    return _stats(samples)
 
 
 REFERENCE_DECODE_RTF = 0.055 / 3.0  # README.md:51-54: "(0.05-0.06) /
@@ -402,6 +413,62 @@ def _decode_bench(vocab=20_000, utts=16, with_forward=False, seed=0):
     print(json.dumps(out))
 
 
+def _ctc_bench():
+    """CTC-loss micro-bench (fwd+bwd) at the flagship training shapes —
+    regenerates the README per-minibatch loss cost from the tree
+    (round-3 verdict missing #4; reference analogue: warp-ctc's
+    compute_ctc_loss per minibatch, ctc/ctc-nnet-update.cc:211-243).
+
+    K loss+grad evaluations are fused under one jit with a tiny
+    dependent update between them (so XLA cannot hoist the loop body),
+    making the tunnel's per-dispatch overhead negligible."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from kaldi_ctc_tpu.ops.ctc import ctc_loss
+
+    cfg = _flagship_cfg()
+    A, B, T, L = cfg.num_targets, BATCH, FRAMES, 70
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((B, T, A)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, A, (B, L)), jnp.int32)
+    ilens = jnp.full((B,), T, jnp.int32)
+    llens = jnp.full((B,), L, jnp.int32)
+    K = 50
+
+    @jax.jit
+    def run_k(logits):
+        def body(lg, _):
+            def f(x):
+                return jnp.sum(ctc_loss(x, labels, ilens, llens))
+            loss, g = jax.value_and_grad(f)(lg)
+            # real dependent update: prevents CSE/hoisting of the body
+            return lg - 1e-6 * g, loss
+        lg, losses = jax.lax.scan(body, logits, None, length=K)
+        return lg, losses[-1]
+
+    out = run_k(logits)
+    jax.block_until_ready(out)          # compile + warm
+    samples = []
+    for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
+        out = run_k(logits)
+        jax.block_until_ready(out)
+        samples.append((time.perf_counter() - t0) / K * 1e3)
+    st = _stats(samples)
+    print(json.dumps({
+        "metric": "ctc_loss_fwd_bwd_ms",
+        "value": round(st["median"], 3), "unit": "ms/minibatch",
+        "spread": {"min": round(st["min"], 3),
+                   "max": round(st["max"], 3)}, "n": st["n"],
+        "shapes": {"batch": B, "frames": T, "alphabet": A,
+                   "max_labels": L},
+        "device_kind": jax.devices()[0].device_kind,
+        "vs_baseline": None,
+    }))
+
+
 def _flag(name, default):
     if name in sys.argv:
         return int(sys.argv[sys.argv.index(name) + 1])
@@ -452,6 +519,10 @@ def main():
         jax.config.update("jax_num_cpu_devices", n)
     import jax
 
+    if "--ctc" in sys.argv:
+        _ctc_bench()
+        return
+
     ds2 = "--ds2" in sys.argv
     bf16 = "--bf16" in sys.argv
     if "--scaling" in sys.argv:
@@ -462,24 +533,32 @@ def main():
         print(json.dumps({
             "metric": "train_throughput_audio_seconds_per_second_per_chip"
                       + suffix,
-            "value": round(one, 2), "unit": "audio-s/s/chip",
+            "value": round(one["median"], 2), "unit": "audio-s/s/chip",
+            "spread": {"min": round(one["min"], 2),
+                       "max": round(one["max"], 2)}, "n": one["n"],
             "devices": 1,
-            "vs_baseline": round(one / BASELINE_AUDIO_S_PER_S_PER_CHIP,
-                                 3)}))
+            "vs_baseline": round(
+                one["median"] / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3)}))
         if len(devs) > 1:
             full = _measure(devs, tiny=tiny, ds2=ds2, bf16=bf16)
             print(json.dumps({
                 "metric":
                     "train_throughput_audio_seconds_per_second_per_chip"
                     + suffix,
-                "value": round(full, 2), "unit": "audio-s/s/chip",
+                "value": round(full["median"], 2),
+                "unit": "audio-s/s/chip",
+                "spread": {"min": round(full["min"], 2),
+                           "max": round(full["max"], 2)}, "n": full["n"],
                 "devices": len(devs),
-                "scaling_efficiency": round(full / one, 3),
+                "scaling_efficiency": round(
+                    full["median"] / one["median"], 3),
                 "vs_baseline": round(
-                    full / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3)}))
+                    full["median"] / BASELINE_AUDIO_S_PER_S_PER_CHIP,
+                    3)}))
         return
 
-    per_chip = _measure(jax.devices()[:1], ds2=ds2, bf16=bf16)
+    st = _measure(jax.devices()[:1], ds2=ds2, bf16=bf16)
+    per_chip = st["median"]
     # self-auditing roofline line: analytic matmul-path FLOPs → achieved
     # model FLOP/s and MFU vs the chip's MXU peak (VERDICT weak #4)
     cfg = _bench_cfg(ds2=ds2, bf16=bf16)
@@ -492,6 +571,8 @@ def main():
                   + ("_ds2" if ds2 else "") + ("_bf16" if bf16 else ""),
         "value": round(per_chip, 2),
         "unit": "audio-s/s/chip",
+        "spread": {"min": round(st["min"], 2), "max": round(st["max"], 2)},
+        "n": st["n"],
         "model_tflops_per_s": round(flops_per_s / 1e12, 1),
         "device_kind": kind,
         "vs_baseline": round(per_chip / BASELINE_AUDIO_S_PER_S_PER_CHIP, 3),
