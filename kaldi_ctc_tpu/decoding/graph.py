@@ -94,4 +94,11 @@ def build_tlg(
     t0 = tic()
     tlg = LG.add_self_loops().make_ctc_graph()
     rec("ctc", t0)
+    # BFS renumbering: isomorphic, but decode-critical for cache
+    # locality on big graphs (each blank twin lands next to its
+    # original instead of num_states away; active-set arc walks become
+    # near-sequential)
+    t0 = tic()
+    tlg = tlg.renumber_bfs()
+    rec("renumber", t0)
     return tlg, word_to_id, phone_to_id

@@ -112,7 +112,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
         ctypes.c_int]
     for name in ("ctcn_fst_minimize", "ctcn_fst_push_special",
-                 "ctcn_fst_connect"):
+                 "ctcn_fst_connect", "ctcn_fst_renumber_bfs"):
         getattr(lib, name).restype = ctypes.c_void_p
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.ctcn_fst_remove_disambig.restype = ctypes.c_void_p
@@ -294,6 +294,15 @@ class NativeFst:
         cleanup)."""
         return NativeFst(self._lib.ctcn_fst_remove_disambig(
             self._h, first_disambig))
+
+    def renumber_bfs(self) -> "NativeFst":
+        """BFS state renumbering from the start state (isomorphism).
+
+        Decode-critical on multi-GB graphs: beam-search active sets are
+        graph-local, so BFS-adjacent ids make the per-frame offset/arc
+        walks near-sequential; in particular each CTC blank twin moves
+        from id n0+s to the slot right after its original state."""
+        return NativeFst(self._lib.ctcn_fst_renumber_bfs(self._h))
 
     def connect(self) -> "NativeFst":
         """fstconnect: drop non-accessible/non-coaccessible states."""

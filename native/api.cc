@@ -156,6 +156,11 @@ void* ctcn_fst_connect(void* fst) {
   return new Fst(Connect(*static_cast<Fst*>(fst)));
 }
 
+// BFS state renumbering (decode-time memory locality; pure isomorphism).
+void* ctcn_fst_renumber_bfs(void* fst) {
+  return new Fst(RenumberBfs(*static_cast<Fst*>(fst)));
+}
+
 // add-self-loops --ctc=true (per-arc self-loop states, weight One).
 void* ctcn_add_self_loops(void* fst) {
   MutableFst m = MutableFst::FromCsr(*static_cast<Fst*>(fst));

@@ -1,5 +1,7 @@
 #include "decoder.h"
 
+#include "statemap.h"
+
 #include <algorithm>
 #include <cmath>
 #include <cstring>
@@ -21,49 +23,37 @@ struct BackPtr {
   int32_t olabel;
 };
 
-struct Token {
-  float cost = kInf;
+// Token store: open-addressing map sized to the active set (see
+// statemap.h for the design rationale and measurements).
+struct TokVal {
   int32_t bp = -1;
+  float cost = std::numeric_limits<float>::infinity();
+};
+using HashTokens = StateHashMap<TokVal>;
+
+// Per-thread reusable decode state: no O(num_states) allocation per
+// utterance (the old design's two dense TokenStores were the dominant
+// per-utterance setup cost AND working set on big graphs).
+struct DecodeScratch {
+  HashTokens cur, next;
+  std::vector<BackPtr> arena;
+  std::deque<int32_t> queue;
+  std::vector<float> cutoff_scratch;
+  // surviving states staged for the prefetched emitting pass
+  struct Surv {
+    float cost;
+    int32_t bp;
+    int64_t lo, hi;  // emitting arc range
+  };
+  std::vector<Surv> surv;
 };
 
-// Dense token store: per-state slots validated by an epoch stamp, plus a
-// list of active states.  Replaces the hash map on the hot path — O(1)
-// lookup with no hashing/allocation (the hash-list idea of Kaldi's
-// decoder taken to its dense limit; fine for CTC graph sizes where
-// 12 bytes/state of resident memory is cheap).
-class TokenStore {
- public:
-  explicit TokenStore(int64_t num_states)
-      : toks_(num_states), stamp_(num_states, -1), epoch_(0) {}
+DecodeScratch& TlsScratch() {
+  thread_local DecodeScratch scratch;
+  return scratch;
+}
 
-  void Clear() {
-    ++epoch_;
-    active_.clear();
-  }
-
-  bool Has(int32_t s) const { return stamp_[s] == epoch_; }
-
-  Token& Get(int32_t s) {            // inserts (fresh) if absent
-    if (stamp_[s] != epoch_) {
-      stamp_[s] = epoch_;
-      toks_[s] = Token();
-      active_.push_back(s);
-    }
-    return toks_[s];
-  }
-
-  const std::vector<int32_t>& Active() const { return active_; }
-  Token& At(int32_t s) { return toks_[s]; }
-  size_t Size() const { return active_.size(); }
-
- private:
-  std::vector<Token> toks_;
-  std::vector<int32_t> stamp_;
-  std::vector<int32_t> active_;
-  int32_t epoch_;
-};
-
-float GetCutoff(TokenStore& toks, const DecodeOptions& opts,
+float GetCutoff(const HashTokens& toks, const DecodeOptions& opts,
                 float best_cost, std::vector<float>* scratch) {
   // LatticeFasterDecoder::GetCutoff semantics: the beam sets the cutoff,
   // max_active tightens it when too many tokens survive, and min_active
@@ -72,7 +62,8 @@ float GetCutoff(TokenStore& toks, const DecodeOptions& opts,
   int64_t size = (int64_t)toks.Size();
   if (opts.max_active > 0 && size > (int64_t)opts.max_active) {
     scratch->clear();
-    for (int32_t s : toks.Active()) scratch->push_back(toks.At(s).cost);
+    for (int32_t i : toks.Slots())
+      scratch->push_back(toks.Slot(i).val.cost);
     std::nth_element(scratch->begin(),
                      scratch->begin() + opts.max_active - 1,
                      scratch->end());
@@ -82,7 +73,8 @@ float GetCutoff(TokenStore& toks, const DecodeOptions& opts,
   if (opts.min_active > 0) {
     if (size <= (int64_t)opts.min_active) return kInf;  // keep them all
     scratch->clear();
-    for (int32_t s : toks.Active()) scratch->push_back(toks.At(s).cost);
+    for (int32_t i : toks.Slots())
+      scratch->push_back(toks.Slot(i).val.cost);
     std::nth_element(scratch->begin(),
                      scratch->begin() + opts.min_active - 1,
                      scratch->end());
@@ -94,19 +86,20 @@ float GetCutoff(TokenStore& toks, const DecodeOptions& opts,
 
 void ProcessNonemitting(const Fst& fst, const DecodeIndex& idx,
                         float cutoff, std::vector<BackPtr>* arena,
-                        TokenStore* toks, std::deque<int32_t>* queue) {
-  queue->assign(toks->Active().begin(), toks->Active().end());
+                        HashTokens* toks, std::deque<int32_t>* queue) {
+  queue->clear();
+  for (int32_t i : toks->Slots()) queue->push_back(toks->Slot(i).key);
   while (!queue->empty()) {
     int32_t s = queue->front();
     queue->pop_front();
-    const Token tok = toks->At(s);
+    const TokVal tok = toks->At(s);
     if (tok.cost > cutoff) continue;
     const int64_t end = idx.eps_end[s];
     for (int64_t i = fst.arc_offset[s]; i < end; ++i) {
       const Arc& a = idx.arcs[i];
       float nc = tok.cost + a.weight;
       if (nc >= cutoff) continue;
-      Token& nt = toks->Get(a.nextstate);
+      TokVal& nt = toks->GetOrInsert(a.nextstate, TokVal());
       if (nc < nt.cost) {
         nt.cost = nc;
         arena->push_back({tok.bp, 0, a.olabel});
@@ -191,44 +184,76 @@ bool DecodeBestPath(const Fst& fst, const DecodeIndex& idx,
                     int64_t map_size, const DecodeOptions& opts,
                     DecodeResult* result) {
   if (fst.start < 0) return false;
-  std::vector<BackPtr> arena;
-  arena.reserve(1 << 16);
-  TokenStore cur(fst.NumStates());
-  TokenStore next(fst.NumStates());
-  std::deque<int32_t> queue;
-  std::vector<float> cutoff_scratch;
+  DecodeScratch& sc = TlsScratch();
+  HashTokens& cur = sc.cur;
+  HashTokens& next = sc.next;
+  std::vector<BackPtr>& arena = sc.arena;
+  arena.clear();
+  if (arena.capacity() < (1 << 16)) arena.reserve(1 << 16);
 
   cur.Clear();
-  cur.Get((int32_t)fst.start).cost = 0.0f;
-  ProcessNonemitting(fst, idx, opts.beam, &arena, &cur, &queue);
+  cur.GetOrInsert((int32_t)fst.start, TokVal()).cost = 0.0f;
+  ProcessNonemitting(fst, idx, opts.beam, &arena, &cur, &sc.queue);
 
   for (int64_t t = 0; t < num_frames; ++t) {
     const float* row = scores + t * num_cols;
     float best = kInf;
-    for (int32_t s : cur.Active()) best = std::min(best, cur.At(s).cost);
-    float cutoff = GetCutoff(cur, opts, best, &cutoff_scratch);
+    for (int32_t i : cur.Slots())
+      best = std::min(best, cur.Slot(i).val.cost);
+    float cutoff = GetCutoff(cur, opts, best, &sc.cutoff_scratch);
+
+    // Phase 1: collect surviving tokens + their emitting arc ranges,
+    // prefetching the per-state offset/eps rows a few states ahead —
+    // on multi-GB graphs these are random DRAM reads that otherwise
+    // serialize.
+    const std::vector<int32_t>& slots = cur.Slots();
+    const size_t n_act = slots.size();
+    sc.surv.clear();
+    constexpr size_t kPfState = 8;
+    for (size_t k = 0; k < n_act; ++k) {
+      if (k + kPfState < n_act) {
+        int32_t sp = cur.Slot(slots[k + kPfState]).key;
+        __builtin_prefetch(&fst.arc_offset[sp]);
+        __builtin_prefetch(&idx.eps_end[sp]);
+      }
+      const HashTokens::Entry& e = cur.Slot(slots[k]);
+      if (e.val.cost > cutoff) continue;
+      const int64_t lo = idx.eps_end[e.key];
+      const int64_t hi = fst.arc_offset[e.key + 1];
+      if (lo == hi) continue;
+      __builtin_prefetch(&idx.arcs[lo]);
+      sc.surv.push_back({e.val.cost, e.val.bp, lo, hi});
+    }
 
     next.Clear();
-    // adaptive beam: tighten the insertion cutoff as better next-frame
-    // tokens appear (LatticeFasterDecoder's ProcessEmitting idiom) —
-    // without this, wide beams insert huge numbers of doomed tokens
+    // Phase 2: expand.  Adaptive beam: tighten the insertion cutoff as
+    // better next-frame tokens appear (LatticeFasterDecoder's
+    // ProcessEmitting idiom) — without this, wide beams insert huge
+    // numbers of doomed tokens.  Prefetch the arc block of the survivor
+    // a few entries ahead (64-byte lines: 4 arcs each).
     float next_best = kInf, next_cutoff = kInf;
-    for (int32_t s : cur.Active()) {
-      const Token tok = cur.At(s);
-      if (tok.cost > cutoff) continue;
-      const int64_t hi = fst.arc_offset[s + 1];
-      for (int64_t i = idx.eps_end[s]; i < hi; ++i) {
+    constexpr size_t kPfArc = 3;
+    const size_t n_surv = sc.surv.size();
+    for (size_t k = 0; k < n_surv; ++k) {
+      if (k + kPfArc < n_surv) {
+        const auto& ahead = sc.surv[k + kPfArc];
+        __builtin_prefetch(&idx.arcs[ahead.lo]);
+        if (ahead.hi - ahead.lo > 4)
+          __builtin_prefetch(&idx.arcs[ahead.lo + 4]);
+      }
+      const auto& sv = sc.surv[k];
+      for (int64_t i = sv.lo; i < sv.hi; ++i) {
         const Arc& a = idx.arcs[i];   // emitting arcs only, by layout
         if (a.ilabel >= map_size) continue;
         int32_t col = ilabel_map[a.ilabel];
         if (col < 0 || col >= num_cols) continue;
         float acoustic = -opts.acoustic_scale * row[col];
-        float nc = tok.cost + a.weight + acoustic;
+        float nc = sv.cost + a.weight + acoustic;
         if (nc >= next_cutoff) continue;
-        Token& nt = next.Get(a.nextstate);
+        TokVal& nt = next.GetOrInsert(a.nextstate, TokVal());
         if (nc < nt.cost) {
           nt.cost = nc;
-          arena.push_back({tok.bp, a.ilabel, a.olabel});
+          arena.push_back({sv.bp, a.ilabel, a.olabel});
           nt.bp = (int32_t)arena.size() - 1;
           if (nc < next_best) {
             next_best = nc;
@@ -241,8 +266,8 @@ bool DecodeBestPath(const Fst& fst, const DecodeIndex& idx,
     // cap the epsilon closure by max_active too — eps fans (blank states,
     // LM backoffs, determinization chains) must not expand past the
     // survivor budget
-    float ne_cutoff = GetCutoff(next, opts, next_best, &cutoff_scratch);
-    ProcessNonemitting(fst, idx, ne_cutoff, &arena, &next, &queue);
+    float ne_cutoff = GetCutoff(next, opts, next_best, &sc.cutoff_scratch);
+    ProcessNonemitting(fst, idx, ne_cutoff, &arena, &next, &sc.queue);
     std::swap(cur, next);
   }
 
@@ -250,13 +275,13 @@ bool DecodeBestPath(const Fst& fst, const DecodeIndex& idx,
   // LatticeFasterDecoder: best token regardless of finality if none final)
   float best_final = kInf, best_any = kInf;
   int32_t bp_final = -1, bp_any = -1;
-  for (int32_t s : cur.Active()) {
-    const Token& tok = cur.At(s);
-    if (tok.cost < best_any) { best_any = tok.cost; bp_any = tok.bp; }
-    float fw = fst.final_weight[s];
-    if (fw != kInf && tok.cost + fw < best_final) {
-      best_final = tok.cost + fw;
-      bp_final = tok.bp;
+  for (int32_t i : cur.Slots()) {
+    const HashTokens::Entry& e = cur.Slot(i);
+    if (e.val.cost < best_any) { best_any = e.val.cost; bp_any = e.val.bp; }
+    float fw = fst.final_weight[e.key];
+    if (fw != kInf && e.val.cost + fw < best_final) {
+      best_final = e.val.cost + fw;
+      bp_final = e.val.bp;
     }
   }
   result->reached_final = bp_final != -1 || best_final != kInf;

@@ -344,4 +344,53 @@ Fst Connect(const Fst& f) {
   return out.ToCsr();
 }
 
+Fst RenumberBfs(const Fst& f) {
+  const int64_t n = f.NumStates();
+  Fst out;
+  if (f.start < 0 || n == 0) return out;
+  // BFS order from start; per-state arc order preserved, so with the
+  // canonical eps-first layout each blank twin (reached by the first,
+  // epsilon, arc) is numbered immediately after its original.
+  std::vector<int32_t> order;
+  order.reserve(n);
+  std::vector<int32_t> newid(n, -1);
+  newid[f.start] = 0;
+  order.push_back((int32_t)f.start);
+  for (size_t head = 0; head < order.size(); ++head) {
+    int32_t s = order[head];
+    for (int64_t i = f.arc_offset[s]; i < f.arc_offset[s + 1]; ++i) {
+      int32_t t = f.arcs[i].nextstate;
+      if (newid[t] < 0) {
+        newid[t] = (int32_t)order.size();
+        order.push_back(t);
+      }
+    }
+  }
+  for (int64_t s = 0; s < n; ++s)
+    if (newid[s] < 0) {
+      newid[s] = (int32_t)order.size();
+      order.push_back((int32_t)s);
+    }
+  // Rebuild CSR directly in the new order (no MutableFst round trip —
+  // this runs on multi-GB graphs).
+  out.start = newid[f.start];  // == 0
+  out.final_weight.resize(n);
+  out.arc_offset.resize(n + 1);
+  out.arcs.resize(f.arcs.size());
+  int64_t k = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t olds = order[i];
+    out.arc_offset[i] = k;
+    out.final_weight[i] = f.final_weight[olds];
+    for (int64_t j = f.arc_offset[olds]; j < f.arc_offset[olds + 1];
+         ++j, ++k) {
+      const Arc& a = f.arcs[j];
+      out.arcs[k] = Arc{a.ilabel, a.olabel, a.weight,
+                        newid[a.nextstate]};
+    }
+  }
+  out.arc_offset[n] = k;
+  return out;
+}
+
 }  // namespace ctc_native

@@ -76,6 +76,17 @@ void AddSelfLoops(MutableFst* fst);
 Fst Compose(const Fst& a, const Fst& b);
 Fst Connect(const Fst& f);
 
+// BFS state renumbering from the start state (unreachable states keep
+// their relative order at the end).  Pure isomorphism — weights, paths
+// and labels unchanged — but decode-critical for memory locality on
+// multi-GB graphs: beam-search active sets are graph-local, so placing
+// BFS-adjacent states at adjacent ids turns the per-frame offset/arc
+// walks from scattered DRAM reads into near-sequential ones.  In
+// particular the CTC transform appends every blank twin at id n0+s —
+// maximally far from its original; BFS puts each twin right next to
+// its source (the s --eps--> twin arc is the first arc discovered).
+Fst RenumberBfs(const Fst& f);
+
 // Graph-building algorithms (determinize.cc) — the native
 // fstdeterminizestar / fstminimizeencoded / fstpushspecial / fstrmsymbols
 // chain utils/mkgraph.sh runs on LG (mkgraph.sh:92-98).

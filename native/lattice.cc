@@ -1,6 +1,7 @@
 #include "lattice.h"
 
 #include "decoder.h"
+#include "statemap.h"
 
 #include <algorithm>
 #include <cmath>
@@ -44,39 +45,27 @@ struct Builder {
   }
 };
 
-// Dense state->token map with epoch stamping (same idea as the
-// best-path decoder's TokenStore: no hashing on the hot path).
-class StateMap {
- public:
-  explicit StateMap(int64_t num_states)
-      : tok_(num_states, -1), stamp_(num_states, -1), epoch_(0) {}
+// state -> token-id map sized to the active set (statemap.h): the
+// previous dense per-state map was two O(num_states) arrays allocated
+// per utterance — ~0.5 GB and a page-fault storm on a 33M-state TLG.
+using StateMap = StateHashMap<int32_t>;
 
-  void Clear() {
-    ++epoch_;
-    active_.clear();
-  }
-
-  bool Has(int32_t s) const { return stamp_[s] == epoch_; }
-
-  int32_t Get(int32_t s) const { return tok_[s]; }
-
-  void Put(int32_t s, int32_t tid) {
-    if (stamp_[s] != epoch_) {
-      stamp_[s] = epoch_;
-      active_.push_back(s);
-    }
-    tok_[s] = tid;
-  }
-
-  const std::vector<int32_t>& Active() const { return active_; }
-  size_t Size() const { return active_.size(); }
-
- private:
-  std::vector<int32_t> tok_;
-  std::vector<int32_t> stamp_;
-  std::vector<int32_t> active_;
-  int32_t epoch_;
+// Per-thread reusable search state (no O(num_states) work per call).
+struct LatScratch {
+  StateMap cur, next;
+  std::deque<int32_t> queue;
+  struct Surv {
+    int32_t tid;
+    float cost;
+    int64_t lo, hi;
+  };
+  std::vector<Surv> surv;
 };
+
+LatScratch& LatTls() {
+  thread_local LatScratch s;
+  return s;
+}
 
 float LatCutoff(const StateMap& m, const Builder& b,
                 const LatticeOptions& opts, float best) {
@@ -85,7 +74,7 @@ float LatCutoff(const StateMap& m, const Builder& b,
     return beam_cutoff;
   std::vector<float> costs;
   costs.reserve(m.Size());
-  for (int32_t s : m.Active()) costs.push_back(b.tokens[m.Get(s)].alpha);
+  for (int32_t i : m.Slots()) costs.push_back(b.tokens[m.Slot(i).val].alpha);
   std::nth_element(costs.begin(), costs.begin() + opts.max_active - 1,
                    costs.end());
   return std::min(beam_cutoff, costs[opts.max_active - 1]);
@@ -99,11 +88,12 @@ void LatProcessNonemitting(const Fst& fst, const DecodeIndex& idx,
                            float cutoff, int32_t frame,
                            Builder* b, StateMap* m,
                            std::deque<int32_t>* queue) {
-  queue->assign(m->Active().begin(), m->Active().end());
+  queue->clear();
+  for (int32_t i : m->Slots()) queue->push_back(m->Slot(i).key);
   while (!queue->empty()) {
     int32_t s = queue->front();
     queue->pop_front();
-    int32_t tid = m->Get(s);
+    int32_t tid = m->At(s);
     float cost = b->tokens[tid].alpha;
     if (cost > cutoff) continue;
     const int64_t end = idx.eps_end[s];
@@ -111,13 +101,10 @@ void LatProcessNonemitting(const Fst& fst, const DecodeIndex& idx,
       const Arc& a = idx.arcs[i];
       float nc = cost + a.weight;
       if (nc >= cutoff) continue;
-      int32_t nt;
-      if (!m->Has(a.nextstate)) {
-        nt = b->NewToken(frame);
-        m->Put(a.nextstate, nt);
-      } else {
-        nt = m->Get(a.nextstate);
-      }
+      bool ins;
+      int32_t& slot = m->GetOrInsert(a.nextstate, -1, &ins);
+      if (ins) slot = b->NewToken(frame);
+      int32_t nt = slot;
       b->links.push_back(LatLink{tid, nt, 0, a.olabel, a.weight, 0.0f});
       if (nc < b->tokens[nt].alpha) {
         b->tokens[nt].alpha = nc;
@@ -145,50 +132,77 @@ bool DecodeLattice(const Fst& fst, const DecodeIndex& idx,
                    RawLattice* out) {
   if (fst.start < 0) return false;
   Builder b;
-  StateMap cur(fst.NumStates());
-  StateMap next(fst.NumStates());
-  std::deque<int32_t> queue;
+  LatScratch& sc = LatTls();
+  StateMap& cur = sc.cur;
+  StateMap& next = sc.next;
+  std::deque<int32_t>& queue = sc.queue;
   cur.Clear();
   next.Clear();
   int32_t t0 = b.NewToken(0);
   b.tokens[t0].alpha = 0.0f;
-  cur.Put((int32_t)fst.start, t0);
+  cur.GetOrInsert((int32_t)fst.start, t0);
   LatProcessNonemitting(fst, idx, opts.beam, 0, &b, &cur, &queue);
 
   for (int64_t t = 0; t < num_frames; ++t) {
     const float* row = scores + t * num_cols;
     float best = kInf;
-    for (int32_t s : cur.Active())
-      best = std::min(best, b.tokens[cur.Get(s)].alpha);
+    for (int32_t i : cur.Slots())
+      best = std::min(best, b.tokens[cur.Slot(i).val].alpha);
     float cutoff = LatCutoff(cur, b, opts, best);
 
-    next.Clear();
-    // adaptive beam (ProcessEmitting idiom): links whose through-cost is
-    // already past best + beam can never survive the lattice-beam prune
-    // (lattice_beam <= beam), so don't record them
-    float next_best = kInf, next_cutoff = kInf;
-    for (int32_t s : cur.Active()) {
-      int32_t tid = cur.Get(s);
-      float cost = b.tokens[tid].alpha;
+    // Phase 1: surviving tokens + emitting arc ranges, prefetching the
+    // per-state offset rows ahead (same pattern as the best-path
+    // decoder; on multi-GB graphs these are random DRAM reads).
+    const std::vector<int32_t>& slots = cur.Slots();
+    const size_t n_act = slots.size();
+    sc.surv.clear();
+    constexpr size_t kPfState = 8;
+    for (size_t k = 0; k < n_act; ++k) {
+      if (k + kPfState < n_act) {
+        int32_t sp = cur.Slot(slots[k + kPfState]).key;
+        __builtin_prefetch(&fst.arc_offset[sp]);
+        __builtin_prefetch(&idx.eps_end[sp]);
+      }
+      const StateMap::Entry& e = cur.Slot(slots[k]);
+      float cost = b.tokens[e.val].alpha;
       if (cost > cutoff) continue;
-      const int64_t hi = fst.arc_offset[s + 1];
-      for (int64_t i = idx.eps_end[s]; i < hi; ++i) {
+      const int64_t lo = idx.eps_end[e.key];
+      const int64_t hi = fst.arc_offset[e.key + 1];
+      if (lo == hi) continue;
+      __builtin_prefetch(&idx.arcs[lo]);
+      sc.surv.push_back({e.val, cost, lo, hi});
+    }
+
+    next.Clear();
+    // Phase 2: expand.  Adaptive beam (ProcessEmitting idiom): links
+    // whose through-cost is already past best + beam can never survive
+    // the lattice-beam prune (lattice_beam <= beam), so don't record
+    // them.
+    float next_best = kInf, next_cutoff = kInf;
+    constexpr size_t kPfArc = 3;
+    const size_t n_surv = sc.surv.size();
+    for (size_t k = 0; k < n_surv; ++k) {
+      if (k + kPfArc < n_surv) {
+        const auto& ahead = sc.surv[k + kPfArc];
+        __builtin_prefetch(&idx.arcs[ahead.lo]);
+        if (ahead.hi - ahead.lo > 4)
+          __builtin_prefetch(&idx.arcs[ahead.lo + 4]);
+      }
+      const auto& sv = sc.surv[k];
+      for (int64_t i = sv.lo; i < sv.hi; ++i) {
         const Arc& a = idx.arcs[i];   // emitting arcs only, by layout
         if (a.ilabel >= map_size) continue;
         int32_t col = ilabel_map[a.ilabel];
         if (col < 0 || col >= num_cols) continue;
         float acoustic = -opts.acoustic_scale * row[col];
-        float nc = cost + a.weight + acoustic;
+        float nc = sv.cost + a.weight + acoustic;
         if (nc >= next_cutoff) continue;
-        int32_t nt;
-        if (!next.Has(a.nextstate)) {
-          nt = b.NewToken((int32_t)t + 1);
-          next.Put(a.nextstate, nt);
-        } else {
-          nt = next.Get(a.nextstate);
-        }
+        bool ins;
+        int32_t& slot = next.GetOrInsert(a.nextstate, -1, &ins);
+        if (ins) slot = b.NewToken((int32_t)t + 1);
+        int32_t nt = slot;
         b.links.push_back(
-            LatLink{tid, nt, a.ilabel, a.olabel, a.weight, acoustic});
+            LatLink{sv.tid, nt, a.ilabel, a.olabel, a.weight, acoustic});
         if (nc < b.tokens[nt].alpha) {
           b.tokens[nt].alpha = nc;
           if (nc < next_best) {
@@ -211,15 +225,16 @@ bool DecodeLattice(const Fst& fst, const DecodeIndex& idx,
   // use_final_probs=false fallback).
   std::vector<float> final_cost(b.tokens.size(), kInf);
   bool reached_final = false;
-  for (int32_t s : cur.Active()) {
-    float fw = fst.final_weight[s];
+  for (int32_t i : cur.Slots()) {
+    const StateMap::Entry& e = cur.Slot(i);
+    float fw = fst.final_weight[e.key];
     if (fw != kInf) {
-      final_cost[cur.Get(s)] = fw;
+      final_cost[e.val] = fw;
       reached_final = true;
     }
   }
   if (!reached_final)
-    for (int32_t s : cur.Active()) final_cost[cur.Get(s)] = 0.0f;
+    for (int32_t i : cur.Slots()) final_cost[cur.Slot(i).val] = 0.0f;
 
   // Exact alpha: the search kept Viterbi alpha, but link recording may
   // include links added before their source improved.  Recompute alpha by

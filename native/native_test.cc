@@ -115,6 +115,19 @@ void TestCtcTransformAndLattice() {
   assert(DecodeBestPath(g, scores.data(), 4, 3, map.data(), 4, dopts,
                         &res));
   assert(res.words.size() == 2 && res.words[0] == 1 && res.words[1] == 2);
+
+  // BFS renumbering is a pure isomorphism: identical words, alignment
+  // and total cost through the renumbered graph.
+  Fst rn = RenumberBfs(g);
+  assert(rn.NumStates() == g.NumStates());
+  assert(rn.NumArcs() == g.NumArcs());
+  assert(rn.start == 0);
+  DecodeResult res2;
+  assert(DecodeBestPath(rn, scores.data(), 4, 3, map.data(), 4, dopts,
+                        &res2));
+  assert(res2.words == res.words);
+  assert(res2.alignment == res.alignment);
+  assert(std::abs(res2.total_cost - res.total_cost) < 1e-5);
   std::printf("TestCtcTransformAndLattice ok\n");
 }
 
