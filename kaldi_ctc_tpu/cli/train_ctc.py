@@ -51,6 +51,13 @@ def parse_args(argv=None):
     p.add_argument("--splice-left", type=int, default=0,
                    help="input splice left context (SpliceComponent)")
     p.add_argument("--splice-right", type=int, default=0)
+    p.add_argument("--front-nonlin", default="relu",
+                   choices=["relu", "tanh", "sigmoid", "pnorm", "maxout"],
+                   help="front-layer nonlinearity (nnet2 nonlinear "
+                        "component family; pnorm/maxout reduce "
+                        "--front-group-sized groups)")
+    p.add_argument("--front-group", type=int, default=1,
+                   help="group size for pnorm/maxout front layers")
     p.add_argument("--front-affine-dim", type=int, default=0,
                    help="FT model type: Affine+ReLU+renorm front layer "
                         "width before the RNN stack (0 = google type)")
@@ -286,6 +293,8 @@ def main(argv=None):
                         splice_left=args.splice_left,
                         splice_right=args.splice_right,
                         front_affine_dim=args.front_affine_dim,
+                        front_nonlin=args.front_nonlin,
+                        front_group=args.front_group,
                         conv_layers=args.conv_layers,
                         conv_channels=args.conv_channels,
                         conv_time_stride=args.conv_time_stride)

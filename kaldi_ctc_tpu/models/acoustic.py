@@ -49,6 +49,18 @@ class AmConfig:
     # renormalize front layer of this width before the RNN stack
     # (AddAffRelNormLayer); 0 = 'google' (RNN-first)
     front_affine_dim: int = 0
+    # front-layer nonlinearity — the nnet2 nonlinear component family
+    # (nnet2/nnet-component.h): "relu" (RectifiedLinearComponent, the
+    # AddAffRelNormLayer default), "tanh" (TanhComponent), "sigmoid"
+    # (SigmoidComponent), "pnorm" (PnormComponent, p=2 over
+    # `front_group`-sized groups — Kaldi's Affine+Pnorm+Normalize
+    # idiom), "maxout" (MaxoutComponent, max over groups).  The RMS
+    # renormalize (NormalizeComponent) always follows, as in the
+    # reference's relu and pnorm recipes.
+    front_nonlin: str = "relu"
+    # group size for pnorm/maxout: the affine emits
+    # front_affine_dim * front_group, the nonlinearity reduces groups
+    front_group: int = 1
     # the 'DS2' model type — declared but unimplemented in the reference
     # (make_configs.py:121-122 offers google|DS2|FT; :294 asserts on DS2).
     # Implemented here as the Deep Speech 2 conv front end: conv_layers
@@ -105,6 +117,13 @@ class AmConfig:
         return self.input_dim * (1 + self.splice_left + self.splice_right)
 
     @property
+    def front_out_dim(self) -> int:
+        """Front affine output width: group-expanded for pnorm/maxout."""
+        group = (self.front_group
+                 if self.front_nonlin in ("pnorm", "maxout") else 1)
+        return self.front_affine_dim * group
+
+    @property
     def rnn(self) -> RnnConfig:
         if self.conv_layers and (self.splice_left or self.splice_right
                                  or self.front_affine_dim):
@@ -151,10 +170,13 @@ def init_am_params(key: jax.Array, cfg: AmConfig) -> Dict[str, Any]:
         "out_b": jnp.zeros((cfg.num_targets,), dtype=jnp.float32),
     }
     if cfg.front_affine_dim:
+        if cfg.front_nonlin not in ("relu", "tanh", "sigmoid", "pnorm",
+                                    "maxout"):
+            raise ValueError(f"unknown front_nonlin {cfg.front_nonlin!r}")
         params["front_w"] = cfg.param_stddev * jax.random.normal(
-            k_f, (cfg.spliced_dim, cfg.front_affine_dim),
+            k_f, (cfg.spliced_dim, cfg.front_out_dim),
             dtype=jnp.float32)
-        params["front_b"] = jnp.zeros((cfg.front_affine_dim,),
+        params["front_b"] = jnp.zeros((cfg.front_out_dim,),
                                       dtype=jnp.float32)
     if cfg.conv_layers:
         convs = []
@@ -286,8 +308,10 @@ def am_forward(
                 x, idx[..., None], axis=0))
         x = jnp.concatenate(parts, axis=-1)
     if cfg.front_affine_dim:
-        # FT front layer: Affine + ReLU + renormalize to unit RMS
-        # (AddAffRelNormLayer, make_configs.py:269-274)
+        # FT front layer: Affine + nonlinearity + renormalize to unit
+        # RMS (AddAffRelNormLayer, make_configs.py:269-274; pnorm/maxout
+        # follow Kaldi's Affine+Pnorm/Maxout+Normalize idiom,
+        # nnet2/nnet-component.h:411,514,555)
         cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if taps is not None:
             taps["front_in"] = x
@@ -296,7 +320,19 @@ def am_forward(
              + params["front_b"])
         if probes is not None and "front" in probes:
             h = h + probes["front"]
-        h = jax.nn.relu(h)
+        if cfg.front_nonlin == "relu":
+            h = jax.nn.relu(h)
+        elif cfg.front_nonlin == "tanh":
+            h = jnp.tanh(h)
+        elif cfg.front_nonlin == "sigmoid":
+            h = jax.nn.sigmoid(h)
+        else:  # pnorm / maxout: reduce front_group-sized groups
+            g = h.reshape(h.shape[:-1]
+                          + (cfg.front_affine_dim, cfg.front_group))
+            if cfg.front_nonlin == "pnorm":
+                h = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-20)
+            else:
+                h = jnp.max(g, axis=-1)
         rms = jnp.sqrt(jnp.mean(h * h, axis=-1, keepdims=True) + 1e-20)
         x = h / rms
     y = rnn_forward(params["rnn"], x, cfg.rnn, input_lens)

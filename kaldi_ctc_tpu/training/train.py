@@ -170,7 +170,7 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
                                       jnp.float32)
             if cfg.front_affine_dim:
                 probes["front"] = jnp.zeros(
-                    (t, b, cfg.front_affine_dim), jnp.float32)
+                    (t, b, cfg.front_out_dim), jnp.float32)
         (total, (losses, logits, taps)), (grads, pgrads) = \
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, probes, batch, dkey)
