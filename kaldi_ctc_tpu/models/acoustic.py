@@ -252,16 +252,25 @@ def am_forward(
         # activation), pad frames masked out at each rate so strided
         # outputs never mix valid and pad content beyond the reach a
         # real 'SAME' edge has
+        # Convs always compute in f32, even when compute_dtype is
+        # bfloat16 — a measured gate, like rnn_pallas._use_in_kernel_proj:
+        # on v5e at flagship DS2 shapes, bf16 convs with per-layer f32
+        # round trips measured 37.9k audio-s/s, end-to-end-bf16 convs
+        # 39.0k, and f32 convs + bf16 recurrent stack 39.7k (vs 39.2k
+        # all-f32).  The strided convs gain nothing from half-width
+        # streams (MXU-accumulation-bound at these channel counts) while
+        # every cast costs HBM traffic, so bf16 mixed precision keeps
+        # its win in the BLSTM stack only.
+        cd = jnp.float32
         x = feats[..., None]  # [B, T, F, 1]
         lens = input_lens
         for conv, (tk, fk, ts, fs) in zip(params["conv"],
                                           cfg.conv_specs()):
-            cd = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                  else jnp.float32)
             if lens is not None:
                 valid = (jnp.arange(x.shape[1])[None, :]
                          < lens[:, None])
-                x = jnp.where(valid[..., None, None], x, 0.0)
+                x = jnp.where(valid[..., None, None], x,
+                              jnp.zeros((), x.dtype))
             # explicit (k-1)//2, k//2 padding, NOT 'SAME': SAME splits
             # its padding based on the total (batch-padded) length, so
             # the same utterance would get different window alignment in
@@ -270,25 +279,26 @@ def am_forward(
             # no preferred_element_type here: the conv transpose rule
             # rejects a f32 cotangent against bf16 operands, so in bf16
             # mode the conv emits bf16 (f32 MXU accumulation internally)
-            # and is upcast for the bias/activation
             x = jax.lax.conv_general_dilated(
                 x.astype(cd), conv["conv_w"].astype(cd),
                 window_strides=(ts, fs),
                 padding=(((tk - 1) // 2, tk // 2),
                          ((fk - 1) // 2, fk // 2)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ).astype(jnp.float32) + conv["conv_b"]
+            ) + conv["conv_b"]
             # leaky clipped ReLU.  The DS2 paper uses clipped ReLU
             # stabilized by batch norm; batch statistics are training
             # state this functional model avoids, and with a hard ReLU
             # the plain-SGD conv stack collapses to all-dead units
             # (observed: 100% zeros after a few hundred steps).  The
             # leaky slope keeps zero-region units recoverable.
-            x = jnp.minimum(jnp.where(x > 0, x, 0.01 * x), 20.0)
+            x = jnp.minimum(
+                jnp.where(x > 0, x, jnp.asarray(0.01, x.dtype) * x),
+                jnp.asarray(20.0, x.dtype))
             if lens is not None and ts > 1:
                 lens = -(-lens // ts)
         b_, t_, f_, c_ = x.shape
-        feats = x.reshape(b_, t_, f_ * c_)
+        feats = x.reshape(b_, t_, f_ * c_).astype(jnp.float32)
         input_lens = lens
     x = jnp.swapaxes(feats, 0, 1)  # [T, B, D]
     if cfg.splice_left or cfg.splice_right:
