@@ -502,6 +502,158 @@ def _ctc_bench():
     }))
 
 
+def _serve_bench(n_streams=8, chunks_per_stream=25, port=18057):
+    """Serve-path latency bench (round-3 verdict do-this #8): starts the
+    real HTTP server (cli/serve.py) on the chip with a flagship-family
+    model, then drives N concurrent real-time-paced streaming clients
+    (one 200 ms chunk per pace tick each) plus full-utterance
+    /recognize calls, and reports p50/p95 chunk latency and end-to-end
+    utterance latency.  The reference has no serving layer (its online
+    decoders are library code only) — this measures the framework
+    value-add surface, README 'Serving'."""
+    import http.client
+    import tempfile
+    import threading
+    import time as _time
+
+    import jax
+
+    from kaldi_ctc_tpu.cli import serve as serve_mod
+
+    # fabricate a servable exp dir: flagship-family model, random params
+    tmp = tempfile.mkdtemp(prefix="kctpu_serve_bench_")
+    from __graft_entry__ import _flagship_cfg
+    from kaldi_ctc_tpu.models import init_am_params
+    from kaldi_ctc_tpu.training.checkpoint import save_checkpoint
+    from kaldi_ctc_tpu.training import init_train_state
+    import os
+
+    import dataclasses
+    # streaming requires a unidirectional model (a BLSTM's backward
+    # direction needs the whole utterance); this is the flagship
+    # streaming config — same depth/cell as the offline model
+    cfg = dataclasses.replace(_flagship_cfg(), bidirectional=False)
+    params = init_am_params(jax.random.PRNGKey(0), cfg)
+    with open(os.path.join(tmp, "model_config.json"), "w") as f:
+        json.dump(cfg.to_dict(), f)
+    os.makedirs(os.path.join(tmp, "checkpoints"), exist_ok=True)
+    save_checkpoint(os.path.join(tmp, "checkpoints"), 0,
+                    init_train_state(params))
+
+    args = serve_mod.parse_args([
+        "--dir", tmp, "--port", str(port), "--use-priors", "0",
+        "--max-streams", str(max(n_streams, 1)),
+    ])
+    engine = serve_mod.Engine(args)
+    httpd = serve_mod.ThreadingHTTPServer(
+        ("127.0.0.1", port), serve_mod.make_handler(engine))
+    t_serve = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t_serve.start()
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    chunk_s = 0.2                      # 20 frames @ 10 ms
+    chunk = (rng.standard_normal(int(sr * chunk_s))
+             * 3000).astype(np.int16).tobytes()
+    utt = (rng.standard_normal(int(sr * 7.0))
+           * 3000).astype(np.int16).tobytes()
+
+    def post(conn, path, body):
+        t0 = _time.perf_counter()
+        conn.request("POST", path, body=body)
+        resp = conn.getresponse()
+        data = resp.read()
+        assert resp.status == 200, (path, resp.status, data[:200])
+        return _time.perf_counter() - t0, json.loads(data)
+
+    # warm the compiled paths (first chunk/utterance compiles)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    _, st = post(conn, "/stream/start", b"")
+    post(conn, f"/stream/{st['slot']}/chunk", chunk)
+    post(conn, f"/stream/{st['slot']}/end", b"")
+    post(conn, "/recognize", utt)
+    conn.close()
+
+    chunk_lat = []
+    utt_lat = []
+    lock = threading.Lock()
+
+    def stream_client():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        _, st = post(conn, "/stream/start", b"")
+        slot = st["slot"]
+        lats = []
+        for _ in range(chunks_per_stream):
+            tick = _time.perf_counter()
+            dt, _r = post(conn, f"/stream/{slot}/chunk", chunk)
+            lats.append(dt)
+            # real-time pacing: next chunk arrives chunk_s after the
+            # previous one STARTED (like a live audio source)
+            sleep = chunk_s - (_time.perf_counter() - tick)
+            if sleep > 0:
+                _time.sleep(sleep)
+        post(conn, f"/stream/{slot}/end", b"")
+        conn.close()
+        with lock:
+            chunk_lat.extend(lats)
+
+    def utt_client(n):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        lats = []
+        for _ in range(n):
+            dt, _r = post(conn, "/recognize", utt)
+            lats.append(dt)
+        conn.close()
+        with lock:
+            utt_lat.extend(lats)
+
+    threads = [threading.Thread(target=stream_client)
+               for _ in range(n_streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # utterance latency measured separately (unloaded), then under the
+    # streaming load
+    utt_client(5)
+    unloaded = sorted(utt_lat)
+    utt_lat.clear()
+    threads = [threading.Thread(target=stream_client)
+               for _ in range(n_streams)]
+    for t in threads:
+        t.start()
+    utt_client(5)
+    for t in threads:
+        t.join()
+    loaded = sorted(utt_lat)
+    httpd.shutdown()
+
+    def pct(xs, p):
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(p / 100.0 * len(xs)))]
+
+    out = {
+        "metric": "serve_chunk_latency_p50_ms",
+        "value": round(pct(chunk_lat, 50) * 1e3, 1),
+        "unit": "ms",
+        "n_streams": n_streams,
+        "chunk_ms": int(chunk_s * 1e3),
+        "chunk_p95_ms": round(pct(chunk_lat, 95) * 1e3, 1),
+        "chunk_max_ms": round(max(chunk_lat) * 1e3, 1),
+        "n_chunks": len(chunk_lat),
+        "utt_s": 7.0,
+        "utt_latency_unloaded_p50_ms": round(pct(unloaded, 50) * 1e3, 1),
+        "utt_latency_under_streams_p50_ms": round(
+            pct(loaded, 50) * 1e3, 1),
+        "utt_latency_under_streams_p95_ms": round(
+            pct(loaded, 95) * 1e3, 1),
+        "realtime_ok": pct(chunk_lat, 95) < chunk_s,
+        "device_kind": jax.devices()[0].device_kind,
+        "vs_baseline": None,
+    }
+    print(json.dumps(out))
+
+
 _PEAK_HBM_GBS = {
     # HBM bandwidth per chip, GB/s (public TPU specs)
     "TPU v4": 1228.0, "TPU v5 lite": 819.0, "TPU v5e": 819.0,
@@ -698,6 +850,10 @@ def main():
 
     if "--roofline" in sys.argv:
         _roofline()
+        return
+
+    if "--serve" in sys.argv:
+        _serve_bench(n_streams=_flag("--streams", 8))
         return
 
     ds2 = "--ds2" in sys.argv
