@@ -78,6 +78,44 @@ void TestBatchMatchesSingle() {
   std::printf("TestBatchMatchesSingle ok\n");
 }
 
+void TestHashTokenGrowth() {
+  // A wide star graph whose active set (~40k states, beam/max_active
+  // wide open) far exceeds the token map's initial 16k-slot table:
+  // exercises StateHashMap::Grow() mid-frame plus the sparse Clear()
+  // path (statemap.h).  Decode result must be exact: only arcs with
+  // ilabel 1 score high, so the best path is deterministic.
+  const int32_t n_branch = 40000;
+  MutableFst m;
+  m.start = 0;
+  m.AddState();
+  for (int32_t i = 0; i < n_branch; ++i) {
+    int64_t s = m.AddState();
+    // label 1 on branch 7 (the winner), label 2 elsewhere
+    int32_t lab = (i == 7) ? 1 : 2;
+    m.AddArc(0, Arc{lab, i + 1, 0.0f, (int32_t)s});
+    m.final_weight[s] = 0.0f;
+  }
+  Fst fst = m.ToCsr();
+  std::vector<int32_t> map = {-1, 1, 2};
+  std::vector<float> scores = {0.0f, 10.0f, -10.0f};  // 1 frame, 3 cols
+  DecodeOptions opts;
+  opts.beam = 1e9f;        // keep everything
+  opts.max_active = n_branch + 1;
+  DecodeResult res;
+  assert(DecodeBestPath(fst, scores.data(), 1, 3, map.data(), 3, opts,
+                        &res));
+  assert(res.reached_final);
+  assert(res.words.size() == 1 && res.words[0] == 8);  // branch 7 -> olabel 8
+  // run again on the same (thread-local, now-grown) scratch: the
+  // sparse-clear path and table reuse must not leak stale tokens
+  DecodeResult res2;
+  assert(DecodeBestPath(fst, scores.data(), 1, 3, map.data(), 3, opts,
+                        &res2));
+  assert(res2.words == res.words);
+  assert(std::fabs(res2.total_cost - res.total_cost) < 1e-5f);
+  std::printf("TestHashTokenGrowth ok\n");
+}
+
 void TestCtcTransformAndLattice() {
   // word-loop graph, 2 words
   MutableFst m;
@@ -268,6 +306,7 @@ void TestDetLattice() {
 int main() {
   TestBestPath();
   TestBatchMatchesSingle();
+  TestHashTokenGrowth();
   TestCtcTransformAndLattice();
   TestComposeConnect();
   TestVectorFstRoundTrip();
