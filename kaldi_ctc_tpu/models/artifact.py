@@ -81,16 +81,19 @@ def load_acoustic_model(model: Optional[str] = None,
     import jax
 
     from kaldi_ctc_tpu.models.acoustic import AmConfig, init_am_params
-    from kaldi_ctc_tpu.training import init_train_state
     from kaldi_ctc_tpu.training.checkpoint import (
-        cfg_for_checkpoint, restore_checkpoint)
+        cfg_for_checkpoint, restore_params)
     with open(os.path.join(dir, "model_config.json")) as f:
         cfg = AmConfig.from_dict(json.load(f))
     cfg = cfg_for_checkpoint(os.path.join(dir, "checkpoints"), cfg,
                              step=step)
-    state = init_train_state(init_am_params(jax.random.PRNGKey(0), cfg))
-    state, meta = restore_checkpoint(os.path.join(dir, "checkpoints"),
-                                     state, step=step)
+    # params-only restore: inference must not need to reconstruct the
+    # training-state shape (a checkpoint written with --affine-type
+    # natural carries NG preconditioner leaves the decoder knows
+    # nothing about)
+    params, meta = restore_params(
+        os.path.join(dir, "checkpoints"),
+        init_am_params(jax.random.PRNGKey(0), cfg), step=step)
     ppath = os.path.join(dir, "priors.npy")
     priors = np.load(ppath) if os.path.exists(ppath) else None
-    return state.params, cfg, priors, meta
+    return params, cfg, priors, meta

@@ -44,6 +44,15 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
              **{f"leaf_{i}": l for i, l in enumerate(leaves)})
     meta = {"step": step, "num_leaves": len(leaves),
             "extra": extra or {}}
+    # Params-prefix contract for inference-time loaders: TrainState is a
+    # NamedTuple with `params` FIRST, and tree_flatten walks fields in
+    # order, so leaves [0, num_param_leaves) are exactly the params
+    # regardless of what optimizer/NG state follows.  Recording the
+    # count lets restore_params load a checkpoint whose training-state
+    # shape the loader does not know (e.g. NG-SGD preconditioner state).
+    if hasattr(state, "params"):
+        meta["num_param_leaves"] = len(
+            jax.tree_util.tree_leaves(state.params))
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
     if os.path.exists(final):
@@ -68,6 +77,42 @@ def restore_checkpoint(ckpt_dir: str, like: Any,
     state = jax.tree_util.tree_unflatten(
         treedef, [jax.numpy.asarray(l) for l in leaves])
     return state, meta
+
+
+def restore_params(ckpt_dir: str, params_like: Any,
+                   step: Optional[int] = None) -> Tuple[Any, Dict]:
+    """Restore ONLY the model params from a checkpoint, whatever
+    training state (momentum velocity, NG preconditioners, ...) was
+    saved alongside them.
+
+    Relies on the params-prefix contract (see save_checkpoint): the
+    first len(params_like) leaves are the params.  Verified against the
+    recorded ``num_param_leaves`` when the checkpoint has it; older
+    checkpoints without the field are accepted as long as they hold at
+    least that many leaves (their prefix is still the params for every
+    TrainState shape ever written)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    _, treedef = jax.tree_util.tree_flatten(params_like)
+    n = treedef.num_leaves
+    recorded = meta.get("num_param_leaves")
+    if recorded is not None and recorded != n:
+        raise ValueError(
+            f"checkpoint {path} has {recorded} param leaves, the model "
+            f"template expects {n} — config/checkpoint mismatch")
+    if meta["num_leaves"] < n:
+        raise ValueError(
+            f"checkpoint {path} holds only {meta['num_leaves']} leaves, "
+            f"params need {n}")
+    data = np.load(os.path.join(path, "arrays.npz"))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)])
+    return params, meta
 
 
 def read_meta(ckpt_dir: str, step: Optional[int] = None) -> Dict:
