@@ -8,6 +8,7 @@
 # arm 2.  Results: $work/ABLATION.md + per-run wer_ci.json.
 set -euo pipefail
 cd "$(dirname "$0")"
+export PYTHONPATH="$(cd ../.. && pwd)${PYTHONPATH:+:$PYTHONPATH}"
 work=${1:-/tmp/kctpu_hard}
 export work
 

@@ -140,12 +140,16 @@ def main(work):
                 continue
             b = by_key[("baseline", seed)]
             a = by_key[(arm, seed)]
-            be = per_utt_errors(ref_path,
-                                os.path.join(b["exp"],
-                                             "best_hyps.test.txt"))
-            ae = per_utt_errors(ref_path,
-                                os.path.join(a["exp"],
-                                             "best_hyps.test.txt"))
+            b_hyp = os.path.join(b["exp"], "best_hyps.test.txt")
+            a_hyp = os.path.join(a["exp"], "best_hyps.test.txt")
+            if not (os.path.exists(b_hyp) and os.path.exists(a_hyp)):
+                # an arm that failed to train has no hypotheses
+                print(f"| {arm} | {seed} | n/a | arm produced no "
+                      f"hypotheses | — |")
+                verdicts[arm] = "FAILED to train (see wer_ci.json note)"
+                continue
+            be = per_utt_errors(ref_path, b_hyp)
+            ae = per_utt_errors(ref_path, a_hyp)
             d, lo, hi = paired_delta(be, ae)
             sig = "yes" if (lo > 0 or hi < 0) else "no"
             deltas.append((d, lo, hi))
