@@ -326,6 +326,52 @@ def _bibwd_kernel(lens_ref, dyf_ref, xpf_ref, hpf_ref, cflast_ref, cpf_ref,
     dgb_ref[0] = dg.astype(dgb_ref.dtype)
 
 
+def _fwd_kernel_tb(lens_ref, xp_ref, wh_ref, y_ref, c_ref,
+                   h_scr, c_scr, *, nblk: int, bt: int, reverse: bool):
+    """Time-blocked forward cell: bt sequential steps per grid step.
+
+    The per-step kernels stream one [1, B, 4H] block (~250 KB at
+    flagship shapes) per grid step; measured on v5e, even a pure copy
+    at that granularity reaches only ~16% of HBM peak — the grid-step
+    DMA latency, not bandwidth, is the ceiling (BENCH roofline,
+    round 4).  Blocking bt steps per grid step moves bt× the data per
+    DMA while the recurrence stays sequential inside the kernel on
+    VMEM-resident data."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    blk = (nblk - 1 - step) if reverse else step
+
+    def body(j, carry):
+        h, c = carry
+        i = (bt - 1 - j) if reverse else j   # in-block visit order
+        t = blk * bt + i                     # global (forward) time
+        valid = lens_ref[:] > t
+        h, c, y = _lstm_cell_update(xp_ref[i], wh_ref, h, c, valid)
+        y_ref[i] = y.astype(y_ref.dtype)
+        c_ref[i] = c
+        return h, c
+
+    h, c = jax.lax.fori_loop(0, bt, body, (h_scr[:], c_scr[:]))
+    h_scr[:] = h
+    c_scr[:] = c
+
+
+def _time_block_spec(nblk: int, reverse: bool, bt: int, block_shape):
+    """BlockSpec over bt-step time blocks (block s ↦ time block
+    [blk*bt, (blk+1)*bt), walking from the end when reverse)."""
+    if reverse:
+        index = lambda s: (nblk - 1 - s,) + (0,) * (len(block_shape) - 1)
+    else:
+        index = lambda s: (s,) + (0,) * (len(block_shape) - 1)
+    return pl.BlockSpec((bt,) + tuple(block_shape[1:]), index,
+                        memory_space=pltpu.VMEM)
+
+
 def _time_spec(t_max: int, reverse: bool, block_shape):
     if reverse:
         index = lambda s: (t_max - 1 - s,) + (0,) * (len(block_shape) - 1)
@@ -365,7 +411,27 @@ def _prev_spec(t_max: int, walk_reverse: bool, fwd_reverse: bool,
                         memory_space=pltpu.VMEM)
 
 
-def lstm_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False):
+def _pick_block_t(t_max: int, b: int, h: int, dtype_bytes: int,
+                  block_t=None) -> int:
+    """Largest supported time block: divides t_max, caps VMEM use.
+
+    Streams per block ≈ (4H + 2H)·B·bt·bytes; keep the time-block
+    working set under ~4 MB so xp/y/c blocks plus weights and scratch
+    fit VMEM (16 MB) with double buffering."""
+    if block_t is not None:
+        return block_t if t_max % block_t == 0 else 1
+    budget = 4 * 1024 * 1024
+    per_step = 6 * h * b * dtype_bytes
+    best = 1
+    for bt in (32, 16, 8, 4, 2):
+        if t_max % bt == 0 and per_step * bt <= budget:
+            best = bt
+            break
+    return best
+
+
+def lstm_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False,
+                 block_t=None):
     """Forward LSTM over a full sequence.
 
     Args:
@@ -373,12 +439,44 @@ def lstm_seq_fwd(x_proj, w_h, lens, reverse=False, interpret=False):
       w_h: [H, 4H] recurrent weights.
       lens: [B] int32 valid lengths.
       reverse: process t = T-1..0 (backward BLSTM direction).
+      block_t: time steps per grid step (None = auto; see
+        _pick_block_t and the roofline note on _fwd_kernel_tb).
     Returns:
       (y [T,B,H], c_seq [T,B,H]) — y is the output, c_seq the cell-state
       residual for the backward pass (gates are recomputed there).
     """
     t_max, b, g4 = x_proj.shape
     h = g4 // 4
+    bt = _pick_block_t(t_max, b, h, x_proj.dtype.itemsize, block_t)
+    if bt > 1:
+        nblk = t_max // bt
+        kern = functools.partial(_fwd_kernel_tb, nblk=nblk, bt=bt,
+                                 reverse=reverse)
+        y, c_seq = pl.pallas_call(
+            kern,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((b, 1), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM),        # lens
+                _time_block_spec(nblk, reverse, bt, (1, b, g4)),  # x_proj
+                pl.BlockSpec((h, g4), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM),        # w_h
+            ],
+            out_specs=[
+                _time_block_spec(nblk, reverse, bt, (1, b, h)),   # y
+                _time_block_spec(nblk, reverse, bt, (1, b, h)),   # c_seq
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t_max, b, h), x_proj.dtype),
+                jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, h), jnp.float32),
+                pltpu.VMEM((b, h), jnp.float32),
+            ],
+            interpret=interpret,
+        )(lens.astype(jnp.float32)[:, None], x_proj, w_h)
+        return y, c_seq
     kern = functools.partial(_fwd_kernel, t_max=t_max, reverse=reverse)
     grid = (t_max,)
     y, c_seq = pl.pallas_call(
