@@ -27,6 +27,7 @@ import io
 import json
 import re
 import threading
+from contextlib import nullcontext as _nullcontext
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
@@ -160,11 +161,30 @@ class Engine:
     # ---- features ----
 
     def feats_for(self, samples: np.ndarray) -> np.ndarray:
+        # Feature extraction is pinned to the HOST cpu backend: the
+        # acoustic model owns the accelerator, and a 25 ms-class
+        # dispatch (or a multi-second stall on a remote-attached
+        # device) per 200 ms chunk of trivial DSP work would dominate
+        # chunk latency — measured on the tunneled dev chip,
+        # BENCH_SERVE.json.  Falls back to the default device when no
+        # cpu backend exists.
+        import jax
         import jax.numpy as jnp
-        f = np.asarray(self._compute(jnp.asarray(samples), self.fopts))
-        if self.cmvn_stats is not None:
-            from kaldi_ctc_tpu.features.cmvn import apply_cmvn
-            f = np.asarray(apply_cmvn(f, self.cmvn_stats))
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+        with ctx:
+            # implementation="xla": the Pallas fused STFT path is
+            # TPU-only, and 'auto' keys off the process-global backend,
+            # not the device this context pins
+            f = np.asarray(self._compute(jnp.asarray(samples), self.fopts,
+                                         implementation="xla"
+                                         if cpu is not None else "auto"))
+            if self.cmvn_stats is not None:
+                from kaldi_ctc_tpu.features.cmvn import apply_cmvn
+                f = np.asarray(apply_cmvn(f, self.cmvn_stats))
         return f.astype(np.float32)
 
     # ---- full utterance ----
