@@ -306,7 +306,12 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
     }
   }
 
-  std::vector<int32_t> labels_here;
+  struct LabArc {
+    int32_t label;
+    int32_t elem;
+    int64_t arc;
+  };
+  std::vector<LabArc> lab_arcs;
   while (!work.empty()) {
     int64_t id = work.front();
     work.pop_front();
@@ -338,45 +343,57 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
     }
     det.final_weight[id] = best_final;
 
-    // collect outgoing labels
-    labels_here.clear();
-    for (const Element& e : elems)
+    // One pass over the subset's arcs, bucketed by label.  The old
+    // shape (collect distinct labels, then RE-SCAN every element's full
+    // arc list per label) was O(distinct_labels × subset_arcs) per
+    // subset — on TLG-scale inputs with ~50 emitting labels that is a
+    // ~50× overscan of the dominant loop, and determinize-star was 96%
+    // of graph build time (BENCH_DECODE.json).  Sort order (label,
+    // element index, arc index) preserves the exact per-label visit
+    // order of the old code, so results are bit-identical.
+    lab_arcs.clear();
+    for (size_t ei = 0; ei < elems.size(); ++ei) {
+      const Element& e = elems[ei];
       for (int64_t i = in.arc_offset[e.state];
            i < in.arc_offset[e.state + 1]; ++i)
         if (in.arcs[i].ilabel != 0)
-          labels_here.push_back(in.arcs[i].ilabel);
-    std::sort(labels_here.begin(), labels_here.end());
-    labels_here.erase(
-        std::unique(labels_here.begin(), labels_here.end()),
-        labels_here.end());
+          lab_arcs.push_back(
+              LabArc{in.arcs[i].ilabel, (int32_t)ei, i});
+    }
+    std::sort(lab_arcs.begin(), lab_arcs.end(),
+              [](const LabArc& x, const LabArc& y) {
+                if (x.label != y.label) return x.label < y.label;
+                if (x.elem != y.elem) return x.elem < y.elem;
+                return x.arc < y.arc;
+              });
 
-    for (int32_t label : labels_here) {
+    for (size_t lo = 0; lo < lab_arcs.size();) {
+      const int32_t label = lab_arcs[lo].label;
+      size_t hi = lo;
+      while (hi < lab_arcs.size() && lab_arcs[hi].label == label) ++hi;
       std::unordered_map<int32_t, Element> next;
-      for (const Element& e : elems) {
-        for (int64_t i = in.arc_offset[e.state];
-             i < in.arc_offset[e.state + 1]; ++i) {
-          const Arc& a = in.arcs[i];
-          if (a.ilabel != label) continue;
-          float w2 = Quantize((double)e.w + a.weight);
-          int32_t str2 =
-              a.olabel ? repo.Append(e.str, a.olabel) : e.str;
-          auto it = next.find(a.nextstate);
-          bool take;
-          if (it == next.end()) {
-            take = true;
-          } else if (w2 < it->second.w) {
-            take = true;
-          } else if (w2 == it->second.w && str2 != it->second.str) {
-            if (!allow_nonfunctional) {
-              *err = kNonFunc;
-              return false;
-            }
-            take = StringLess(repo, str2, it->second.str, &tmp_a, &tmp_b);
-          } else {
-            take = false;
+      for (size_t k = lo; k < hi; ++k) {
+        const Element& e = elems[lab_arcs[k].elem];
+        const Arc& a = in.arcs[lab_arcs[k].arc];
+        float w2 = Quantize((double)e.w + a.weight);
+        int32_t str2 =
+            a.olabel ? repo.Append(e.str, a.olabel) : e.str;
+        auto it = next.find(a.nextstate);
+        bool take;
+        if (it == next.end()) {
+          take = true;
+        } else if (w2 < it->second.w) {
+          take = true;
+        } else if (w2 == it->second.w && str2 != it->second.str) {
+          if (!allow_nonfunctional) {
+            *err = kNonFunc;
+            return false;
           }
-          if (take) next[a.nextstate] = Element{a.nextstate, w2, str2};
+          take = StringLess(repo, str2, it->second.str, &tmp_a, &tmp_b);
+        } else {
+          take = false;
         }
+        if (take) next[a.nextstate] = Element{a.nextstate, w2, str2};
       }
       std::string cerr;
       if (!closure(&next, &cerr)) {
@@ -387,6 +404,7 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
       std::vector<int32_t> prefix;
       int64_t dst = intern_subset(&next, &cw, &prefix);
       emit_chain(id, label, cw, prefix, dst);
+      lo = hi;
     }
   }
 
