@@ -276,9 +276,6 @@ def am_forward(
             # the same utterance would get different window alignment in
             # different length buckets; this fixed split keeps
             # out = ceil(in/stride) with length-independent alignment
-            # no preferred_element_type here: the conv transpose rule
-            # rejects a f32 cotangent against bf16 operands, so in bf16
-            # mode the conv emits bf16 (f32 MXU accumulation internally)
             x = jax.lax.conv_general_dilated(
                 x.astype(cd), conv["conv_w"].astype(cd),
                 window_strides=(ts, fs),
@@ -345,6 +342,8 @@ def am_forward(
                 h = jnp.max(g, axis=-1)
         rms = jnp.sqrt(jnp.mean(h * h, axis=-1, keepdims=True) + 1e-20)
         x = h / rms
+        if taps is not None:
+            taps["front_out"] = x
     y = rnn_forward(params["rnn"], x, cfg.rnn, input_lens)
     if cfg.dropout > 0.0 and dropout_key is not None:
         keep = 1.0 - cfg.dropout

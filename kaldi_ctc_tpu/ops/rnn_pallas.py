@@ -415,13 +415,22 @@ def _pick_block_t(t_max: int, b: int, h: int, dtype_bytes: int,
                   block_t=None) -> int:
     """Largest supported time block: divides t_max, caps VMEM use.
 
-    Streams per block ≈ (4H + 2H)·B·bt·bytes; keep the time-block
-    working set under ~4 MB so xp/y/c blocks plus weights and scratch
-    fit VMEM (16 MB) with double buffering."""
+    Streams per block: xp [bt,B,4H] + y [bt,B,H] in the compute dtype,
+    plus c_seq [bt,B,H] which is ALWAYS f32 (the cell-state residual is
+    kept full precision even under bf16 compute) — so the per-step byte
+    count is B·H·(5·itemsize + 4).  Keep the time-block working set
+    under ~4 MB so xp/y/c blocks plus weights and scratch fit VMEM
+    (16 MB) with double buffering."""
     if block_t is not None:
-        return block_t if t_max % block_t == 0 else 1
+        if t_max % block_t == 0:
+            return block_t
+        import warnings
+        warnings.warn(
+            f"block_t={block_t} does not divide t_max={t_max}; "
+            f"falling back to block_t=1", stacklevel=3)
+        return 1
     budget = 4 * 1024 * 1024
-    per_step = 6 * h * b * dtype_bytes
+    per_step = b * h * (5 * dtype_bytes + 4)
     best = 1
     for bt in (32, 16, 8, 4, 2):
         if t_max % bt == 0 and per_step * bt <= budget:

@@ -188,7 +188,7 @@ def build_train_step(cfg: AmConfig, opts: TrainOptions):
                 gw, gb, s_in, s_out = ng_affine_update(
                     state.ng["front"]["in"], state.ng["front"]["out"],
                     xf.reshape(-1, xf.shape[-1]),
-                    pgrads["front"].reshape(-1, cfg.front_affine_dim),
+                    pgrads["front"].reshape(-1, cfg.front_out_dim),
                     ng_opts)
                 grads["front_w"], grads["front_b"] = gw, gb
                 new_ng["front"] = {"in": s_in, "out": s_out}

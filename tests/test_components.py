@@ -64,13 +64,17 @@ def test_pnorm_reduces_groups():
     b = np.arange(24, dtype=np.float32) / 10.0
     params = dict(params, front_w=jnp.asarray(w), front_b=jnp.asarray(b))
     feats = jnp.zeros((1, 3, 8), jnp.float32)
+    taps = {}
     logits = am_forward(params, feats, cfg,
-                        input_lens=jnp.full((1,), 3, jnp.int32))
+                        input_lens=jnp.full((1,), 3, jnp.int32),
+                        taps=taps)
     # with zero input the affine output is exactly b; pnorm groups of 2
     expected = np.sqrt((b.reshape(12, 2) ** 2).sum(-1) + 1e-20)
     expected = expected / np.sqrt((expected ** 2).mean() + 1e-20)
-    # reconstruct the front output by rerunning just the front math via
-    # a 1-layer model is overkill; instead check determinism + fin
+    front = np.asarray(taps["front_out"])  # [T, B, 12]
+    assert front.shape == (3, 1, 12)
+    np.testing.assert_allclose(front[0, 0], expected, rtol=1e-5)
+    np.testing.assert_allclose(front[2, 0], expected, rtol=1e-5)
     assert np.isfinite(np.asarray(logits)).all()
 
 
@@ -103,3 +107,39 @@ def test_maxout_learns_tiny_mapping():
         state, m = step(state, batch)
     last = float(m["loss_total"])
     assert np.isfinite(last) and last < first
+
+
+@pytest.mark.parametrize("nonlin", ["pnorm", "maxout"])
+def test_natural_gradient_with_grouped_front(nonlin):
+    """--affine-type natural composes with pnorm/maxout fronts.
+
+    Regression: the NG front update reshaped the probe gradient to
+    front_affine_dim, but the probe/affine output width is front_out_dim
+    (= front_affine_dim * front_group), crashing at trace time."""
+    import jax
+    import jax.numpy as jnp
+
+    from kaldi_ctc_tpu.models import init_am_params
+    from kaldi_ctc_tpu.training import (
+        TrainOptions, build_train_step, init_train_state)
+
+    cfg = _cfg(nonlin, group=2)
+    opts = TrainOptions(initial_learning_rate=0.02,
+                        final_learning_rate=0.02, num_steps=4,
+                        affine_type="natural", ng_rank_in=4, ng_rank_out=4)
+    params = init_am_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    b, t, lmax = 3, 10, 2
+    batch = {
+        "feats": jnp.asarray(rng.standard_normal((b, t, 8)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(1, 6, (b, lmax)), jnp.int32),
+        "input_lens": jnp.full((b,), t, jnp.int32),
+        "label_lens": jnp.full((b,), lmax, jnp.int32),
+    }
+    step = jax.jit(build_train_step(cfg, opts))
+    state = init_train_state(params, opts)
+    for _ in range(3):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss_total"]))
+    # the NG-updated front weight must keep its (spliced, out_dim) shape
+    assert state.params["front_w"].shape == (8, 24)
