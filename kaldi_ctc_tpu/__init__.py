@@ -49,14 +49,49 @@ if _plat and _plat != "axon":
 # per-bucket-shape compiles that a warm cache reduces to seconds, and a
 # stage retried by the wedge watchdog (devwatch) re-paid everything.
 # The cache is multi-process-safe by design (jax writes via temp+rename).
+
+
+def _host_cache_fingerprint(cpuinfo_text=None):
+    """Stable per-host-type tag for the default compile-cache dir.
+
+    XLA:CPU persists AOT artifacts specialized to the compiling host's
+    CPU features; loading one on a host with a different feature set is
+    at best a loader error ("Machine type used for XLA:CPU compilation
+    doesn't match the machine type for execution") and at worst SIGILL.
+    JAX's own cache key does not cover host CPU features, so scope the
+    *directory* by a hash of the CPU flags + ISA instead — a shared
+    $HOME across heterogeneous machines then gets one cache per machine
+    type rather than one poisoned cache.
+    """
+    import hashlib
+    import platform
+
+    if cpuinfo_text is None:
+        try:
+            with open("/proc/cpuinfo") as f:
+                cpuinfo_text = f.read()
+        except OSError:
+            cpuinfo_text = ""
+    flags = ""
+    for line in cpuinfo_text.splitlines():
+        # x86 "flags" / arm64 "Features" — first occurrence is the
+        # feature set AOT code specializes on
+        if line.startswith(("flags", "Features")):
+            flags = " ".join(sorted(line.split(":", 1)[-1].split()))
+            break
+    tag = f"{platform.machine()}:{flags}"
+    return hashlib.sha256(tag.encode()).hexdigest()[:12]
+
+
 if _os.environ.get("KCTPU_COMPILE_CACHE", "1") != "0":
     try:
         import jax as _jax2
 
-        _cache_dir = _os.environ.get(
-            "KCTPU_COMPILE_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache",
-                          "kaldi_ctc_tpu_xla"))
+        _cache_dir = _os.environ.get("KCTPU_COMPILE_CACHE_DIR")
+        if _cache_dir is None:
+            _cache_dir = _os.path.join(
+                _os.path.expanduser("~"), ".cache",
+                "kaldi_ctc_tpu_xla", _host_cache_fingerprint())
         _jax2.config.update("jax_compilation_cache_dir", _cache_dir)
         # cache everything that took meaningful compile time
         _jax2.config.update("jax_persistent_cache_min_compile_time_secs",
