@@ -40,31 +40,104 @@
 
 namespace ctc_native {
 
+#ifdef DETSTATS
+struct DetStats {
+  long long append = 0, strip = 0, strip_hit = 0, group_arcs = 0,
+            groups = 0, members_total = 0, closure_pops = 0,
+            closure_relax = 0, lcp_steps = 0, interns = 0;
+} g_detstats;
+#define DSTAT(x) (g_detstats.x)
+#else
+static inline long long& detstats_noop() { static long long v; return v; }
+#define DSTAT(x) (detstats_noop())
+#endif
+
 namespace {
 
+// Flat open-addressing int64 -> int32 map (linear probing).  Key 0 is
+// reserved as the empty sentinel — callers must never pass it.  Replaces
+// std::unordered_map on the determinizer's hottest lookup paths, where
+// the node-based map's per-find pointer chase dominated.
+class FlatMap64 {
+ public:
+  explicit FlatMap64(size_t cap = 1u << 16) : slots_(cap, Entry{0, 0}) {}
+
+  // Pointer to the value slot for `key`; *created says if it was new
+  // (value uninitialized in that case — caller must assign).
+  int32_t* FindOrInsert(int64_t key, bool* created) {
+    if ((used_ + 1) * 10 >= slots_.size() * 7) Grow();
+    size_t mask = slots_.size() - 1;
+    size_t i = Mix(key) & mask;
+    while (slots_[i].key != 0) {
+      if (slots_[i].key == key) {
+        *created = false;
+        return &slots_[i].val;
+      }
+      i = (i + 1) & mask;
+    }
+    slots_[i].key = key;
+    ++used_;
+    *created = true;
+    return &slots_[i].val;
+  }
+
+ private:
+  static size_t Mix(int64_t k) {
+    uint64_t h = (uint64_t)k * 0x9E3779B97F4A7C15ull;
+    return (size_t)(h ^ (h >> 29));
+  }
+
+  void Grow() {
+    std::vector<Entry> old;
+    old.swap(slots_);
+    slots_.assign(old.size() * 2, Entry{0, 0});
+    size_t mask = slots_.size() - 1;
+    for (const Entry& e : old) {
+      if (e.key == 0) continue;
+      size_t i = Mix(e.key) & mask;
+      while (slots_[i].key != 0) i = (i + 1) & mask;
+      slots_[i] = e;
+    }
+  }
+
+  struct Entry {
+    int64_t key;
+    int32_t val;
+  };
+  std::vector<Entry> slots_;
+  size_t used_ = 0;
+};
+
 // ---------------------------------------------------------------------------
-// Hash-consed output strings (suffix-shared chains; id 0 = empty string).
+// Hash-consed output strings (prefix-shared trie; id 0 = empty string).
+// Hash-consing is canonical: equal label sequences always intern to the
+// same id, so the trie supports O(len) longest-common-prefix (deepest
+// common ancestor) without expanding strings.
 // ---------------------------------------------------------------------------
 
 class StringRepo {
  public:
   // Append one label to the string `prefix`, returning the new id.
+  // Key never 0: label != 0 on every call path (epsilon olabels are
+  // filtered before Append; Expand never yields 0).
   int32_t Append(int32_t prefix, int32_t label) {
+    ++DSTAT(append);
     int64_t key = ((int64_t)prefix << 32) | (uint32_t)label;
-    auto it = intern_.find(key);
-    if (it != intern_.end()) return it->second;
-    nodes_.push_back({prefix, label});
-    int32_t id = (int32_t)nodes_.size();  // ids are 1-based; 0 = empty
-    intern_.emplace(key, id);
-    return id;
+    bool created;
+    int32_t* v = intern_.FindOrInsert(key, &created);
+    if (!created) return *v;
+    int32_t depth = prefix == 0 ? 1 : nodes_[prefix - 1].depth + 1;
+    nodes_.push_back({prefix, label, depth});
+    *v = (int32_t)nodes_.size();  // ids are 1-based; 0 = empty
+    return *v;
   }
 
   // Expand to front-to-back label vector.
   void Expand(int32_t id, std::vector<int32_t>* out) const {
     out->clear();
     while (id != 0) {
-      out->push_back(nodes_[id - 1].second);
-      id = nodes_[id - 1].first;
+      out->push_back(nodes_[id - 1].label);
+      id = nodes_[id - 1].prefix;
     }
     std::reverse(out->begin(), out->end());
   }
@@ -75,9 +148,60 @@ class StringRepo {
     return id;
   }
 
+  int32_t Depth(int32_t id) const {
+    return id == 0 ? 0 : nodes_[id - 1].depth;
+  }
+  int32_t Parent(int32_t id) const { return nodes_[id - 1].prefix; }
+  int32_t Label(int32_t id) const { return nodes_[id - 1].label; }
+
+  // Deepest common ancestor == longest common prefix of the two strings.
+  int32_t Lcp(int32_t a, int32_t b) const {
+    while (Depth(a) > Depth(b)) a = Parent(a);
+    while (Depth(b) > Depth(a)) b = Parent(b);
+    while (a != b) {
+      a = Parent(a);
+      b = Parent(b);
+    }
+    return a;
+  }
+
+  // Residual of `s` below its ancestor `p`, re-interned from the root.
+  // O(|residual|) on a miss — typically 0-2 labels even when the full
+  // strings are long — and O(1) via the memo table on repeats, which
+  // dominate: subsets recur, so the same (string, prefix) residuals are
+  // requested millions of times at TLG scale.
+  int32_t StripPrefix(int32_t s, int32_t p, std::vector<int32_t>* tmp) {
+    if (s == p) return 0;
+    ++DSTAT(strip);
+    // key never 0: s > 0 (s != p and p is an ancestor), so s<<32 != 0
+    int64_t key = ((int64_t)s << 32) | (uint32_t)p;
+    bool created;
+    int32_t* v = strip_memo_.FindOrInsert(key, &created);
+    if (!created) {
+      ++DSTAT(strip_hit);
+      return *v;
+    }
+    tmp->clear();
+    int32_t cur = s;
+    while (cur != p) {
+      tmp->push_back(Label(cur));
+      cur = Parent(cur);
+    }
+    int32_t id = 0;
+    for (size_t i = tmp->size(); i-- > 0;) id = Append(id, (*tmp)[i]);
+    // Append may grow strip_memo_?  No — Append only touches intern_;
+    // v stays valid.
+    *v = id;
+    return id;
+  }
+
  private:
-  std::vector<std::pair<int32_t, int32_t>> nodes_;  // (prefix_id, label)
-  std::unordered_map<int64_t, int32_t> intern_;
+  struct Node {
+    int32_t prefix, label, depth;
+  };
+  std::vector<Node> nodes_;
+  FlatMap64 intern_;
+  FlatMap64 strip_memo_;
 };
 
 struct Element {
@@ -103,76 +227,221 @@ bool StringLess(const StringRepo& repo, int32_t a, int32_t b,
   return *ta < *tb;
 }
 
-struct SubsetKey {
-  std::vector<int64_t> packed;  // per element: state, weight bits, str
-  bool operator==(const SubsetKey& o) const { return packed == o.packed; }
-};
+// Open-addressing intern table for canonical subsets.  Keys are spans of
+// packed int64 words ((state, weight-bits|string-id) per element) living
+// in one shared arena, so interning a subset costs zero allocations in
+// the steady state.  Replaces unordered_map<SubsetKey, id>, which
+// allocated a key vector + node per probe-and-insert and dominated the
+// determinizer's cache-miss profile at TLG scale.
+class SubsetTable {
+ public:
+  SubsetTable() : slots_(1u << 16) {}
 
-struct SubsetKeyHash {
-  size_t operator()(const SubsetKey& k) const {
-    size_t h = 1469598103934665603ull;
-    for (int64_t v : k.packed) {
-      h ^= (size_t)v;
+  // Returns the id of the subset `key[0:len]`, inserting it with id
+  // `new_id` if absent.  `*inserted` reports which happened.
+  int64_t FindOrInsert(const int64_t* key, int32_t len, int64_t new_id,
+                       bool* inserted) {
+    uint64_t h = Hash(key, len);
+    size_t mask = slots_.size() - 1;
+    size_t i = (size_t)h & mask;
+    while (slots_[i].id >= 0) {
+      const Slot& s = slots_[i];
+      if (s.hash == h && s.len == len &&
+          std::memcmp(pool_.data() + s.off, key,
+                      (size_t)len * sizeof(int64_t)) == 0) {
+        *inserted = false;
+        return s.id;
+      }
+      i = (i + 1) & mask;
+    }
+    int64_t off = (int64_t)pool_.size();
+    pool_.insert(pool_.end(), key, key + len);
+    slots_[i] = Slot{h, off, len, new_id};
+    *inserted = true;
+    if (++used_ * 10 >= slots_.size() * 7) Grow();
+    return new_id;
+  }
+
+  const int64_t* Pool() const { return pool_.data(); }
+  int64_t PoolSize() const { return (int64_t)pool_.size(); }
+
+ private:
+  struct Slot {
+    uint64_t hash;
+    int64_t off;
+    int32_t len;
+    int64_t id = -1;
+  };
+
+  static uint64_t Hash(const int64_t* p, int32_t len) {
+    uint64_t h = 1469598103934665603ull;
+    for (int32_t i = 0; i < len; ++i) {
+      h ^= (uint64_t)p[i];
       h *= 1099511628211ull;
     }
     return h;
   }
+
+  void Grow() {
+    std::vector<Slot> bigger(slots_.size() * 2);
+    size_t mask = bigger.size() - 1;
+    for (const Slot& s : slots_) {
+      if (s.id < 0) continue;
+      size_t i = (size_t)s.hash & mask;
+      while (bigger[i].id >= 0) i = (i + 1) & mask;
+      bigger[i] = s;
+    }
+    slots_.swap(bigger);
+  }
+
+  std::vector<int64_t> pool_;
+  std::vector<Slot> slots_;
+  size_t used_ = 0;
 };
 
 }  // namespace
 
 bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
                      int64_t max_states, bool allow_nonfunctional) {
+  // Subset determinization with input-epsilon removal, engineered for
+  // TLG-scale inputs (millions of subsets with hundreds of elements):
+  //  * dense epoch-stamped per-input-state scratch replaces the
+  //    per-label unordered_map<state, Element> (the old code spent
+  //    >40% of build time in hash-node churn: ~830M map ops at 5k
+  //    vocab);
+  //  * arcs are pre-split into eps/non-eps CSR and bucketed by label
+  //    with a counting pass instead of std::sort over every subset's
+  //    full arc list (another ~22%);
+  //  * normalization runs once per target subset (the old path
+  //    normalized twice: once for the key, once for storage) and uses
+  //    the string trie's O(len) LCP instead of expanding every
+  //    residual string;
+  //  * canonical subsets intern into one arena (SubsetTable) and the
+  //    output accumulates as flat (src, arc) pairs finished by a
+  //    stable counting sort — no vector-of-vectors MutableFst.
+  // Results are identical to the previous implementation: per-label
+  // visit order, tie-breaks, weight quantization, and state-allocation
+  // order are all preserved.
   const char* kNonFunc =
       "determinize-star: input is not functional (two paths with the "
       "same input sequence and weight produce different outputs); add "
       "lexicon disambiguation symbols, or allow_nonfunctional to keep "
       "the lexicographically smaller output";
-  MutableFst det;
   if (in.start < 0) {
-    *out = det.ToCsr();
+    *out = Fst{};
     return true;
   }
+  const int64_t n_in = in.NumStates();
   StringRepo repo;
-  std::vector<int32_t> tmp_a, tmp_b;
+  std::vector<int32_t> tmp_a, tmp_b, tmp_c, chain_buf;
 
-  // Epsilon closure of a weighted/string-weighted subset, merging per
-  // state by min weight (tropical).  `elems` is state->element map form.
-  auto closure = [&](std::unordered_map<int32_t, Element>* elems,
-                     std::string* cerr) -> bool {
-    std::deque<int32_t> queue;
-    for (auto& kv : *elems) queue.push_back(kv.first);
-    int64_t updates = 0;
-    const int64_t update_limit =
-        64 * (int64_t)(elems->size() + 16) * (in.NumStates() + 16);
-    while (!queue.empty()) {
-      int32_t s = queue.front();
-      queue.pop_front();
-      Element cur = (*elems)[s];
+  // --- split input arcs into eps / non-eps CSR (original order kept) --
+  std::vector<int64_t> eps_off(n_in + 1, 0), lab_off(n_in + 1, 0);
+  int32_t max_label = 0;
+  for (int64_t s = 0; s < n_in; ++s) {
+    for (int64_t i = in.arc_offset[s]; i < in.arc_offset[s + 1]; ++i) {
+      if (in.arcs[i].ilabel == 0) {
+        ++eps_off[s + 1];
+      } else {
+        ++lab_off[s + 1];
+        max_label = std::max(max_label, in.arcs[i].ilabel);
+      }
+    }
+  }
+  for (int64_t s = 0; s < n_in; ++s) {
+    eps_off[s + 1] += eps_off[s];
+    lab_off[s + 1] += lab_off[s];
+  }
+  std::vector<Arc> eps_arcs(eps_off[n_in]), lab_arcs(lab_off[n_in]);
+  {
+    std::vector<int64_t> ep = eps_off, lp = lab_off;
+    for (int64_t s = 0; s < n_in; ++s)
       for (int64_t i = in.arc_offset[s]; i < in.arc_offset[s + 1]; ++i) {
         const Arc& a = in.arcs[i];
-        if (a.ilabel != 0) continue;
-        float w2 = Quantize((double)cur.w + a.weight);
-        int32_t str2 =
-            a.olabel ? repo.Append(cur.str, a.olabel) : cur.str;
-        auto it = elems->find(a.nextstate);
+        if (a.ilabel == 0)
+          eps_arcs[ep[s]++] = a;
+        else
+          lab_arcs[lp[s]++] = a;
+      }
+  }
+
+  // --- dense per-input-state subset scratch (epoch-stamped) -----------
+  struct StSlot {
+    uint32_t epoch;
+    float w;
+    int32_t str;
+  };
+  std::vector<StSlot> st(n_in, StSlot{0, 0.0f, 0});
+  uint32_t epoch = 0;
+  auto next_epoch = [&]() {
+    if (++epoch == 0) {  // uint32 wraparound: invalidate all stamps
+      for (StSlot& s : st) s.epoch = 0;
+      epoch = 1;
+    }
+  };
+  std::vector<int32_t> members;   // input states of the subset in flight
+  std::vector<int32_t> queue;     // closure worklist (FIFO via qhead)
+
+  // --- det output: flat accumulation ----------------------------------
+  std::vector<float> det_final;
+  std::vector<int32_t> arc_src;
+  std::vector<Arc> arc_dat;
+  // (pool offset, element count) per det state; (-1,-1) for chain states
+  std::vector<std::pair<int64_t, int32_t>> sub_span;
+  auto add_state = [&]() -> int64_t {
+    det_final.push_back(Fst::kInfinity);
+    sub_span.emplace_back(-1, -1);
+    return (int64_t)det_final.size() - 1;
+  };
+  auto add_arc = [&](int64_t s, const Arc& a) {
+    arc_src.push_back((int32_t)s);
+    arc_dat.push_back(a);
+  };
+
+  SubsetTable table;
+  std::vector<int64_t> key_buf;
+  std::deque<int64_t> work;
+  int64_t superfinal = -1;
+
+  // --- epsilon closure over the dense subset ---------------------------
+  auto closure = [&](std::string* cerr) -> bool {
+    if (eps_arcs.empty()) return true;
+    queue.assign(members.begin(), members.end());
+    size_t qhead = 0;
+    int64_t updates = 0;
+    const int64_t update_limit =
+        64 * (int64_t)(members.size() + 16) * (n_in + 16);
+    while (qhead < queue.size()) {
+      ++DSTAT(closure_pops);
+      int32_t s = queue[qhead++];
+      float cw = st[s].w;
+      int32_t cstr = st[s].str;
+      for (int64_t i = eps_off[s]; i < eps_off[s + 1]; ++i) {
+        const Arc& a = eps_arcs[i];
+        float w2 = Quantize((double)cw + a.weight);
+        int32_t str2 = a.olabel ? repo.Append(cstr, a.olabel) : cstr;
+        int32_t t = a.nextstate;
         bool take;
-        if (it == elems->end()) {
+        if (st[t].epoch != epoch) {
+          st[t].epoch = epoch;
+          members.push_back(t);
           take = true;
-        } else if (w2 < it->second.w) {
+        } else if (w2 < st[t].w) {
           take = true;
-        } else if (w2 == it->second.w && str2 != it->second.str) {
+        } else if (w2 == st[t].w && str2 != st[t].str) {
           if (!allow_nonfunctional) {
             *cerr = kNonFunc;
             return false;
           }
-          take = StringLess(repo, str2, it->second.str, &tmp_a, &tmp_b);
+          take = StringLess(repo, str2, st[t].str, &tmp_a, &tmp_b);
         } else {
           take = false;
         }
         if (take) {
-          (*elems)[a.nextstate] = Element{a.nextstate, w2, str2};
-          queue.push_back(a.nextstate);
+          ++DSTAT(closure_relax);
+          st[t].w = w2;
+          st[t].str = str2;
+          queue.push_back(t);
           if (++updates > update_limit) {
             *cerr = "epsilon cycle detected in determinize-star input";
             return false;
@@ -183,86 +452,53 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
     return true;
   };
 
-  // Normalize a subset: subtract the min weight, strip the common output
-  // prefix.  Returns (key, common weight, common prefix labels).
-  auto normalize = [&](std::unordered_map<int32_t, Element>* elems,
-                       SubsetKey* key, float* common_w,
-                       std::vector<int32_t>* prefix) {
-    std::vector<Element> v;
-    v.reserve(elems->size());
-    for (auto& kv : *elems) v.push_back(kv.second);
-    std::sort(v.begin(), v.end(),
-              [](const Element& a, const Element& b) {
-                return a.state < b.state;
-              });
-    float wmin = v[0].w;
-    for (const Element& e : v) wmin = std::min(wmin, e.w);
-    // common prefix across all residual strings
-    repo.Expand(v[0].str, prefix);
-    std::vector<int32_t> other;
-    for (size_t i = 1; i < v.size() && !prefix->empty(); ++i) {
-      repo.Expand(v[i].str, &other);
-      size_t n = 0;
-      while (n < prefix->size() && n < other.size() &&
-             (*prefix)[n] == other[n])
-        ++n;
-      prefix->resize(n);
-    }
-    key->packed.clear();
-    for (Element& e : v) {
-      e.w = Quantize((double)e.w - wmin);
-      if (!prefix->empty()) {
-        repo.Expand(e.str, &other);
-        other.erase(other.begin(), other.begin() + prefix->size());
-        e.str = repo.FromVector(other);
+  // Normalize the subset in `members`/dense scratch (subtract min
+  // weight, strip the common output prefix), intern it, and return the
+  // det state id.  `*common_w` and `*prefix_id` receive the stripped
+  // weight/prefix for the incoming arc.
+  auto intern_subset = [&](float* common_w, int32_t* prefix_id) -> int64_t {
+    ++DSTAT(interns);
+    DSTAT(members_total) += (long long)members.size();
+    std::sort(members.begin(), members.end());
+    float wmin = st[members[0]].w;
+    for (int32_t m : members) wmin = std::min(wmin, st[m].w);
+    int32_t p = st[members[0]].str;
+    bool all_same = true;
+    for (size_t i = 1; i < members.size(); ++i)
+      if (st[members[i]].str != p) {
+        all_same = false;
+        break;
       }
+    if (!all_same) {
+      for (size_t i = 1; i < members.size() && p != 0; ++i)
+        p = repo.Lcp(p, st[members[i]].str);
+    }
+    key_buf.clear();
+    for (int32_t m : members) {
+      float wq = Quantize((double)st[m].w - wmin);
+      int32_t str = all_same ? 0
+                    : p == 0 ? st[m].str
+                             : repo.StripPrefix(st[m].str, p, &tmp_c);
       uint32_t wb;
-      std::memcpy(&wb, &e.w, 4);
-      key->packed.push_back(e.state);
-      key->packed.push_back(((int64_t)wb << 32) | (uint32_t)e.str);
+      std::memcpy(&wb, &wq, 4);
+      key_buf.push_back(m);
+      key_buf.push_back(((int64_t)wb << 32) | (uint32_t)str);
+    }
+    bool inserted;
+    int64_t pool_before = table.PoolSize();
+    int64_t id = table.FindOrInsert(key_buf.data(),
+                                    (int32_t)key_buf.size(),
+                                    (int64_t)det_final.size(), &inserted);
+    if (inserted) {
+      add_state();
+      sub_span[id] = {pool_before, (int32_t)key_buf.size()};
+      work.push_back(id);
     }
     *common_w = wmin;
-  };
-
-  std::unordered_map<SubsetKey, int64_t, SubsetKeyHash> subset_id;
-  // residual elements per det state (chain/superfinal states — which are
-  // also AddState()-allocated — have no entry and are never on `work`)
-  std::unordered_map<int64_t, std::vector<Element>> subsets;
-  std::deque<int64_t> work;
-  int64_t superfinal = -1;
-
-  auto intern_subset = [&](std::unordered_map<int32_t, Element>* elems,
-                           float* common_w,
-                           std::vector<int32_t>* prefix) -> int64_t {
-    SubsetKey key;
-    normalize(elems, &key, common_w, prefix);
-    auto it = subset_id.find(key);
-    if (it != subset_id.end()) return it->second;
-    int64_t id = det.AddState();
-    subset_id.emplace(std::move(key), id);
-    std::vector<Element> v;
-    for (auto& kv : *elems) v.push_back(kv.second);
-    std::sort(v.begin(), v.end(),
-              [](const Element& a, const Element& b) {
-                return a.state < b.state;
-              });
-    // re-apply normalization to the stored elements (normalize edited the
-    // key copies; redo on v)
-    float wmin = v[0].w;
-    for (const Element& e : v) wmin = std::min(wmin, e.w);
-    std::vector<int32_t> full, rest;
-    for (Element& e : v) {
-      e.w = Quantize((double)e.w - wmin);
-      if (!prefix->empty()) {
-        repo.Expand(e.str, &full);
-        rest.assign(full.begin() + prefix->size(), full.end());
-        e.str = repo.FromVector(rest);
-      }
-    }
-    subsets.emplace(id, std::move(v));
-    work.push_back(id);
+    *prefix_id = p;
     return id;
   };
+
 
   // Emit an output-label chain from `src`: first arc carries (ilabel, w),
   // subsequent labels ride input-epsilon arcs; the chain ends at `dst`.
@@ -270,63 +506,88 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
                         const std::vector<int32_t>& labels, int64_t dst) {
     int64_t cur = src;
     if (labels.empty()) {
-      det.AddArc(cur, Arc{ilabel, 0, w, (int32_t)dst});
+      add_arc(cur, Arc{ilabel, 0, w, (int32_t)dst});
       return;
     }
     for (size_t i = 0; i < labels.size(); ++i) {
       bool last = i + 1 == labels.size();
-      int64_t nxt = last ? dst : det.AddState();
-      det.AddArc(cur, Arc{i == 0 ? ilabel : 0, labels[i],
-                          i == 0 ? w : 0.0f, (int32_t)nxt});
+      int64_t nxt = last ? dst : add_state();
+      add_arc(cur, Arc{i == 0 ? ilabel : 0, labels[i],
+                       i == 0 ? w : 0.0f, (int32_t)nxt});
       cur = nxt;
     }
   };
 
+  int64_t det_start;
   // start subset
   {
-    std::unordered_map<int32_t, Element> elems;
-    elems.emplace((int32_t)in.start,
-                  Element{(int32_t)in.start, 0.0f, 0});
+    next_epoch();
+    members.clear();
+    int32_t s0 = (int32_t)in.start;
+    st[s0].epoch = epoch;
+    st[s0].w = 0.0f;
+    st[s0].str = 0;
+    members.push_back(s0);
     std::string cerr;
-    if (!closure(&elems, &cerr)) {
+    if (!closure(&cerr)) {
       *err = cerr;
       return false;
     }
     float cw;
-    std::vector<int32_t> prefix;
-    int64_t id = intern_subset(&elems, &cw, &prefix);
+    int32_t prefix;
+    int64_t id = intern_subset(&cw, &prefix);
     // A common weight/prefix on the start subset cannot be attached to an
     // incoming arc; re-add it via an auxiliary start state if nonzero.
-    if (cw != 0.0f || !prefix.empty()) {
-      int64_t real_start = det.AddState();
-      emit_chain(real_start, 0, cw, prefix, id);
-      det.start = real_start;
+    if (cw != 0.0f || prefix != 0) {
+      int64_t real_start = add_state();
+      repo.Expand(prefix, &chain_buf);
+      emit_chain(real_start, 0, cw, chain_buf, id);
+      det_start = real_start;
     } else {
-      det.start = id;
+      det_start = id;
     }
   }
 
-  struct LabArc {
-    int32_t label;
+  // label-bucketing scratch (stable counting sort by ilabel)
+  std::vector<int32_t> lab_count(max_label + 1, 0);
+  std::vector<int32_t> lab_pos(max_label + 1, 0);
+  std::vector<int32_t> touched;
+  struct GroupArc {
     int32_t elem;
     int64_t arc;
   };
-  std::vector<LabArc> lab_arcs;
+  std::vector<GroupArc> grouped;
+  std::vector<Element> cur_elems;
+
   while (!work.empty()) {
     int64_t id = work.front();
     work.pop_front();
-    if (det.NumStates() > max_states) {
+    if ((int64_t)det_final.size() > max_states) {
       *err = "determinize-star exceeded max states (" +
              std::to_string(max_states) +
              "): input is likely not determinizable; add lexicon "
              "disambiguation symbols";
       return false;
     }
-    std::vector<Element> elems = subsets[id];  // copy: det grows
+    // unpack the subset from the intern pool (sorted by state)
+    {
+      int64_t off = sub_span[id].first;
+      int32_t len = sub_span[id].second;
+      cur_elems.clear();
+      const int64_t* p = table.Pool() + off;
+      for (int32_t i = 0; i < len; i += 2) {
+        Element e;
+        e.state = (int32_t)p[i];
+        uint32_t wb = (uint32_t)((uint64_t)p[i + 1] >> 32);
+        std::memcpy(&e.w, &wb, 4);
+        e.str = (int32_t)(uint32_t)((uint64_t)p[i + 1] & 0xffffffffu);
+        cur_elems.push_back(e);
+      }
+    }
 
     // final handling
     float best_final = Fst::kInfinity;
-    for (const Element& e : elems) {
+    for (const Element& e : cur_elems) {
       float f = in.final_weight[e.state];
       if (f == Fst::kInfinity) continue;
       float total = Quantize((double)e.w + f);
@@ -334,83 +595,105 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
         best_final = std::min(best_final, total);
       } else {
         if (superfinal < 0) {
-          superfinal = det.AddState();
-          det.final_weight[superfinal] = 0.0f;
+          superfinal = add_state();
+          det_final[superfinal] = 0.0f;
         }
-        repo.Expand(e.str, &tmp_a);
-        emit_chain(id, 0, total, tmp_a, superfinal);
+        repo.Expand(e.str, &chain_buf);
+        emit_chain(id, 0, total, chain_buf, superfinal);
       }
     }
-    det.final_weight[id] = best_final;
+    det_final[id] = best_final;
 
-    // One pass over the subset's arcs, bucketed by label.  The old
-    // shape (collect distinct labels, then RE-SCAN every element's full
-    // arc list per label) was O(distinct_labels × subset_arcs) per
-    // subset — on TLG-scale inputs with ~50 emitting labels that is a
-    // ~50× overscan of the dominant loop, and determinize-star was 96%
-    // of graph build time (BENCH_DECODE.json).  Sort order (label,
-    // element index, arc index) preserves the exact per-label visit
-    // order of the old code, so results are bit-identical.
-    lab_arcs.clear();
-    for (size_t ei = 0; ei < elems.size(); ++ei) {
-      const Element& e = elems[ei];
-      for (int64_t i = in.arc_offset[e.state];
-           i < in.arc_offset[e.state + 1]; ++i)
-        if (in.arcs[i].ilabel != 0)
-          lab_arcs.push_back(
-              LabArc{in.arcs[i].ilabel, (int32_t)ei, i});
+    // Bucket the subset's non-eps arcs by label: a stable counting sort
+    // over (element index, arc index) gives the exact per-label visit
+    // order of the old (label, elem, arc) comparison sort at
+    // O(A + L log L) instead of O(A log A) over the full arc list.
+    touched.clear();
+    for (size_t ei = 0; ei < cur_elems.size(); ++ei) {
+      int32_t s = cur_elems[ei].state;
+      for (int64_t i = lab_off[s]; i < lab_off[s + 1]; ++i) {
+        int32_t l = lab_arcs[i].ilabel;
+        if (lab_count[l]++ == 0) touched.push_back(l);
+      }
     }
-    std::sort(lab_arcs.begin(), lab_arcs.end(),
-              [](const LabArc& x, const LabArc& y) {
-                if (x.label != y.label) return x.label < y.label;
-                if (x.elem != y.elem) return x.elem < y.elem;
-                return x.arc < y.arc;
-              });
-
-    for (size_t lo = 0; lo < lab_arcs.size();) {
-      const int32_t label = lab_arcs[lo].label;
-      size_t hi = lo;
-      while (hi < lab_arcs.size() && lab_arcs[hi].label == label) ++hi;
-      std::unordered_map<int32_t, Element> next;
-      for (size_t k = lo; k < hi; ++k) {
-        const Element& e = elems[lab_arcs[k].elem];
-        const Arc& a = in.arcs[lab_arcs[k].arc];
+    std::sort(touched.begin(), touched.end());
+    int32_t run = 0;
+    for (int32_t l : touched) {
+      lab_pos[l] = run;
+      run += lab_count[l];
+    }
+    grouped.resize(run);
+    for (size_t ei = 0; ei < cur_elems.size(); ++ei) {
+      int32_t s = cur_elems[ei].state;
+      for (int64_t i = lab_off[s]; i < lab_off[s + 1]; ++i)
+        grouped[lab_pos[lab_arcs[i].ilabel]++] = GroupArc{(int32_t)ei, i};
+    }
+    // lab_pos[l] now points one past the group's end; start = end-count.
+    for (int32_t l : touched) {
+      int32_t lo = lab_pos[l] - lab_count[l], hi = lab_pos[l];
+      ++DSTAT(groups);
+      DSTAT(group_arcs) += hi - lo;
+      next_epoch();
+      members.clear();
+      for (int32_t k = lo; k < hi; ++k) {
+        const Element& e = cur_elems[grouped[k].elem];
+        const Arc& a = lab_arcs[grouped[k].arc];
         float w2 = Quantize((double)e.w + a.weight);
-        int32_t str2 =
-            a.olabel ? repo.Append(e.str, a.olabel) : e.str;
-        auto it = next.find(a.nextstate);
+        int32_t str2 = a.olabel ? repo.Append(e.str, a.olabel) : e.str;
+        int32_t t = a.nextstate;
         bool take;
-        if (it == next.end()) {
+        if (st[t].epoch != epoch) {
+          st[t].epoch = epoch;
+          members.push_back(t);
           take = true;
-        } else if (w2 < it->second.w) {
+        } else if (w2 < st[t].w) {
           take = true;
-        } else if (w2 == it->second.w && str2 != it->second.str) {
+        } else if (w2 == st[t].w && str2 != st[t].str) {
           if (!allow_nonfunctional) {
             *err = kNonFunc;
             return false;
           }
-          take = StringLess(repo, str2, it->second.str, &tmp_a, &tmp_b);
+          take = StringLess(repo, str2, st[t].str, &tmp_a, &tmp_b);
         } else {
           take = false;
         }
-        if (take) next[a.nextstate] = Element{a.nextstate, w2, str2};
+        if (take) {
+          st[t].w = w2;
+          st[t].str = str2;
+        }
       }
       std::string cerr;
-      if (!closure(&next, &cerr)) {
+      if (!closure(&cerr)) {
         *err = cerr;
         return false;
       }
       float cw;
-      std::vector<int32_t> prefix;
-      int64_t dst = intern_subset(&next, &cw, &prefix);
-      emit_chain(id, label, cw, prefix, dst);
-      lo = hi;
+      int32_t prefix;
+      int64_t dst = intern_subset(&cw, &prefix);
+      repo.Expand(prefix, &chain_buf);
+      emit_chain(id, l, cw, chain_buf, dst);
+      lab_count[l] = 0;  // reset scratch for the next subset
     }
   }
 
-  *out = det.ToCsr();
+  // finish: stable counting sort of the flat (src, arc) pairs into CSR
+  const int64_t n_det = (int64_t)det_final.size();
+  out->start = det_start;
+  out->final_weight = std::move(det_final);
+  out->arc_offset.assign(n_det + 1, 0);
+  for (int32_t s : arc_src) ++out->arc_offset[s + 1];
+  for (int64_t s = 0; s < n_det; ++s)
+    out->arc_offset[s + 1] += out->arc_offset[s];
+  out->arcs.resize(arc_dat.size());
+  {
+    std::vector<int64_t> pos(out->arc_offset.begin(),
+                             out->arc_offset.end() - 1);
+    for (size_t i = 0; i < arc_dat.size(); ++i)
+      out->arcs[pos[arc_src[i]]++] = arc_dat[i];
+  }
   return true;
 }
+
 
 // ---------------------------------------------------------------------------
 // MinimizeEncoded — bisimulation partition refinement over encoded labels.
