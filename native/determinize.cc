@@ -227,39 +227,51 @@ bool StringLess(const StringRepo& repo, int32_t a, int32_t b,
   return *ta < *tb;
 }
 
-// Open-addressing intern table for canonical subsets.  Keys are spans of
-// packed int64 words ((state, weight-bits|string-id) per element) living
-// in one shared arena, so interning a subset costs zero allocations in
-// the steady state.  Replaces unordered_map<SubsetKey, id>, which
-// allocated a key vector + node per probe-and-insert and dominated the
-// determinizer's cache-miss profile at TLG scale.
+// Open-addressing intern table for canonical subsets, keyed by a
+// 128-bit ORDER-INSENSITIVE hash (sum of per-element SplitMix hashes
+// over the canonical (state, weight-bits|string-id) pairs).  The
+// commutative key lets the hot lookup path skip sorting the subset and
+// packing a byte-exact key entirely: ~95% of interns are hits at TLG
+// scale, so only the ~5% that allocate a new det state pay the
+// sort+pack.  Equality trusts the 128-bit hash plus the element count
+// — a false merge needs two distinct subsets colliding in 128 bits
+// (probability ~n^2 / 2^129 ~ 1e-25 at 100M subsets), far below any
+// hardware error rate.  Canonical element spans for NEW subsets are
+// stored (sorted) in one arena for later expansion.
 class SubsetTable {
  public:
   SubsetTable() : slots_(1u << 16) {}
 
-  // Returns the id of the subset `key[0:len]`, inserting it with id
-  // `new_id` if absent.  `*inserted` reports which happened.
-  int64_t FindOrInsert(const int64_t* key, int32_t len, int64_t new_id,
-                       bool* inserted) {
-    uint64_t h = Hash(key, len);
+  static uint64_t SplitMix(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ull;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+  }
+
+  // -1 if absent.
+  int64_t Find(uint64_t h1, uint64_t h2, int32_t nelem) const {
     size_t mask = slots_.size() - 1;
-    size_t i = (size_t)h & mask;
+    size_t i = (size_t)h1 & mask;
     while (slots_[i].id >= 0) {
       const Slot& s = slots_[i];
-      if (s.hash == h && s.len == len &&
-          std::memcmp(pool_.data() + s.off, key,
-                      (size_t)len * sizeof(int64_t)) == 0) {
-        *inserted = false;
-        return s.id;
-      }
+      if (s.h1 == h1 && s.h2 == h2 && s.nelem == nelem) return s.id;
       i = (i + 1) & mask;
     }
-    int64_t off = (int64_t)pool_.size();
+    return -1;
+  }
+
+  // Caller guarantees (h1, h2, nelem) is absent.  `key[0:len]` is the
+  // canonical sorted packed span; it is copied into the arena.
+  void Insert(uint64_t h1, uint64_t h2, int32_t nelem, const int64_t* key,
+              int32_t len, int64_t id, int64_t* off_out) {
+    *off_out = (int64_t)pool_.size();
     pool_.insert(pool_.end(), key, key + len);
-    slots_[i] = Slot{h, off, len, new_id};
-    *inserted = true;
+    size_t mask = slots_.size() - 1;
+    size_t i = (size_t)h1 & mask;
+    while (slots_[i].id >= 0) i = (i + 1) & mask;
+    slots_[i] = Slot{h1, h2, nelem, id};
     if (++used_ * 10 >= slots_.size() * 7) Grow();
-    return new_id;
   }
 
   const int64_t* Pool() const { return pool_.data(); }
@@ -267,27 +279,18 @@ class SubsetTable {
 
  private:
   struct Slot {
-    uint64_t hash;
-    int64_t off;
-    int32_t len;
+    uint64_t h1;
+    uint64_t h2;
+    int32_t nelem;
     int64_t id = -1;
   };
-
-  static uint64_t Hash(const int64_t* p, int32_t len) {
-    uint64_t h = 1469598103934665603ull;
-    for (int32_t i = 0; i < len; ++i) {
-      h ^= (uint64_t)p[i];
-      h *= 1099511628211ull;
-    }
-    return h;
-  }
 
   void Grow() {
     std::vector<Slot> bigger(slots_.size() * 2);
     size_t mask = bigger.size() - 1;
     for (const Slot& s : slots_) {
       if (s.id < 0) continue;
-      size_t i = (size_t)s.hash & mask;
+      size_t i = (size_t)s.h1 & mask;
       while (bigger[i].id >= 0) i = (i + 1) & mask;
       bigger[i] = s;
     }
@@ -400,6 +403,7 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
 
   SubsetTable table;
   std::vector<int64_t> key_buf;
+  std::vector<Element> norm_buf;
   std::deque<int64_t> work;
   int64_t superfinal = -1;
 
@@ -452,6 +456,191 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
     return true;
   };
 
+  // --- precomputed transitive eps-closure rows -------------------------
+  // When the eps graph is acyclic (true for LG: backoff arcs point to
+  // strictly lower-order histories), the per-group dynamic closure —
+  // 415M queue pops at 5k vocab, ~2x the total member count — is
+  // replaced by per-state transitive closure rows computed once:
+  // row(s) = all (t, dw, dstr) reachable from s via eps arcs, min-merged
+  // with the same tie rule as the dynamic closure.  Group processing
+  // then applies each pre-closure member's row directly (transitivity
+  // makes one application per member complete).  Falls back to the
+  // dynamic closure on eps cycles or if rows blow past a size guard.
+  struct RowEnt {
+    int32_t t;
+    float dw;      // quantized weight of the best eps path
+    int32_t dstr;  // interned olabel string of that path
+  };
+  std::vector<RowEnt> rows_pool;
+  std::vector<int64_t> row_off;
+  bool rows_ok = false;
+  if (!eps_arcs.empty()) {
+    // Kahn over eps out-edges: a state finalizes when every eps
+    // successor has (successors-first topological order)
+    std::vector<int32_t> outdeg(n_in, 0);
+    std::vector<int64_t> rev_off(n_in + 1, 0);
+    for (int64_t s = 0; s < n_in; ++s) {
+      outdeg[s] = (int32_t)(eps_off[s + 1] - eps_off[s]);
+      for (int64_t i = eps_off[s]; i < eps_off[s + 1]; ++i)
+        ++rev_off[eps_arcs[i].nextstate + 1];
+    }
+    for (int64_t s = 0; s < n_in; ++s) rev_off[s + 1] += rev_off[s];
+    std::vector<int32_t> rev_src(eps_off[n_in]);
+    {
+      std::vector<int64_t> rp(rev_off.begin(), rev_off.end() - 1);
+      for (int64_t s = 0; s < n_in; ++s)
+        for (int64_t i = eps_off[s]; i < eps_off[s + 1]; ++i)
+          rev_src[rp[eps_arcs[i].nextstate]++] = (int32_t)s;
+    }
+    std::vector<int32_t> topo;
+    topo.reserve(n_in);
+    for (int64_t s = 0; s < n_in; ++s)
+      if (outdeg[s] == 0) topo.push_back((int32_t)s);
+    for (size_t qi = 0; qi < topo.size(); ++qi) {
+      int32_t t = topo[qi];
+      for (int64_t i = rev_off[t]; i < rev_off[t + 1]; ++i)
+        if (--outdeg[rev_src[i]] == 0) topo.push_back(rev_src[i]);
+    }
+    if ((int64_t)topo.size() == n_in) {
+      rows_ok = true;
+      row_off.assign(n_in + 1, 0);
+      std::vector<int64_t> row_at(n_in, -1);  // offset into rows_pool
+      std::vector<int32_t> row_len(n_in, 0);
+      const int64_t row_guard = 32 * n_in + 1024;
+      for (int32_t s : topo) {
+        if (eps_off[s + 1] == eps_off[s]) continue;  // empty row
+        next_epoch();
+        members.clear();
+        for (int64_t i = eps_off[s]; i < eps_off[s + 1]; ++i) {
+          const Arc& a = eps_arcs[i];
+          // direct edge, then the successor's full row shifted by it
+          float base_w = Quantize((double)a.weight);
+          int32_t base_str = a.olabel ? repo.Append(0, a.olabel) : 0;
+          int32_t t = a.nextstate;
+          int64_t r0 = row_at[t], rn = row_len[t];
+          for (int64_t k = -1; k < rn; ++k) {
+            int32_t u;
+            float w2;
+            int32_t str2;
+            if (k < 0) {
+              u = t;
+              w2 = base_w;
+              str2 = base_str;
+            } else {
+              const RowEnt& r = rows_pool[r0 + k];
+              u = r.t;
+              w2 = Quantize((double)base_w + r.dw);
+              str2 = base_str == 0
+                         ? r.dstr
+                         : (r.dstr == 0 ? base_str : -1);
+              if (str2 == -1) {
+                // rare: both the edge and the row entry emit output
+                repo.Expand(r.dstr, &tmp_c);
+                str2 = base_str;
+                for (int32_t l : tmp_c) str2 = repo.Append(str2, l);
+              }
+            }
+            bool take;
+            if (st[u].epoch != epoch) {
+              st[u].epoch = epoch;
+              members.push_back(u);
+              take = true;
+            } else if (w2 < st[u].w) {
+              take = true;
+            } else if (w2 == st[u].w && str2 != st[u].str) {
+              if (!allow_nonfunctional) {
+                *err = kNonFunc;
+                return false;
+              }
+              take = StringLess(repo, str2, st[u].str, &tmp_a, &tmp_b);
+            } else {
+              take = false;
+            }
+            if (take) {
+              st[u].w = w2;
+              st[u].str = str2;
+            }
+          }
+        }
+        row_at[s] = (int64_t)rows_pool.size();
+        row_len[s] = (int32_t)members.size();
+        for (int32_t u : members)
+          rows_pool.push_back(RowEnt{u, st[u].w, st[u].str});
+        if ((int64_t)rows_pool.size() > row_guard) {
+          rows_ok = false;  // eps structure too dense; dynamic is leaner
+          break;
+        }
+      }
+      if (rows_ok) {
+        // CSR-ify in state order (row_at order is topo, not id order)
+        for (int64_t s = 0; s < n_in; ++s) row_off[s + 1] = row_len[s];
+        for (int64_t s = 0; s < n_in; ++s) row_off[s + 1] += row_off[s];
+        std::vector<RowEnt> csr(rows_pool.size());
+        for (int64_t s = 0; s < n_in; ++s)
+          for (int32_t k = 0; k < row_len[s]; ++k)
+            csr[row_off[s] + k] = rows_pool[row_at[s] + k];
+        rows_pool.swap(csr);
+      }
+    }
+  }
+
+  // interned-string concatenation with memo (row application composes
+  // a member string with a row's olabel string; nonzero dstr is rare)
+  FlatMap64 concat_memo;
+  auto concat_str = [&](int32_t a, int32_t b) -> int32_t {  // b != 0
+    if (a == 0) return b;
+    int64_t key = ((int64_t)a << 32) | (uint32_t)b;  // nonzero: a != 0
+    bool created;
+    int32_t* v = concat_memo.FindOrInsert(key, &created);
+    if (!created) return *v;
+    repo.Expand(b, &tmp_c);
+    int32_t id = a;
+    for (int32_t l : tmp_c) id = repo.Append(id, l);
+    *v = id;
+    return id;
+  };
+
+  // closure of the pre-closure subset in `members`/dense scratch:
+  // apply each member's row (transitive, so one pass over the
+  // pre-closure members is complete), or fall back to the dynamic
+  // relaxation when rows are unavailable
+  auto close_subset = [&](std::string* cerr) -> bool {
+    if (!rows_ok) return closure(cerr);
+    size_t m0 = members.size();
+    for (size_t mi = 0; mi < m0; ++mi) {
+      int32_t m = members[mi];
+      float mw = st[m].w;
+      int32_t mstr = st[m].str;
+      for (int64_t ri = row_off[m]; ri < row_off[m + 1]; ++ri) {
+        const RowEnt& r = rows_pool[ri];
+        float w2 = Quantize((double)mw + r.dw);
+        int32_t str2 = r.dstr ? concat_str(mstr, r.dstr) : mstr;
+        int32_t u = r.t;
+        bool take;
+        if (st[u].epoch != epoch) {
+          st[u].epoch = epoch;
+          members.push_back(u);
+          take = true;
+        } else if (w2 < st[u].w) {
+          take = true;
+        } else if (w2 == st[u].w && str2 != st[u].str) {
+          if (!allow_nonfunctional) {
+            *cerr = kNonFunc;
+            return false;
+          }
+          take = StringLess(repo, str2, st[u].str, &tmp_a, &tmp_b);
+        } else {
+          take = false;
+        }
+        if (take) {
+          st[u].w = w2;
+          st[u].str = str2;
+        }
+      }
+    }
+    return true;
+  };
+
   // Normalize the subset in `members`/dense scratch (subtract min
   // weight, strip the common output prefix), intern it, and return the
   // det state id.  `*common_w` and `*prefix_id` receive the stripped
@@ -459,7 +648,6 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
   auto intern_subset = [&](float* common_w, int32_t* prefix_id) -> int64_t {
     ++DSTAT(interns);
     DSTAT(members_total) += (long long)members.size();
-    std::sort(members.begin(), members.end());
     float wmin = st[members[0]].w;
     for (int32_t m : members) wmin = std::min(wmin, st[m].w);
     int32_t p = st[members[0]].str;
@@ -473,7 +661,10 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
       for (size_t i = 1; i < members.size() && p != 0; ++i)
         p = repo.Lcp(p, st[members[i]].str);
     }
-    key_buf.clear();
+    // canonical elements + commutative 128-bit hash — no sort needed
+    // unless the subset turns out to be new
+    norm_buf.clear();
+    uint64_t h1 = 0, h2 = 0;
     for (int32_t m : members) {
       float wq = Quantize((double)st[m].w - wmin);
       int32_t str = all_same ? 0
@@ -481,24 +672,38 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
                              : repo.StripPrefix(st[m].str, p, &tmp_c);
       uint32_t wb;
       std::memcpy(&wb, &wq, 4);
-      key_buf.push_back(m);
-      key_buf.push_back(((int64_t)wb << 32) | (uint32_t)str);
+      uint64_t w0 = (uint64_t)(uint32_t)m;
+      uint64_t w1 = ((uint64_t)wb << 32) | (uint32_t)str;
+      uint64_t e = SubsetTable::SplitMix(w0 ^ SubsetTable::SplitMix(w1));
+      h1 += e;
+      h2 += SubsetTable::SplitMix(e ^ 0xA5A5A5A5A5A5A5A5ull);
+      norm_buf.push_back(Element{m, wq, (int32_t)str});
     }
-    bool inserted;
-    int64_t pool_before = table.PoolSize();
-    int64_t id = table.FindOrInsert(key_buf.data(),
-                                    (int32_t)key_buf.size(),
-                                    (int64_t)det_final.size(), &inserted);
-    if (inserted) {
+    int64_t id = table.Find(h1, h2, (int32_t)members.size());
+    if (id < 0) {
+      std::sort(norm_buf.begin(), norm_buf.end(),
+                [](const Element& a, const Element& b) {
+                  return a.state < b.state;
+                });
+      key_buf.clear();
+      for (const Element& e : norm_buf) {
+        uint32_t wb;
+        std::memcpy(&wb, &e.w, 4);
+        key_buf.push_back(e.state);
+        key_buf.push_back(((int64_t)wb << 32) | (uint32_t)e.str);
+      }
+      id = (int64_t)det_final.size();
       add_state();
-      sub_span[id] = {pool_before, (int32_t)key_buf.size()};
+      int64_t off;
+      table.Insert(h1, h2, (int32_t)members.size(), key_buf.data(),
+                   (int32_t)key_buf.size(), id, &off);
+      sub_span[id] = {off, (int32_t)key_buf.size()};
       work.push_back(id);
     }
     *common_w = wmin;
     *prefix_id = p;
     return id;
   };
-
 
   // Emit an output-label chain from `src`: first arc carries (ilabel, w),
   // subsequent labels ride input-epsilon arcs; the chain ends at `dst`.
@@ -529,7 +734,7 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
     st[s0].str = 0;
     members.push_back(s0);
     std::string cerr;
-    if (!closure(&cerr)) {
+    if (!close_subset(&cerr)) {
       *err = cerr;
       return false;
     }
@@ -663,7 +868,7 @@ bool DeterminizeStar(const Fst& in, Fst* out, std::string* err,
         }
       }
       std::string cerr;
-      if (!closure(&cerr)) {
+      if (!close_subset(&cerr)) {
         *err = cerr;
         return false;
       }
