@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kaldi_ctc_tpu.ops.rnn_pallas import (
-    _const_spec, _dw_h, _prev_spec, _split_spec, _time_spec, _zero_at)
+    _bf16_cfg, _const_spec, _dw_h, _prev_spec, _split_spec, _time_spec,
+    _zero_at)
 
 __all__ = ["gru_sequence", "gru_seq_fwd", "bigru_layer"]
 
@@ -234,11 +235,13 @@ def _gru_seq_bwd_dgates(dy, x_proj, y, w_h, lens,
     return dgx, dgh
 
 
-def _bigru_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False):
+def _bigru_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False,
+                   y_dtype=None):
     """xp: fused [T, B, 2*3H] projection (fwd-direction half first)."""
     t_max, b, g6 = xp.shape
     g3 = g6 // 2
     h = g3 // 3
+    y_dtype = xp.dtype if y_dtype is None else y_dtype
     kern = functools.partial(_bifwd_kernel, t_max=t_max)
     fw = functools.partial(_time_spec, t_max, False)
     bw = functools.partial(_time_spec, t_max, True)
@@ -262,16 +265,18 @@ def _bigru_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[fw((1, b, h)), bw((1, b, h))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, h), xp.dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, h), y_dtype)] * 2,
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 2,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None], xp_f, xp_b, w_h_f, w_h_b)
 
 
 def _bigru_seq_bwd_dgates(dy_f, dy_b, xp, y_f, y_b,
-                          w_h_f, w_h_b, lens, interpret=False):
+                          w_h_f, w_h_b, lens, interpret=False,
+                          dg_dtype=None):
     t_max, b, h = dy_f.shape
     g3 = 3 * h
+    dg_dtype = xp.dtype if dg_dtype is None else dg_dtype
     kern = functools.partial(_bibwd_kernel, t_max=t_max)
     fw = functools.partial(_time_spec, t_max, True)   # fwd dir reversed
     bw = functools.partial(_time_spec, t_max, False)  # bwd dir forward
@@ -303,15 +308,16 @@ def _bigru_seq_bwd_dgates(dy_f, dy_b, xp, y_f, y_b,
         ],
         out_specs=[fw((1, b, g3)), fw((1, b, g3)),
                    bw((1, b, g3)), bw((1, b, g3))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, g3), xp.dtype)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, g3), dg_dtype)] * 4,
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 2,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None], dy_f, xp_f, y_f,
       dy_b, xp_b, y_b, w_h_f, w_h_f.T, w_h_b, w_h_b.T)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def bigru_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def bigru_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False,
+                compute_dtype="float32"):
     """Full fused bidirectional GRU layer → (y_f, y_b), each [T, B, H].
 
     Mirrors rnn_pallas.bilstm_layer: one MXU matmul projects both
@@ -320,50 +326,62 @@ def bigru_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False):
     lane-aligned; backward recomputes gates and folds dgates into
     dx / dW_x with per-direction matmuls."""
     y_f, y_b, _ = _bigru_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b,
-                                        lens, interpret)
+                                        lens, interpret, compute_dtype)
     return y_f, y_b
 
 
-def _bigru_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
+def _bigru_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b, lens, interpret,
+                          compute_dtype="float32"):
     t_max, b, d = x.shape
-    xp = (jnp.dot(x.reshape(t_max * b, d).astype(w_x.dtype), w_x,
+    cdt, xp_dt, y_dt, _, _ = _bf16_cfg(compute_dtype)
+    # master-precision params; compute-dtype casts live inside the vjp
+    # (see rnn_pallas._bilstm_layer_fwd_impl)
+    wx_c = w_x.astype(cdt)
+    xp = (jnp.dot(x.reshape(t_max * b, d).astype(cdt), wx_c,
                   preferred_element_type=jnp.float32)
-          + bias).astype(w_x.dtype).reshape(t_max, b, -1)
-    y_f, y_b = _bigru_seq_fwd(xp, w_h_f, w_h_b, lens, interpret)
+          + bias).astype(xp_dt).reshape(t_max, b, -1)
+    y_f, y_b = _bigru_seq_fwd(xp, w_h_f.astype(cdt), w_h_b.astype(cdt),
+                              lens, interpret, y_dtype=y_dt)
     return y_f, y_b, xp
 
 
-def _bigru_layer_fwd(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
+def _bigru_layer_fwd(x, w_x, bias, w_h_f, w_h_b, lens, interpret,
+                     compute_dtype):
     y_f, y_b, xp = _bigru_layer_fwd_impl(
-        x, w_x, bias, w_h_f, w_h_b, lens, interpret)
+        x, w_x, bias, w_h_f, w_h_b, lens, interpret, compute_dtype)
     return (y_f, y_b), (x, w_x, w_h_f, w_h_b, lens, xp, y_f, y_b)
 
 
-def _bigru_layer_bwd(interpret, res, cot):
+def _bigru_layer_bwd(interpret, compute_dtype, res, cot):
     dy_f, dy_b = cot
     x, w_x, w_h_f, w_h_b, lens, xp, y_f, y_b = res
+    cdt, _, _, dg_dt, wop = _bf16_cfg(compute_dtype)
+    wx_c = w_x.astype(cdt)
     dgx_f, dgh_f, dgx_b, dgh_b = _bigru_seq_bwd_dgates(
-        dy_f, dy_b, xp, y_f, y_b, w_h_f, w_h_b, lens, interpret)
+        dy_f, dy_b, xp, y_f, y_b, w_h_f.astype(cdt), w_h_b.astype(cdt),
+        lens, interpret, dg_dtype=dg_dt)
     t_max, b, h = y_f.shape
     g3 = 3 * h
     d = x.shape[-1]
-    wd = w_x.dtype
     x2 = x.reshape(t_max * b, d)
     dgxf2 = dgx_f.reshape(t_max * b, g3)
     dgxb2 = dgx_b.reshape(t_max * b, g3)
-    dw_f = _dw_h(y_f, dgh_f, False, w_h_f.dtype)
-    dw_b = _dw_h(y_b, dgh_b, True, w_h_b.dtype)
-    dx = (jnp.dot(dgxf2.astype(wd), w_x[:, :g3].T,
+    # f32-emitted weight grads against f32 master params (see
+    # rnn_pallas._bilstm_layer_bwd)
+    dw_f = _dw_h(y_f, dgh_f, False, wop)
+    dw_b = _dw_h(y_b, dgh_b, True, wop)
+    wx_op = w_x if wop == jnp.float32 else wx_c
+    dx = (jnp.dot(dgxf2.astype(wop), wx_op[:, :g3].T,
                   preferred_element_type=jnp.float32)
-          + jnp.dot(dgxb2.astype(wd), w_x[:, g3:].T,
+          + jnp.dot(dgxb2.astype(wop), wx_op[:, g3:].T,
                     preferred_element_type=jnp.float32))
     dx = dx.astype(x.dtype).reshape(t_max, b, d)
     dw_x = jnp.concatenate(
-        [jnp.dot(x2.astype(wd).T, dgxf2.astype(wd),
+        [jnp.dot(x2.astype(wop).T, dgxf2.astype(wop),
                  preferred_element_type=jnp.float32),
-         jnp.dot(x2.astype(wd).T, dgxb2.astype(wd),
+         jnp.dot(x2.astype(wop).T, dgxb2.astype(wop),
                  preferred_element_type=jnp.float32)],
-        axis=1).astype(wd)
+        axis=1)
     dbias = jnp.concatenate([dgxf2.sum(axis=0, dtype=jnp.float32),
                              dgxb2.sum(axis=0, dtype=jnp.float32)])
     return dx, dw_x, dbias, dw_f, dw_b, None
@@ -387,7 +405,7 @@ def _gru_sequence_bwd(reverse, interpret, res, dy):
     x_proj, w_h, lens, y = res
     dgx, dgh = _gru_seq_bwd_dgates(dy, x_proj, y, w_h, lens,
                                    reverse, interpret)
-    dw_h = _dw_h(y, dgh, reverse, w_h.dtype)
+    dw_h = _dw_h(y, dgh, reverse, w_h.dtype, out_dtype=w_h.dtype)
     return dgx, dw_h, None
 
 

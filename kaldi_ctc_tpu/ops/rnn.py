@@ -265,9 +265,10 @@ def _run_birnn_fused(x, input_lens, dirs, cfg: RnnConfig) -> jnp.ndarray:
         from kaldi_ctc_tpu.ops.rnn_pallas import bilstm_layer as bi_layer
     else:
         from kaldi_ctc_tpu.ops.gru_pallas import bigru_layer as bi_layer
-    y_f, y_b = bi_layer(x, w_x.astype(cd), bias,
-                        dirs[0]["w_h"].astype(cd),
-                        dirs[1]["w_h"].astype(cd), lens)
+    # params pass in master precision; the compute-dtype cast lives
+    # inside the layer's custom vjp so weight cotangents come back f32
+    y_f, y_b = bi_layer(x, w_x, bias, dirs[0]["w_h"], dirs[1]["w_h"],
+                        lens, False, cfg.compute_dtype)
     return jnp.concatenate([y_f, y_b], axis=-1)
 
 

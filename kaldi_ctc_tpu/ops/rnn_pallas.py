@@ -37,6 +37,7 @@ there are zero.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["lstm_sequence", "lstm_seq_fwd", "bilstm_layer"]
+
+
+def _bf16_f32_sites():
+    """Sites kept in f32 under bfloat16 compute (KCTPU_BF16F32, comma
+    list): 'xproj' stores the input projection f32, 'y' stores layer
+    outputs f32, 'dgates' stores backward gate grads f32, 'dwop' uses
+    f32 operands for the weight-gradient matmuls.  The bf16 quality
+    ablation knob (recipes/hard) — the shipped bf16 default is the
+    winning configuration; the env override remains for re-running the
+    per-site localization."""
+    return set(filter(None,
+                      os.environ.get("KCTPU_BF16F32", "").split(",")))
 
 
 def _lstm_gates(xp, h, wh_ref):
@@ -552,24 +565,27 @@ def _lstm_seq_bwd_dgates(dy, x_proj, y, c_seq, w_h, lens,
     return dgates[0] if isinstance(dgates, (list, tuple)) else dgates
 
 
-def _dw_h(y, dgates, reverse, dtype):
+def _dw_h(y, dgates, reverse, op_dtype, out_dtype=jnp.float32):
     """dW_h = Σ_t h_prev[t]ᵀ · dgates[t] as one sliced MXU matmul.
 
     The first processed step has h_prev = 0 and contributes nothing, so
     the sum is y[:-1]ᵀ @ dg[1:] (forward) / y[1:]ᵀ @ dg[:-1] (reverse) —
-    slices, not a materialized zero-padded shift copy."""
+    slices, not a materialized zero-padded shift copy.  Operands run in
+    `op_dtype` (bf16 keeps the MXU rate in mixed precision); the f32
+    accumulation is emitted at `out_dtype` — f32 by default, so weight
+    gradients against f32 master params lose nothing."""
     t_max, b, h = y.shape
     g4 = dgates.shape[-1]
     if t_max == 1:
-        return jnp.zeros((h, g4), dtype)
+        return jnp.zeros((h, g4), out_dtype)
     if reverse:
         hp, dg = y[1:], dgates[:-1]
     else:
         hp, dg = y[:-1], dgates[1:]
     n = (t_max - 1) * b
-    return jnp.dot(hp.reshape(n, h).astype(dtype).T,
-                   dg.reshape(n, g4).astype(dtype),
-                   preferred_element_type=jnp.float32).astype(dtype)
+    return jnp.dot(hp.reshape(n, h).astype(op_dtype).T,
+                   dg.reshape(n, g4).astype(op_dtype),
+                   preferred_element_type=jnp.float32).astype(out_dtype)
 
 
 def _split_spec(t_max: int, reverse: bool, half: int, block_shape):
@@ -583,9 +599,11 @@ def _split_spec(t_max: int, reverse: bool, half: int, block_shape):
                         memory_space=pltpu.VMEM)
 
 
-def _bilstm_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False):
+def _bilstm_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False,
+                    y_dtype=None):
     """xp: fused [T, B, 2*4H] projection (fwd-direction half first)."""
     t_max, b, g8 = xp.shape
+    y_dtype = xp.dtype if y_dtype is None else y_dtype
     g4 = g8 // 2
     h = g4 // 4
     kern = functools.partial(_bifwd_kernel, t_max=t_max)
@@ -616,9 +634,9 @@ def _bilstm_seq_fwd(xp, w_h_f, w_h_b, lens, interpret=False):
         out_specs=[fw((1, b, h)), fw((1, b, h)),
                    bw((1, b, h)), bw((1, b, h))],
         out_shape=[
-            jax.ShapeDtypeStruct((t_max, b, h), xp.dtype),
+            jax.ShapeDtypeStruct((t_max, b, h), y_dtype),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, h), xp.dtype),
+            jax.ShapeDtypeStruct((t_max, b, h), y_dtype),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
@@ -634,7 +652,7 @@ def _half_spec(rows: int, cols: int, half: int):
 
 
 def _bilstm_seq_fwd_proj(x, w_x, bias, w_h_f, w_h_b, lens,
-                         interpret=False):
+                         interpret=False, y_dtype=None):
     """Forward with the input projection computed inside the kernel:
     x ([T,B,D]) streams in once per direction instead of the [T,B,2*4H]
     hoisted projection being written + re-read.  Requires lane-aligned
@@ -643,6 +661,7 @@ def _bilstm_seq_fwd_proj(x, w_x, bias, w_h_f, w_h_b, lens,
     g8 = w_x.shape[1]
     g4 = g8 // 2
     h = g4 // 4
+    y_dtype = w_x.dtype if y_dtype is None else y_dtype
     kern = functools.partial(_bifwd_proj_kernel, t_max=t_max)
     fw = functools.partial(_time_spec, t_max, False)
     bw = functools.partial(_time_spec, t_max, True)
@@ -664,9 +683,9 @@ def _bilstm_seq_fwd_proj(x, w_x, bias, w_h_f, w_h_b, lens,
         out_specs=[fw((1, b, h)), fw((1, b, h)),
                    bw((1, b, h)), bw((1, b, h))],
         out_shape=[
-            jax.ShapeDtypeStruct((t_max, b, h), w_x.dtype),
+            jax.ShapeDtypeStruct((t_max, b, h), y_dtype),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, h), w_x.dtype),
+            jax.ShapeDtypeStruct((t_max, b, h), y_dtype),
             jax.ShapeDtypeStruct((t_max, b, h), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
@@ -678,9 +697,10 @@ def _bilstm_seq_fwd_proj(x, w_x, bias, w_h_f, w_h_b, lens,
 
 def _bilstm_seq_bwd_dgates_proj(dy_f, dy_b, x, y_f, c_f, y_b, c_b,
                                 w_x, bias, w_h_f, w_h_b, lens,
-                                interpret=False):
+                                interpret=False, dg_dtype=None):
     t_max, b, h = dy_f.shape
     g4 = 4 * h
+    dg_dtype = w_x.dtype if dg_dtype is None else dg_dtype
     d = x.shape[-1]
     kern = functools.partial(_bibwd_proj_kernel, t_max=t_max)
     fw = functools.partial(_time_spec, t_max, True)
@@ -712,8 +732,8 @@ def _bilstm_seq_bwd_dgates_proj(dy_f, dy_b, x, y_f, c_f, y_b, c_b,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[fw((1, b, g4)), bw((1, b, g4))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), w_x.dtype),
-                   jax.ShapeDtypeStruct((t_max, b, g4), w_x.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), dg_dtype),
+                   jax.ShapeDtypeStruct((t_max, b, g4), dg_dtype)],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 6,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None],
@@ -725,9 +745,11 @@ def _bilstm_seq_bwd_dgates_proj(dy_f, dy_b, x, y_f, c_f, y_b, c_b,
 
 
 def _bilstm_seq_bwd_dgates(dy_f, dy_b, xp, y_f, c_f, y_b, c_b,
-                           w_h_f, w_h_b, lens, interpret=False):
+                           w_h_f, w_h_b, lens, interpret=False,
+                           dg_dtype=None):
     t_max, b, h = dy_f.shape
     g4 = 4 * h
+    dg_dtype = xp.dtype if dg_dtype is None else dg_dtype
     kern = functools.partial(_bibwd_kernel, t_max=t_max)
     # the forward direction's dgates walk reversed time; the backward
     # direction's walk forward time
@@ -764,8 +786,8 @@ def _bilstm_seq_bwd_dgates(dy_f, dy_b, xp, y_f, c_f, y_b, c_b,
                          memory_space=pltpu.VMEM),            # w_b^T
         ],
         out_specs=[fw((1, b, g4)), bw((1, b, g4))],
-        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), xp.dtype),
-                   jax.ShapeDtypeStruct((t_max, b, g4), xp.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((t_max, b, g4), dg_dtype),
+                   jax.ShapeDtypeStruct((t_max, b, g4), dg_dtype)],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 6,
         interpret=interpret,
     )(lens.astype(jnp.float32)[:, None],
@@ -775,8 +797,9 @@ def _bilstm_seq_bwd_dgates(dy_f, dy_b, xp, y_f, c_f, y_b, c_b,
     return dg_f, dg_b
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def bilstm_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def bilstm_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False,
+                 compute_dtype="float32"):
     """Full fused bidirectional LSTM layer → (y_f, y_b), each [T, B, H].
 
     The input projection for both directions is one MXU matmul
@@ -789,7 +812,8 @@ def bilstm_layer(x, w_x, bias, w_h_f, w_h_b, lens, interpret=False):
     so no [T, B, 2*4H] cotangent concat is materialized either.
     """
     y_f, _, y_b, _, _ = _bilstm_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b,
-                                               lens, interpret)
+                                               lens, interpret,
+                                               compute_dtype)
     return y_f, y_b
 
 
@@ -831,67 +855,100 @@ def _use_in_kernel_proj(d: int, g4: int,
     return resident <= 8 * 1024 * 1024
 
 
-def _bilstm_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
+def _bf16_cfg(compute_dtype):
+    """(compute dtype, xp storage dtype, y storage dtype, dgates storage
+    dtype, weight-grad operand dtype) for a compute_dtype string,
+    honoring the KCTPU_BF16F32 ablation sites under bf16."""
+    if compute_dtype != "bfloat16":
+        f = jnp.float32
+        return f, f, f, f, f
+    sites = _bf16_f32_sites()
+    cdt = jnp.bfloat16
+    return (cdt,
+            jnp.float32 if "xproj" in sites else cdt,
+            jnp.float32 if "y" in sites else cdt,
+            jnp.float32 if "dgates" in sites else cdt,
+            jnp.float32 if "dwop" in sites else cdt)
+
+
+def _bilstm_layer_fwd_impl(x, w_x, bias, w_h_f, w_h_b, lens, interpret,
+                           compute_dtype="float32"):
     t_max, b, d = x.shape
     g4 = w_x.shape[1] // 2
-    if _use_in_kernel_proj(d, g4, x.dtype):
+    cdt, xp_dt, y_dt, _, _ = _bf16_cfg(compute_dtype)
+    # params arrive in master precision (f32); the cast to the compute
+    # dtype lives INSIDE the custom vjp so weight cotangents stay f32
+    wx_c = w_x.astype(cdt)
+    whf_c = w_h_f.astype(cdt)
+    whb_c = w_h_b.astype(cdt)
+    if _use_in_kernel_proj(d, g4, cdt):
         # projection fused into the kernel: x streams once per direction
         # and no [T,B,2*4H] projection residual is written, read, or
         # saved between passes (the hoisted design's dominant stream)
         y_f, c_f, y_b, c_b = _bilstm_seq_fwd_proj(
-            x, w_x, bias, w_h_f, w_h_b, lens, interpret)
+            x, wx_c, bias, whf_c, whb_c, lens, interpret, y_dtype=y_dt)
         return y_f, c_f, y_b, c_b, None
     # f32-accumulated projection, stored in the compute dtype (bf16
     # halves every later read of this — the largest stream in the layer)
-    xp = (jnp.dot(x.reshape(t_max * b, d).astype(w_x.dtype), w_x,
+    xp = (jnp.dot(x.reshape(t_max * b, d).astype(cdt), wx_c,
                   preferred_element_type=jnp.float32)
-          + bias).astype(w_x.dtype).reshape(t_max, b, -1)
-    y_f, c_f, y_b, c_b = _bilstm_seq_fwd(xp, w_h_f, w_h_b, lens, interpret)
+          + bias).astype(xp_dt).reshape(t_max, b, -1)
+    y_f, c_f, y_b, c_b = _bilstm_seq_fwd(xp, whf_c, whb_c, lens, interpret,
+                                         y_dtype=y_dt)
     return y_f, c_f, y_b, c_b, xp
 
 
-def _bilstm_layer_fwd(x, w_x, bias, w_h_f, w_h_b, lens, interpret):
+def _bilstm_layer_fwd(x, w_x, bias, w_h_f, w_h_b, lens, interpret,
+                      compute_dtype):
     y_f, c_f, y_b, c_b, xp = _bilstm_layer_fwd_impl(
-        x, w_x, bias, w_h_f, w_h_b, lens, interpret)
+        x, w_x, bias, w_h_f, w_h_b, lens, interpret, compute_dtype)
     # xp is None on the in-kernel-projection path: the projection is
     # recomputed from x in backward, so it is not a residual at all
     return (y_f, y_b), (x, w_x, bias, w_h_f, w_h_b, lens, xp,
                         y_f, c_f, y_b, c_b)
 
 
-def _bilstm_layer_bwd(interpret, res, cot):
+def _bilstm_layer_bwd(interpret, compute_dtype, res, cot):
     dy_f, dy_b = cot
     x, w_x, bias, w_h_f, w_h_b, lens, xp, y_f, c_f, y_b, c_b = res
+    cdt, _, _, dg_dt, wop = _bf16_cfg(compute_dtype)
+    wx_c = w_x.astype(cdt)
+    whf_c = w_h_f.astype(cdt)
+    whb_c = w_h_b.astype(cdt)
     if xp is None:
         dg_f, dg_b = _bilstm_seq_bwd_dgates_proj(
-            dy_f, dy_b, x, y_f, c_f, y_b, c_b, w_x, bias,
-            w_h_f, w_h_b, lens, interpret)
+            dy_f, dy_b, x, y_f, c_f, y_b, c_b, wx_c, bias,
+            whf_c, whb_c, lens, interpret, dg_dtype=dg_dt)
     else:
         dg_f, dg_b = _bilstm_seq_bwd_dgates(
-            dy_f, dy_b, xp, y_f, c_f, y_b, c_b, w_h_f, w_h_b, lens,
-            interpret)
+            dy_f, dy_b, xp, y_f, c_f, y_b, c_b, whf_c, whb_c, lens,
+            interpret, dg_dtype=dg_dt)
     t_max, b, h = y_f.shape
     g4 = 4 * h
     d = x.shape[-1]
-    wd = w_x.dtype
     x2 = x.reshape(t_max * b, d)
     dgf2 = dg_f.reshape(t_max * b, g4)
     dgb2 = dg_b.reshape(t_max * b, g4)
-    # recurrent-weight grads: one large sliced MXU matmul per direction
-    dw_f = _dw_h(y_f, dg_f, False, w_h_f.dtype)
-    dw_b = _dw_h(y_b, dg_b, True, w_h_b.dtype)
-    # input grads: per-direction matmuls against the w_x halves
-    dx = (jnp.dot(dgf2.astype(wd), w_x[:, :g4].T,
+    # recurrent-weight grads: one large sliced MXU matmul per direction,
+    # f32-accumulated and EMITTED f32 (master params are f32, so
+    # quantizing weight grads to bf16 — the pre-round-5 behavior — threw
+    # away mantissa for no bandwidth win on these small tensors)
+    dw_f = _dw_h(y_f, dg_f, False, wop)
+    dw_b = _dw_h(y_b, dg_b, True, wop)
+    # input grads: per-direction matmuls against the w_x halves (use the
+    # f32 master weights when the operand dtype is f32)
+    wx_op = w_x if wop == jnp.float32 else wx_c
+    dx = (jnp.dot(dgf2.astype(wop), wx_op[:, :g4].T,
                   preferred_element_type=jnp.float32)
-          + jnp.dot(dgb2.astype(wd), w_x[:, g4:].T,
+          + jnp.dot(dgb2.astype(wop), wx_op[:, g4:].T,
                     preferred_element_type=jnp.float32))
     dx = dx.astype(x.dtype).reshape(t_max, b, d)
     dw_x = jnp.concatenate(
-        [jnp.dot(x2.astype(wd).T, dgf2.astype(wd),
+        [jnp.dot(x2.astype(wop).T, dgf2.astype(wop),
                  preferred_element_type=jnp.float32),
-         jnp.dot(x2.astype(wd).T, dgb2.astype(wd),
+         jnp.dot(x2.astype(wop).T, dgb2.astype(wop),
                  preferred_element_type=jnp.float32)],
-        axis=1).astype(wd)
+        axis=1)
     dbias = jnp.concatenate([dgf2.sum(axis=0, dtype=jnp.float32),
                              dgb2.sum(axis=0, dtype=jnp.float32)])
     return dx, dw_x, dbias, dw_f, dw_b, None
@@ -919,7 +976,7 @@ def _lstm_sequence_bwd(reverse, interpret, res, dy):
     # weight gradient: one large sliced MXU matmul over all timesteps
     # (operands in the forward compute dtype, f32 accumulation, cotangent
     # cast back to w_h's dtype for the custom_vjp contract)
-    dw_h = _dw_h(y, dgates, reverse, w_h.dtype)
+    dw_h = _dw_h(y, dgates, reverse, w_h.dtype, out_dtype=w_h.dtype)
     return dgates, dw_h, None
 
 

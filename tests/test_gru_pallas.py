@@ -174,8 +174,9 @@ class TestFusedBidirectionalGru:
         orig = gru_pallas.bigru_layer
         try:
             gru_pallas.bigru_layer = (
-                lambda x, wx, b, wf, wb, l, interpret=False:
-                orig(x, wx, b, wf, wb, l, True))
+                lambda x, wx, b, wf, wb, l, interpret=False,
+                compute_dtype="float32":
+                orig(x, wx, b, wf, wb, l, True, compute_dtype))
             cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
                               mode=RnnMode.GRU, bidirectional=True,
                               implementation="pallas")

@@ -107,8 +107,9 @@ def test_rnn_forward_pallas_impl_matches_xla():
                       implementation="pallas")
     bi_backup = rp.bilstm_layer
 
-    def interp_bi(x, wx, b, wf, wb, l, interpret=False):
-        return bi_backup(x, wx, b, wf, wb, l, True)
+    def interp_bi(x, wx, b, wf, wb, l, interpret=False,
+                  compute_dtype="float32"):
+        return bi_backup(x, wx, b, wf, wb, l, True, compute_dtype)
 
     rp_backup = rp.lstm_sequence
     rp.lstm_sequence = interp
@@ -331,8 +332,9 @@ class TestFusedBidirectional:
         orig = rnn_pallas.bilstm_layer
         try:
             rnn_pallas.bilstm_layer = (
-                lambda x, wx, b, wf, wb, l, interpret=False:
-                orig(x, wx, b, wf, wb, l, True))
+                lambda x, wx, b, wf, wb, l, interpret=False,
+                compute_dtype="float32":
+                orig(x, wx, b, wf, wb, l, True, compute_dtype))
             cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
                               mode=RnnMode.LSTM, bidirectional=True,
                               implementation="pallas",
@@ -369,8 +371,9 @@ class TestFusedBidirectional:
         orig = rnn_pallas.bilstm_layer
         try:
             rnn_pallas.bilstm_layer = (
-                lambda x, wx, b, wf, wb, l, interpret=False:
-                orig(x, wx, b, wf, wb, l, True))
+                lambda x, wx, b, wf, wb, l, interpret=False,
+                compute_dtype="float32":
+                orig(x, wx, b, wf, wb, l, True, compute_dtype))
             cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=2,
                               mode=RnnMode.LSTM, bidirectional=True,
                               implementation="pallas")
