@@ -71,6 +71,12 @@ def parse_args(argv=None):
     p.add_argument("--conv-time-stride", type=int, default=2,
                    help="time stride of the first conv layer (halves "
                         "the RNN sequence at 2)")
+    p.add_argument("--conv-norm", default="seq", choices=["seq", "none"],
+                   help="conv-front normalization: 'seq' = DS2's "
+                        "sequence-wise batch norm made functional "
+                        "(per-utterance, per-channel moments over valid "
+                        "frames); 'none' = the normalization-free front "
+                        "(blank-collapses on hard corpora)")
     p.add_argument("--dropout", type=float, default=0.0,
                    help="dropout after the RNN stack (removed at decode, "
                         "like nnet-am-copy --remove-dropout)")
@@ -297,7 +303,8 @@ def main(argv=None):
                         front_group=args.front_group,
                         conv_layers=args.conv_layers,
                         conv_channels=args.conv_channels,
-                        conv_time_stride=args.conv_time_stride)
+                        conv_time_stride=args.conv_time_stride,
+                        conv_norm=args.conv_norm)
 
     def write_cfg(cfg):
         with open(os.path.join(args.dir, "model_config.json"), "w") as f:

@@ -73,6 +73,14 @@ class AmConfig:
     conv_layers: int = 0
     conv_channels: int = 32
     conv_time_stride: int = 2
+    # conv-front normalization: "seq" (default) is DS2's sequence-wise
+    # batch norm made functional — moments per (utterance, channel) over
+    # the utterance's valid frames and freq bins, learned gamma/beta —
+    # so there is no cross-sample batch statistic and train/inference
+    # are the same pure function.  "none" reproduces the round-4
+    # normalization-free front, which blank-collapses on the hard
+    # recipe (recipes/hard/RESULTS.md: WER 100.00, train acc 0.000).
+    conv_norm: str = "seq"
 
     # (time_kernel, freq_kernel, time_stride, freq_stride) per conv layer
     _DS2_SPECS = ((11, 41, None, 2), (11, 21, 1, 2), (11, 21, 1, 2))
@@ -186,12 +194,20 @@ def init_am_params(key: jax.Array, cfg: AmConfig) -> Dict[str, Any]:
             # fan-in-scaled init: the DS2 kernels are large (11x41),
             # param_stddev alone would blow the activations up
             fan_in = tk * fk * c_in
-            convs.append({
+            layer = {
                 "conv_w": (jax.random.normal(
                     k_c, (tk, fk, c_in, cfg.conv_channels),
                     dtype=jnp.float32) * np.sqrt(2.0 / fan_in)),
                 "conv_b": jnp.zeros((cfg.conv_channels,), jnp.float32),
-            })
+            }
+            if cfg.conv_norm == "seq":
+                layer["norm_g"] = jnp.ones((cfg.conv_channels,),
+                                           jnp.float32)
+                layer["norm_b"] = jnp.zeros((cfg.conv_channels,),
+                                            jnp.float32)
+            elif cfg.conv_norm != "none":
+                raise ValueError(f"unknown conv_norm {cfg.conv_norm!r}")
+            convs.append(layer)
             c_in = cfg.conv_channels
         params["conv"] = convs
     return params
@@ -283,10 +299,33 @@ def am_forward(
                          ((fk - 1) // 2, fk // 2)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + conv["conv_b"]
+            if "norm_g" in conv:
+                # DS2's sequence-wise batch norm (paper §3.2), made
+                # functional: moments per (utterance, channel) over the
+                # utterance's VALID frames and all freq bins, learned
+                # gamma/beta — no cross-sample batch statistic, so train
+                # and inference are one pure function and jit/pjit see
+                # no mutable state.  Without this the conv front
+                # blank-collapses on the hard recipe (round-4
+                # RESULTS.md: both ds2 arms WER 100.00) — exactly the
+                # instability the paper's seq-wise BN exists to fix.
+                if lens is not None:
+                    v = (jnp.arange(x.shape[1])[None, :]
+                         < lens[:, None]).astype(x.dtype)      # [B, T]
+                    n = jnp.maximum(v.sum(1) * x.shape[2], 1.0)  # [B]
+                    vm = v[:, :, None, None]
+                    mean = (x * vm).sum((1, 2)) / n[:, None]     # [B, C]
+                    var = (((x - mean[:, None, None, :]) ** 2 * vm)
+                           .sum((1, 2)) / n[:, None])
+                else:
+                    mean = x.mean((1, 2))
+                    var = x.var((1, 2))
+                x = ((x - mean[:, None, None, :])
+                     / jnp.sqrt(var[:, None, None, :] + 1e-5)
+                     * conv["norm_g"] + conv["norm_b"])
             # leaky clipped ReLU.  The DS2 paper uses clipped ReLU
-            # stabilized by batch norm; batch statistics are training
-            # state this functional model avoids, and with a hard ReLU
-            # the plain-SGD conv stack collapses to all-dead units
+            # stabilized by batch norm; with conv_norm="none" and a hard
+            # ReLU the plain-SGD conv stack collapses to all-dead units
             # (observed: 100% zeros after a few hundred steps).  The
             # leaky slope keeps zero-region units recoverable.
             x = jnp.minimum(
