@@ -315,6 +315,37 @@ def rnn_forward_stream(
     # of a bfloat16 model matches the full-utterance forward exactly
     cd = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
           else jnp.float32)
+    impl = cfg.implementation
+    if impl == "auto":
+        impl = ("pallas" if (cfg.mode == RnnMode.LSTM
+                             and jax.default_backend() == "tpu") else "xla")
+    if (impl == "pallas" and cfg.mode == RnnMode.LSTM
+            and cfg.num_layers > 1):
+        from kaldi_ctc_tpu.ops.rnn_pallas import (
+            lstm_stack_fwd, stack_weights_fit_vmem)
+        if stack_weights_fit_vmem(cfg.num_layers, h_dim,
+                                  jnp.dtype(cd).itemsize):
+            # wavefront path: ALL layers in one grid of T + L - 1 steps
+            # (vs L*T serial steps layer-by-layer) — the serial-step-
+            # latency lever ROOFLINE.md identifies, available here
+            # because unidirectional stacks have wavefront (not
+            # barrier) layer dependencies
+            xp0 = (jnp.dot(x.reshape(t_max * b, -1).astype(cd),
+                           params[0]["dirs"][0]["w_x"].astype(cd),
+                           preferred_element_type=jnp.float32)
+                   + params[0]["dirs"][0]["b"]).astype(cd).reshape(
+                       t_max, b, -1)
+            wxs = [p["dirs"][0]["w_x"].astype(cd) for p in params[1:]]
+            whs = [p["dirs"][0]["w_h"].astype(cd) for p in params]
+            bs = [p["dirs"][0]["b"] for p in params[1:]]
+            clens = (lens if lens is not None
+                     else jnp.full((b,), t_max, dtype=jnp.int32))
+            h0 = jnp.stack([st[0] for st in states])
+            c0 = jnp.stack([st[1] for st in states])
+            y, h_fin, c_fin = lstm_stack_fwd(xp0, wxs, whs, bs, clens,
+                                             h0, c0)
+            return y, [(h_fin[i], c_fin[i])
+                       for i in range(cfg.num_layers)]
     valid = (None if lens is None else
              (jnp.arange(t_max)[:, None] < lens[None, :])[..., None])
     out = x

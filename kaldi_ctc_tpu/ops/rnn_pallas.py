@@ -981,3 +981,195 @@ def _lstm_sequence_bwd(reverse, interpret, res, dy):
 
 
 lstm_sequence.defvjp(_lstm_sequence_fwd, _lstm_sequence_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Wavefront multi-layer unidirectional forward
+# ---------------------------------------------------------------------------
+#
+# The roofline (ROOFLINE.md) shows the sequence kernels are serial-step-
+# latency-bound: L layers of T steps cost ~L*T fixed step latencies.
+# For a UNIDIRECTIONAL stack the layer dependency is a wavefront — layer
+# l at time t needs only layer l-1 at time t — so all L layers can run
+# in ONE grid of T + L - 1 steps, with layer l processing t = s - l at
+# grid step s.  Serial steps drop ~L-fold and the L independent
+# recurrent matmul chains issue back to back inside each step, hiding
+# the MXU pipeline latency the per-layer kernels pay serially.
+#
+# For BIDIRECTIONAL stacks this lever is structurally unavailable:
+# layer l+1 at ANY time t consumes y_b^l[t], which the backward
+# direction only produces after sweeping T-1..t — so at t=0 the entire
+# layer-l backward pass must have finished, a full barrier between
+# layers.  (The same dependency argument is why cuDNN's cross-layer RNN
+# pipelining only applies to unidirectional models; the merged
+# bidirectional kernels above already capture the one parallelism a
+# BLSTM layer does expose — the two directions.)  This kernel therefore
+# targets the unidirectional stacks: streaming/serving forwards
+# (cli/serve.py) and unidirectional decode.
+#
+# Weight residency: all L layers' w_h (and w_x for l>=1) live in VMEM
+# across the grid — bf16 weights fit the flagship 5x320 stack in ~7 MB;
+# callers gate on _stack_fits_vmem for f32.
+
+
+def _stack_kernel(lens_ref, xp0_ref, *rest, t_max, n_layers, stateful):
+    L = n_layers
+    i = 0
+    wh = rest[i:i + L]
+    i += L
+    wx = rest[i:i + L - 1]
+    i += L - 1
+    bb = rest[i:i + L - 1]
+    i += L - 1
+    if stateful:
+        h0_ref, c0_ref = rest[i], rest[i + 1]
+        i += 2
+    y_ref, hfin_ref, cfin_ref = rest[i], rest[i + 1], rest[i + 2]
+    i += 3
+    h_scr = rest[i:i + L]
+    i += L
+    c_scr = rest[i:i + L]
+    i += L
+    y_scr = rest[i:i + L - 1]
+
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _init():
+        for l in range(L):
+            if stateful:
+                h_scr[l][:] = h0_ref[l].astype(jnp.float32)
+                c_scr[l][:] = c0_ref[l].astype(jnp.float32)
+            else:
+                h_scr[l][:] = jnp.zeros_like(h_scr[l])
+                c_scr[l][:] = jnp.zeros_like(c_scr[l])
+
+    # top layer first: layer l+1 must read y_scr[l] (last step's value)
+    # before layer l overwrites it this step
+    for l in reversed(range(L)):
+        t = s - l
+
+        @pl.when((t >= 0) & (t < t_max))
+        def _cell(l=l, t=t):
+            if l == 0:
+                xp = xp0_ref[0].astype(jnp.float32)
+            else:
+                # quantize the projection to the compute dtype exactly
+                # like the per-layer path stores it, so wavefront
+                # streaming bit-matches the offline per-layer forward
+                # in bf16 mode too (y_scr scratch is likewise in the
+                # compute dtype)
+                xp = ((jnp.dot(y_scr[l - 1][:].astype(wx[l - 1].dtype),
+                               wx[l - 1][:],
+                               preferred_element_type=jnp.float32)
+                       + bb[l - 1][0])
+                      .astype(wx[l - 1].dtype).astype(jnp.float32))
+            gates = xp + jnp.dot(h_scr[l][:].astype(wh[l].dtype),
+                                 wh[l][:],
+                                 preferred_element_type=jnp.float32)
+            hdim = wh[l].shape[0]
+            ii = jax.nn.sigmoid(gates[:, 0 * hdim:1 * hdim])
+            ff = jax.nn.sigmoid(gates[:, 1 * hdim:2 * hdim])
+            gg = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+            oo = jax.nn.sigmoid(gates[:, 3 * hdim:4 * hdim])
+            c_new = ff * c_scr[l][:] + ii * gg
+            h_new = oo * jnp.tanh(c_new)
+            valid = lens_ref[:] > t
+            h_out = jnp.where(valid, h_new, h_scr[l][:])
+            c_out = jnp.where(valid, c_new, c_scr[l][:])
+            h_scr[l][:] = h_out
+            c_scr[l][:] = c_out
+            yv = jnp.where(valid, h_new, 0.0)
+            if l == L - 1:
+                y_ref[0] = yv.astype(y_ref.dtype)
+            else:
+                y_scr[l][:] = yv.astype(y_scr[l].dtype)
+
+    # early steps target the clamped t=0 output block before the top
+    # layer reaches it; zero it so the s = L-1 real write is the last
+    @pl.when(s < L - 1)
+    def _zero_head():
+        y_ref[0] = jnp.zeros((y_ref.shape[1], y_ref.shape[2]),
+                             y_ref.dtype)
+
+    @pl.when(s == t_max + L - 2)
+    def _fin():
+        for l in range(L):
+            hfin_ref[l] = h_scr[l][:]
+            cfin_ref[l] = c_scr[l][:]
+
+
+def lstm_stack_fwd(xp0, wxs, whs, bs, lens, h0=None, c0=None,
+                   interpret=False):
+    """Wavefront forward through an L-layer unidirectional LSTM stack.
+
+    Args:
+      xp0: [T, B, 4H] layer-0 input projection (+bias), precomputed —
+        one MXU-saturating matmul like the per-layer path's.
+      wxs: list of L-1 inter-layer input weights [H, 4H] (layer l>=1
+        consumes layer l-1's output; projected IN-kernel per step).
+      whs: list of L recurrent weights [H, 4H].
+      bs: list of L-1 biases [4H] for layers >= 1.
+      lens: [B] int32 valid lengths.
+      h0, c0: optional [L, B, H] initial carries (streaming chunks).
+    Returns:
+      (y [T, B, H] of the last layer, h_fin [L, B, H], c_fin [L, B, H]).
+
+    Inference-only (no residuals are saved); the training path keeps the
+    per-layer kernels, whose backward passes recompute gates from saved
+    per-layer activations.
+    """
+    t_max, b, g4 = xp0.shape
+    h = g4 // 4
+    L = len(whs)
+    assert len(wxs) == L - 1 and len(bs) == L - 1
+    stateful = h0 is not None
+    kern = functools.partial(_stack_kernel, t_max=t_max, n_layers=L,
+                             stateful=stateful)
+    steps = t_max + L - 1
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda s: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [const((b, 1))]
+    in_specs.append(pl.BlockSpec(
+        (1, b, g4), lambda s: (jnp.minimum(s, t_max - 1), 0, 0),
+        memory_space=pltpu.VMEM))
+    in_specs += [const((h, g4))] * L          # whs
+    in_specs += [const((h, g4))] * (L - 1)    # wxs
+    in_specs += [const((1, g4))] * (L - 1)    # biases
+    args = [lens.astype(jnp.float32)[:, None], xp0]
+    args += list(whs) + list(wxs) + [bb.reshape(1, g4) for bb in bs]
+    if stateful:
+        in_specs += [const((L, b, h))] * 2
+        args += [h0, c0]
+    Lm1 = L - 1
+    out_specs = [
+        pl.BlockSpec((1, b, h),
+                     lambda s: (jnp.clip(s - Lm1, 0, t_max - 1), 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((L, b, h)),
+        const((L, b, h)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_max, b, h), xp0.dtype),
+        jax.ShapeDtypeStruct((L, b, h), jnp.float32),
+        jax.ShapeDtypeStruct((L, b, h), jnp.float32),
+    ]
+    scratch = ([pltpu.VMEM((b, h), jnp.float32)] * (2 * L)
+               + [pltpu.VMEM((b, h), xp0.dtype)] * (L - 1))
+    y, h_fin, c_fin = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    return y, h_fin, c_fin
+
+
+def stack_weights_fit_vmem(num_layers: int, hidden: int, itemsize: int,
+                           budget: int = 10 * 1024 * 1024) -> bool:
+    """Can all L layers' weights stay VMEM-resident for the wavefront
+    kernel?  (2L-1) matrices of [H, 4H] plus working blocks."""
+    return (2 * num_layers - 1) * hidden * 4 * hidden * itemsize <= budget

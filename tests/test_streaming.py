@@ -157,3 +157,69 @@ def test_stream_forward_masks_outputs():
     assert np.abs(y[2:, 1]).max() == 0.0
     assert np.abs(y[:, 2]).max() == 0.0
     assert np.abs(y[:, 0]).max() > 0.0
+
+
+class TestWavefrontStack:
+    """The wavefront multi-layer kernel (rnn_pallas.lstm_stack_fwd): all
+    L unidirectional layers in one grid of T + L - 1 steps.  Must match
+    the per-layer scan streaming path exactly, including state carry
+    across chunks and per-stream length masking."""
+
+    def _run(self, L=3, b=3, t=17, compute_dtype="float32"):
+        import functools
+
+        from kaldi_ctc_tpu.ops import rnn_pallas as rp
+        from kaldi_ctc_tpu.ops.rnn import RnnConfig, init_rnn_params
+
+        cfg_x = RnnConfig(input_dim=D, hidden_dim=H, num_layers=L,
+                          mode=RnnMode.LSTM, bidirectional=False,
+                          implementation="xla",
+                          compute_dtype=compute_dtype)
+        cfg_p = RnnConfig(input_dim=D, hidden_dim=H, num_layers=L,
+                          mode=RnnMode.LSTM, bidirectional=False,
+                          implementation="pallas",
+                          compute_dtype=compute_dtype)
+        params = init_rnn_params(jax.random.PRNGKey(2), cfg_x)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((t, b, D)).astype(np.float32))
+        lens = jnp.asarray([t, t - 4, 5], np.int32)
+
+        orig = rp.lstm_stack_fwd
+        rp.lstm_stack_fwd = functools.partial(orig, interpret=True)
+        try:
+            st_p = init_stream_state(cfg_p, b)
+            outs_p = []
+            for lo in range(0, t, 7):
+                cl = jnp.clip(lens - lo, 0, min(7, t - lo))
+                y, st_p = rnn_forward_stream(params, x[lo:lo + 7],
+                                             cfg_p, st_p, lens=cl)
+                outs_p.append(y)
+        finally:
+            rp.lstm_stack_fwd = orig
+        y_pal = jnp.concatenate(outs_p, axis=0)
+
+        st_x = init_stream_state(cfg_x, b)
+        outs_x = []
+        for lo in range(0, t, 7):
+            cl = jnp.clip(lens - lo, 0, min(7, t - lo))
+            y, st_x = rnn_forward_stream(params, x[lo:lo + 7],
+                                         cfg_x, st_x, lens=cl)
+            outs_x.append(y)
+        y_xla = jnp.concatenate(outs_x, axis=0)
+        return y_pal, y_xla, st_p, st_x
+
+    def test_matches_scan_path_f32(self):
+        y_pal, y_xla, st_p, st_x = self._run()
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                                   rtol=1e-5, atol=1e-5)
+        for (hp, cp), (hx, cx) in zip(st_p, st_x):
+            np.testing.assert_allclose(np.asarray(hp), np.asarray(hx),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_matches_scan_path_bf16(self):
+        y_pal, y_xla, _, _ = self._run(compute_dtype="bfloat16")
+        np.testing.assert_allclose(
+            np.asarray(y_pal, np.float32), np.asarray(y_xla, np.float32),
+            rtol=0, atol=3e-2)
