@@ -22,16 +22,12 @@ run_one() {
   arm=$a seed=$s bash run.sh
 }
 
-run_one baseline 0
-run_one baseline 1
-run_one baseline 2
-run_one realign 0
-run_one realign 1
-run_one ng 0
-run_one ng 1
-run_one ds2 0
-run_one ds2 1
-run_one bf16 0
-run_one bf16 1
+# 3 seeds per arm (round-5 verdict: power the paired comparisons so
+# every README quality claim traces to a CI, not a 2-seed trend)
+for s in 0 1 2; do run_one baseline "$s"; done
+for s in 0 1 2; do run_one bf16 "$s"; done
+for s in 0 1 2; do run_one ds2 "$s"; done
+for s in 0 1 2; do run_one ng "$s"; done
+for s in 0 1 2; do run_one realign "$s"; done
 
 python summarize_ablation.py "$work" | tee "$work/ABLATION.md"

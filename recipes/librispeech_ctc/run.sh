@@ -99,11 +99,16 @@ if [ "$stage" -le 3 ]; then
   echo "=== stage 3: decode + score (decode.sh + local/score.sh analogue)"
   for t in test_clean test_other dev_clean dev_other; do
     [ -d "$data/$t" ] || continue
+    # final.mdl exists only for Kaldi-built graph fixtures; graphs from
+    # the native chain (graph_tool make-tlg / make_synth_data.py) carry
+    # CTC ilabels already and need no transition-model mapping
+    trans_flag=()
+    [ -f "$graph/final.mdl" ] && trans_flag=(--trans-model "$graph/final.mdl")
     python -m kaldi_ctc_tpu.cli.decode_ctc \
       --feats "scp:$data/$t/feats.scp" --cmvn "scp:$data/$t/cmvn.scp" \
       --utt2spk "$data/$t/utt2spk" --dir "$exp" \
       --method wfst --graph "$graph/CTC.fst" \
-      --trans-model "$graph/final.mdl" --words "$graph/words.txt" \
+      "${trans_flag[@]}" --words "$graph/words.txt" \
       --wfst-beam "$wfst_beam" --lattice "$exp/lat.$t.ark.txt" \
       --lattice-beam "$lattice_beam" \
       --blank-threshold "$blank_threshold" \
