@@ -794,6 +794,69 @@ def _roofline():
     print(json.dumps(out))
 
 
+def _stream_bench(chunk_frames=20, batch=1, calls=60):
+    """Streaming chunk-forward latency: the wavefront multi-layer kernel
+    (rnn_pallas.lstm_stack_fwd, all L layers in one T+L-1-step grid) vs
+    the per-layer lax.scan path, on the unidirectional flagship stack
+    (5x320 LSTM — the serving model family).  This is the kernel half of
+    the serve chunk budget (200 ms chunks); cli/serve.py adds features +
+    HTTP on top (bench --serve measures that end to end)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from kaldi_ctc_tpu.ops.rnn import (RnnConfig, RnnMode,
+                                       init_rnn_params,
+                                       init_stream_state,
+                                       rnn_forward_stream)
+
+    rows = []
+    for impl, dtype in (("xla", "float32"), ("xla", "bfloat16"),
+                        ("pallas", "bfloat16")):
+        cfg = RnnConfig(input_dim=40, hidden_dim=320, num_layers=5,
+                        mode=RnnMode.LSTM, bidirectional=False,
+                        implementation=impl, compute_dtype=dtype)
+        params = init_rnn_params(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (chunk_frames, batch, 40)).astype(np.float32))
+        lens = jnp.full((batch,), chunk_frames, jnp.int32)
+
+        @jax.jit
+        def fwd(params, x, states):
+            return rnn_forward_stream(params, x, cfg, states, lens=lens)
+
+        states = init_stream_state(cfg, batch)
+        y, states = fwd(params, x, states)       # compile
+        jax.block_until_ready(y)
+        lat = []
+        for _ in range(calls):
+            t0 = time.perf_counter()
+            y, states = fwd(params, x, states)
+            jax.block_until_ready(y)
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        rows.append({
+            "impl": ("wavefront" if impl == "pallas" else "per-layer"),
+            "dtype": dtype,
+            "p50_ms": round(lat[len(lat) // 2] * 1e3, 3),
+            "p95_ms": round(lat[min(len(lat) - 1,
+                                    int(0.95 * len(lat)))] * 1e3, 3),
+        })
+    base = next(r for r in rows if r["impl"] == "per-layer"
+                and r["dtype"] == "bfloat16")
+    wave = next(r for r in rows if r["impl"] == "wavefront")
+    print(json.dumps({
+        "metric": "stream_chunk_forward_p50_ms_wavefront",
+        "value": wave["p50_ms"], "unit": "ms",
+        "chunk_frames": chunk_frames, "batch": batch,
+        "rows": rows,
+        "speedup_vs_per_layer_same_dtype": round(
+            base["p50_ms"] / max(wave["p50_ms"], 1e-9), 2),
+        "vs_baseline": None,
+    }))
+
+
 def _flag(name, default):
     if name in sys.argv:
         return int(sys.argv[sys.argv.index(name) + 1])
@@ -854,6 +917,11 @@ def main():
 
     if "--serve" in sys.argv:
         _serve_bench(n_streams=_flag("--streams", 8))
+        return
+
+    if "--stream" in sys.argv:
+        _stream_bench(chunk_frames=_flag("--chunk-frames", 20),
+                      batch=_flag("--batch", 1))
         return
 
     ds2 = "--ds2" in sys.argv
