@@ -392,20 +392,27 @@ bigru_layer.defvjp(_bigru_layer_fwd, _bigru_layer_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def gru_sequence(x_proj, w_h, lens, reverse=False, interpret=False):
-    """Differentiable fused GRU over a sequence → y [T, B, H]."""
-    return gru_seq_fwd(x_proj, w_h, lens, reverse, interpret)
+    """Differentiable fused GRU over a sequence → y [T, B, H].
+
+    w_h may arrive in master precision (f32); the cast to x_proj's
+    compute dtype lives inside the vjp so the weight cotangent keeps
+    the master dtype (see rnn_pallas.lstm_sequence)."""
+    return gru_seq_fwd(x_proj, w_h.astype(x_proj.dtype), lens, reverse,
+                       interpret)
 
 
 def _gru_sequence_fwd(x_proj, w_h, lens, reverse, interpret):
-    y = gru_seq_fwd(x_proj, w_h, lens, reverse, interpret)
+    y = gru_seq_fwd(x_proj, w_h.astype(x_proj.dtype), lens, reverse,
+                    interpret)
     return y, (x_proj, w_h, lens, y)
 
 
 def _gru_sequence_bwd(reverse, interpret, res, dy):
     x_proj, w_h, lens, y = res
-    dgx, dgh = _gru_seq_bwd_dgates(dy, x_proj, y, w_h, lens,
+    cdt = x_proj.dtype
+    dgx, dgh = _gru_seq_bwd_dgates(dy, x_proj, y, w_h.astype(cdt), lens,
                                    reverse, interpret)
-    dw_h = _dw_h(y, dgh, reverse, w_h.dtype, out_dtype=w_h.dtype)
+    dw_h = _dw_h(y, dgh, reverse, cdt, out_dtype=w_h.dtype)
     return dgx, dw_h, None
 
 

@@ -170,7 +170,6 @@ def _run_direction(
                       preferred_element_type=jnp.float32)
               + p["b"]).astype(cd).reshape(t_max, b, -1)
 
-    w_h = p["w_h"].astype(cd)
     if lens is None:
         lens = jnp.full((b,), t_max, dtype=jnp.int32)
 
@@ -179,11 +178,14 @@ def _run_direction(
         impl = ("pallas" if (mode in (RnnMode.LSTM, RnnMode.GRU)
                              and jax.default_backend() == "tpu") else "xla")
     if impl == "pallas" and mode == RnnMode.LSTM:
+        # master-precision w_h: the sequence vjp casts internally so the
+        # weight cotangent stays f32 (no bf16 dW quantization)
         from kaldi_ctc_tpu.ops.rnn_pallas import lstm_sequence
-        return lstm_sequence(x_proj, w_h, lens, reverse)
+        return lstm_sequence(x_proj, p["w_h"], lens, reverse)
     if impl == "pallas" and mode == RnnMode.GRU:
         from kaldi_ctc_tpu.ops.gru_pallas import gru_sequence
-        return gru_sequence(x_proj, w_h, lens, reverse)
+        return gru_sequence(x_proj, p["w_h"], lens, reverse)
+    w_h = p["w_h"].astype(cd)
 
     valid = (jnp.arange(t_max)[:, None] < lens[None, :])[..., None]  # [T,B,1]
 

@@ -959,24 +959,32 @@ bilstm_layer.defvjp(_bilstm_layer_fwd, _bilstm_layer_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def lstm_sequence(x_proj, w_h, lens, reverse=False, interpret=False):
-    """Differentiable fused LSTM over a sequence → y [T, B, H]."""
-    y, _ = lstm_seq_fwd(x_proj, w_h, lens, reverse, interpret)
+    """Differentiable fused LSTM over a sequence → y [T, B, H].
+
+    w_h may arrive in master precision (f32): the cast to x_proj's
+    compute dtype happens INSIDE the vjp, so the weight cotangent keeps
+    the primal's (master) dtype and bf16 mode no longer quantizes dW."""
+    y, _ = lstm_seq_fwd(x_proj, w_h.astype(x_proj.dtype), lens, reverse,
+                        interpret)
     return y
 
 
 def _lstm_sequence_fwd(x_proj, w_h, lens, reverse, interpret):
-    y, c_seq = lstm_seq_fwd(x_proj, w_h, lens, reverse, interpret)
+    y, c_seq = lstm_seq_fwd(x_proj, w_h.astype(x_proj.dtype), lens,
+                            reverse, interpret)
     return y, (x_proj, w_h, lens, y, c_seq)
 
 
 def _lstm_sequence_bwd(reverse, interpret, res, dy):
     x_proj, w_h, lens, y, c_seq = res
-    dgates = _lstm_seq_bwd_dgates(dy, x_proj, y, c_seq, w_h,
-                                  lens, reverse, interpret)
+    cdt = x_proj.dtype
+    dgates = _lstm_seq_bwd_dgates(dy, x_proj, y, c_seq,
+                                  w_h.astype(cdt), lens, reverse,
+                                  interpret)
     # weight gradient: one large sliced MXU matmul over all timesteps
-    # (operands in the forward compute dtype, f32 accumulation, cotangent
-    # cast back to w_h's dtype for the custom_vjp contract)
-    dw_h = _dw_h(y, dgates, reverse, w_h.dtype, out_dtype=w_h.dtype)
+    # (operands in the forward compute dtype, f32 accumulation, emitted
+    # at the primal w_h's dtype — f32 when master params are passed)
+    dw_h = _dw_h(y, dgates, reverse, cdt, out_dtype=w_h.dtype)
     return dgates, dw_h, None
 
 
