@@ -380,29 +380,37 @@ def _decode_bench(vocab=20_000, utts=16, with_forward=False, seed=0):
     # posteriors through the bigram-only TLG of the same language, then
     # rescore with the full trigram LM via the two-call pipeline — the
     # trigram LM must recover accuracy the weaker decode graph lost.
-    graph_bg, lang_bg, word_to_id_bg, meta_bg = _build_or_load_tlg(
-        vocab, seed=seed, trigram=False)
-    lm_bg = parse_arpa(io.StringIO(lang_bg.arpa_text))
-    id_to_word_bg = {i: w for w, i in word_to_id_bg.items()}
-    truth_words = [[id_to_word[i] for i in t] for t in truth]
-    clats_bg = [determinize_lattice_pruned(
-        decode_lattice(graph_bg, s, lattice_beam=8.0), det_beam=8.0)
-        for s in scores]
-    errs_bg = sum(
-        edit_distance(t, [id_to_word_bg[int(w)]
-                          for w in c.best_path()[0]])
-        for t, c in zip(truth_words, clats_bg))
-    wer_bg = 100.0 * errs_bg / max(n_ref, 1)
-    resc_bg = [
-        lmrescore_compact(
-            lmrescore_compact(c, lm_bg, id_to_word_bg, lm_scale=-1.0),
-            lm, id_to_word_bg, lm_scale=1.0)
-        for c in clats_bg]
-    errs_bg_r = sum(
-        edit_distance(t, [id_to_word_bg[int(w)]
-                          for w in r.best_path()[0]])
-        for t, r in zip(truth_words, resc_bg))
-    wer_bg_resc = 100.0 * errs_bg_r / max(n_ref, 1)
+    # --no-bigram skips it (at 50k+ vocab the bigram graph is a second
+    # multi-GB determinization; the 2k/20k rows already demonstrate the
+    # rescore chain).
+    wer_bg = wer_bg_resc = None
+    meta_bg = {"graph_states": None}
+    graph_bg, lang_bg, word_to_id_bg, meta_bg2 = (
+        (None, None, None, None) if "--no-bigram" in sys.argv
+        else _build_or_load_tlg(vocab, seed=seed, trigram=False))
+    if graph_bg is not None:
+        meta_bg = meta_bg2
+        lm_bg = parse_arpa(io.StringIO(lang_bg.arpa_text))
+        id_to_word_bg = {i: w for w, i in word_to_id_bg.items()}
+        truth_words = [[id_to_word[i] for i in t] for t in truth]
+        clats_bg = [determinize_lattice_pruned(
+            decode_lattice(graph_bg, s, lattice_beam=8.0), det_beam=8.0)
+            for s in scores]
+        errs_bg = sum(
+            edit_distance(t, [id_to_word_bg[int(w)]
+                              for w in c.best_path()[0]])
+            for t, c in zip(truth_words, clats_bg))
+        wer_bg = 100.0 * errs_bg / max(n_ref, 1)
+        resc_bg = [
+            lmrescore_compact(
+                lmrescore_compact(c, lm_bg, id_to_word_bg, lm_scale=-1.0),
+                lm, id_to_word_bg, lm_scale=1.0)
+            for c in clats_bg]
+        errs_bg_r = sum(
+            edit_distance(t, [id_to_word_bg[int(w)]
+                              for w in r.best_path()[0]])
+            for t, r in zip(truth_words, resc_bg))
+        wer_bg_resc = 100.0 * errs_bg_r / max(n_ref, 1)
 
     full = rtf_lat + rtf_det + rtf_mbr + rtf_resc
     out = {
@@ -429,8 +437,9 @@ def _decode_bench(vocab=20_000, utts=16, with_forward=False, seed=0):
         "det_fraction_of_pipeline": round(rtf_det / full, 3),
         "wer_bestpath": round(wer, 2), "wer_mbr": round(wer_mbr, 2),
         "wer_rescored": round(wer_resc, 2),
-        "wer_bigram_graph": round(wer_bg, 2),
-        "wer_bigram_rescored_trigram": round(wer_bg_resc, 2),
+        "wer_bigram_graph": (None if wer_bg is None else round(wer_bg, 2)),
+        "wer_bigram_rescored_trigram": (
+            None if wer_bg_resc is None else round(wer_bg_resc, 2)),
         "bigram_graph_states": meta_bg["graph_states"],
         "score_s": round(score_s, 2),
         "vs_baseline": round(REFERENCE_DECODE_RTF / rtf_1t, 3),
@@ -958,11 +967,17 @@ def main():
                     3)}))
         return
 
-    st = _measure(jax.devices()[:1], ds2=ds2, bf16=bf16)
+    # Headline: bf16 mixed precision — the default training dtype since
+    # its round-5 quality validation (the hard-recipe matrix shows
+    # paired ΔWER vs f32 centered on 0 after the f32-weight-cotangent
+    # fix; see recipes/hard/RESULTS.md).  --f32 pins the old headline;
+    # the default output carries both numbers.
+    headline_bf16 = not ds2 and not bf16 and "--f32" not in sys.argv
+    st = _measure(jax.devices()[:1], ds2=ds2, bf16=bf16 or headline_bf16)
     per_chip = st["median"]
     # self-auditing roofline line: analytic matmul-path FLOPs → achieved
     # model FLOP/s and MFU vs the chip's MXU peak (VERDICT weak #4)
-    cfg = _bench_cfg(ds2=ds2, bf16=bf16)
+    cfg = _bench_cfg(ds2=ds2, bf16=bf16 or headline_bf16)
     flops_per_s = per_chip / SECONDS_PER_FRAME / cfg.time_stride \
         * _model_flops_per_subframe(cfg)
     kind = jax.devices()[0].device_kind
@@ -972,6 +987,8 @@ def main():
                   + ("_ds2" if ds2 else "") + ("_bf16" if bf16 else ""),
         "value": round(per_chip, 2),
         "unit": "audio-s/s/chip",
+        "compute_dtype": ("bfloat16" if (bf16 or headline_bf16)
+                          else "float32"),
         "spread": {"min": round(st["min"], 2), "max": round(st["max"], 2)},
         "n": st["n"],
         "model_tflops_per_s": round(flops_per_s / 1e12, 1),
@@ -980,6 +997,11 @@ def main():
     }
     if peak:
         out["mfu_vs_bf16_peak"] = round(flops_per_s / peak, 3)
+    if headline_bf16:
+        st32 = _measure(jax.devices()[:1], ds2=ds2, bf16=False)
+        out["f32"] = {"median": round(st32["median"], 2),
+                      "min": round(st32["min"], 2),
+                      "max": round(st32["max"], 2)}
     print(json.dumps(out))
 
 
