@@ -36,10 +36,12 @@ lr_final=${lr_final:-1e-5}
 hidden_dim=${hidden_dim:-320}
 num_layers=${num_layers:-5}
 num_archives=${num_archives:-16}
-# float32 matches the reference numerics; bfloat16 (mixed precision:
-# bf16-stored projections/outputs, f32 gate math/carries/accumulation)
-# measures ~26% faster per chip on the flagship config
-compute_dtype=${compute_dtype:-float32}
+# bfloat16 mixed precision (bf16-stored projections/outputs, f32 gate
+# math/carries/accumulation/weight-grads) is the default since its
+# round-5 quality validation: 3-seed paired dWER vs f32 centered on
+# zero on the hard recipe (recipes/hard/RESULTS.md) at ~25% more
+# audio-s/s per chip.  compute_dtype=float32 pins reference numerics.
+compute_dtype=${compute_dtype:-bfloat16}
 
 # decode knobs (run_ctc_phone.sh:36-40)
 wfst_beam=${wfst_beam:-20}
