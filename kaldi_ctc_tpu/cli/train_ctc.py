@@ -97,6 +97,11 @@ def parse_args(argv=None):
     p.add_argument("--max-allow-frames", type=int, default=2000)
     p.add_argument("--frame-subsampling-factor", type=int, default=1)
     p.add_argument("--initial-learning-rate", type=float, default=5e-4)
+    p.add_argument("--lr-warmup-steps", type=int, default=0,
+                   help="linear lr ramp over this many steps before the "
+                        "exponential decay (0 = reference schedule); "
+                        "stabilizes fresh conv fronts against early "
+                        "blank collapse")
     p.add_argument("--final-learning-rate", type=float, default=1e-5)
     p.add_argument("--momentum", type=float, default=0.0)
     p.add_argument("--clip-gradient", type=float, default=5.0)
@@ -323,6 +328,7 @@ def main(argv=None):
         initial_learning_rate=args.initial_learning_rate,
         final_learning_rate=args.final_learning_rate,
         num_steps=num_steps,
+        warmup_steps=args.lr_warmup_steps,
         momentum=args.momentum,
         clip_elementwise=args.clip_gradient,
         affine_type=args.affine_type,

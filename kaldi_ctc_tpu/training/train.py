@@ -67,6 +67,12 @@ class TrainOptions:
     ng_update_period: int = 1
     ng_num_samples_history: float = 2000.0
     ng_alpha: float = 4.0
+    # linear lr warmup over this many steps before the exponential
+    # decay (0 = off, the reference schedule).  CTC models with fresh
+    # conv fronts blank-collapse in the first epochs at the full lr;
+    # the standard remedy (DS2 trains with SortaGrad + warmup-like
+    # ramps) is a short ramp from ~0 to lr_initial.
+    warmup_steps: int = 0
 
 
 class TrainState(NamedTuple):
@@ -99,10 +105,15 @@ def init_train_state(params: Any,
 
 
 def exponential_lr(opts: TrainOptions, step) -> jnp.ndarray:
-    """lr(x) = lr_i * exp(x * log(lr_f/lr_i) / num_steps) (train.sh:352)."""
+    """lr(x) = lr_i * exp(x * log(lr_f/lr_i) / num_steps) (train.sh:352),
+    optionally preceded by a linear warmup ramp (warmup_steps > 0)."""
     ratio = math.log(opts.final_learning_rate / opts.initial_learning_rate)
-    return opts.initial_learning_rate * jnp.exp(
+    lr = opts.initial_learning_rate * jnp.exp(
         step.astype(jnp.float32) * (ratio / max(opts.num_steps, 1)))
+    if opts.warmup_steps > 0:
+        w = (step.astype(jnp.float32) + 1.0) / float(opts.warmup_steps)
+        lr = lr * jnp.minimum(w, 1.0)
+    return lr
 
 
 def _clip_tree(grads: Any, opts: TrainOptions) -> Any:

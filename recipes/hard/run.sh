@@ -75,7 +75,8 @@ case "$arm" in
   realign)  train_flags+=(--realign-epochs 15) ;;
   ng)       train_flags+=(--affine-type natural) ;;
   ds2)      train_flags+=(--conv-layers 2 --conv-channels 32
-                          --conv-time-stride 1) ;;
+                          --conv-time-stride 1
+                          --lr-warmup-steps "${ds2_warmup:-0}") ;;
             # stride 1: at fs=3 a time stride of 2 would leave ~1.2
             # subsampled frames per label — under the 2L+1 CTC bound,
             # the egs filters would drop most of the corpus and the

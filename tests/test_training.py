@@ -267,3 +267,25 @@ def test_nonfinite_guard_suppresses_update():
     state, m = step(state, clean)
     assert bool(m["finite"])
     assert np.isfinite(float(m["loss_total"]))
+
+
+def test_lr_warmup_ramp():
+    """warmup_steps > 0: linear ramp to the decayed lr, then the
+    reference exponential schedule untouched."""
+    import jax.numpy as jnp
+
+    from kaldi_ctc_tpu.training.train import TrainOptions, exponential_lr
+
+    opts = TrainOptions(initial_learning_rate=1e-2,
+                        final_learning_rate=1e-3, num_steps=100,
+                        warmup_steps=10)
+    base = TrainOptions(initial_learning_rate=1e-2,
+                        final_learning_rate=1e-3, num_steps=100)
+    # step 0 is 1/10 of the decayed lr; step >= warmup matches exactly
+    lr0 = float(exponential_lr(opts, jnp.asarray(0)))
+    b0 = float(exponential_lr(base, jnp.asarray(0)))
+    assert abs(lr0 - 0.1 * b0) < 1e-9
+    for s in (10, 50, 99):
+        lw = float(exponential_lr(opts, jnp.asarray(s)))
+        lb = float(exponential_lr(base, jnp.asarray(s)))
+        assert abs(lw - lb) < 1e-12, (s, lw, lb)
